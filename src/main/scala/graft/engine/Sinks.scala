@@ -58,11 +58,21 @@ object Sinks {
     */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
              orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    // Deterministic tiebreak: when two incoming rows for the same key tie on
+    // orderCol, order by every remaining column so last-writer-wins does not
+    // depend on partition/task order (SURVEY §7.4).
+    val tiebreak = incoming.columns.toSeq
+      .filterNot(c => c == orderCol || keys.contains(c)).map(col(_).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc +: tiebreak: _*)
+    // orderCol may itself be a destination column (e.g. updated_at): drop it
+    // only when the destination schema doesn't carry it.
+    val dropCols = "__graft_rn" +:
+      (if (existing.columns.contains(orderCol)) Nil else Seq(orderCol))
     val lastWriter = incoming
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn", orderCol)
+      .drop(dropCols: _*)
     existing.join(lastWriter, keys, "left_anti")
       .unionByName(lastWriter.select(existing.columns.map(col).toSeq: _*))
   }

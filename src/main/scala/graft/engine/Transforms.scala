@@ -49,7 +49,8 @@ object Transforms {
     case DatePart(part)   => dt match {
       // non-Date input passes through unchanged (:548-550);
       // unknown part passes through unchanged (:564-565)
-      case TimestampType | DateType => dateParts.get(part).fold(c)(f => f(c))
+      // the reference lowercases the part name before matching (:555)
+      case TimestampType | DateType => dateParts.get(part.toLowerCase).fold(c)(f => f(c))
       case _                        => c
     }
     case Identity         => c

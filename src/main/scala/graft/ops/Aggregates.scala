@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation + window operators (SURVEY §2.B "Aggregations" / "Window
+  * functions"). All aggregates are hash aggregates with map-side partial
+  * combine; grouping-set variants expand the grouping keys once and reuse the
+  * same shuffle. Window ops shuffle once on the partition key.
+  */
+object Aggregates {
+
+  private val aggDistinct = Op("agg_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(DISTINCT l_partkey) AS n_part,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  // HLL sketch vs exact: the oracle pins the accuracy claim (rel-err ≤ 5%)
+  // rather than the sketch value itself (DuckDB's HLL differs from Spark's).
+  // At 100 TB approx_count_distinct is the only sane distinct-count: the
+  // sketch is mergeable, so the shuffle carries one sketch per partition
+  // instead of the distinct values themselves.
+  private val aggApproxDistinct = Op("agg_approx_distinct",
+    """SELECT l_returnflag, true AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_suppkey"), 0.02).as("approx"),
+        countDistinct(col("l_suppkey")).as("exact"))
+      .select(col("l_returnflag"),
+        (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  private def gsetAggCols =
+    Seq(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+  private val gsetAggSql =
+    """CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n""".stripMargin
+
+  private val aggRollup = Op("agg_rollup",
+    s"""SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+       |  l_returnflag, l_linestatus, $gsetAggSql
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), gsetAggCols: _*)
+      .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  private val aggCube = Op("agg_cube",
+    s"""SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+       |  l_returnflag, l_linestatus, $gsetAggSql
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), gsetAggCols: _*)
+      .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  // GROUPING SETS has no DataFrame API — this goes through spark.sql, which
+  // is also the R2 raw-SQL parity path (reference ETLProcess.java:84-86).
+  private val aggGsets = Op("agg_gsets",
+    s"""SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+       |  l_returnflag, l_linestatus, $gsetAggSql
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      s"""SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+         |  l_returnflag, l_linestatus, $gsetAggSql
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val aggHaving = Op("agg_having",
+    """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_suppkey
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 15000
+      |ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("dq"),
+        count(lit(1)).as("n"))
+      .filter(col("dq") > 15000)
+      .select(col("l_suppkey"), col("dq").cast("double").as("sum_qty"), col("n"))
+      .orderBy("l_suppkey")
+  }
+
+  // --------------------------------------------------------------------
+  // Windows. One shuffle on the partition key each; rank/dense_rank are
+  // computed over a tie-bearing ordering (o_orderdate has ties) while the
+  // row_number ordering carries a unique tiebreak for determinism.
+  // --------------------------------------------------------------------
+  private val winRank = Op("win_rank",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn,
+      |  rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC) AS rk,
+      |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC) AS drk
+      |FROM orders ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val wUnique = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+    val wTies = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc)
+    t(s, d, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("rn", row_number().over(wUnique))
+      .withColumn("rk", rank().over(wTies))
+      .withColumn("drk", dense_rank().over(wTies))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val winAnalytic = Op("win_analytic",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice)  OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  first_value(o_orderkey) OVER w AS first_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("first_order", first(col("o_orderkey")).over(w))
+      .drop("o_orderdate")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // Running sum via exact decimals: both engines accumulate the same decimal
+  // prefix sums, so doubles are bit-identical at every row.
+  private val winFrameRows = Op("win_frame_rows",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val winFrameRange = Op("win_frame_range",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice
+      |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+      |FROM orders ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+      .rangeBetween(-1000, 0)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("near_sum"))
+      .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+  }
+
+  val ops: Seq[Op] = Seq(
+    aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
+    winRank, winAnalytic, winFrameRows, winFrameRange,
+  )
+}

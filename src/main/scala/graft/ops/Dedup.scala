@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.Text.{h60, h60Sql, words}
+
+/** Near-duplicate detection over `documents` (BASELINE mandate): MinHash+LSH
+  * banding, SimHash hamming buckets, and banded n-gram Jaccard — the three
+  * standard web-scale text-dedup families.
+  *
+  * The scale shape is identical in all three: per-doc sketches are narrow
+  * scan-stage work; candidate pairs come from an equi-join on (band,
+  * band-hash) buckets — NEVER an all-pairs cross join — and the expensive
+  * exact verification (Jaccard / hamming) runs only on bucket collisions.
+  * At 100 TB the bucket join is the only shuffle and its key cardinality
+  * (band × hash) keeps buckets tiny unless texts really collide.
+  *
+  * Hashing is md5-derived (see [[Text.h60]]) so Spark and the DuckDB oracle
+  * agree bit-for-bit, and results don't depend on JVM seeds or partitioning.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles of `text` (Spark). */
+  private def shingles3(c: Column): Column = {
+    val w = words(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(w) - 2, lit(1)) - 1),
+      i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+  }
+  private val shingles3Sql =
+    """list_distinct(list_transform(
+      |      range(0, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i+1, i+3), ' ')))""".stripMargin
+
+  // --------------------------------------------------------------------
+  // dedup_minhash — 8 minhashes over 3-word shingles, banded 4×2: candidate
+  // pairs share a band (both minhashes equal); verified by exact shingle
+  // Jaccard >= 0.5.
+  // --------------------------------------------------------------------
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands of 2 hashes
+
+  private def minhashes(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      i => array_min(transform(sh, s => h60(concat(i.cast("string"), lit(":"), s)))))
+
+  private val minhashesSql =
+    s"""list_transform(range(0, $NumHashes),
+       |      i -> list_min(list_transform(sh, s -> ${h60Sql("concat(CAST(i AS VARCHAR), ':', s)")})))""".stripMargin
+
+  private val dedupMinhash = Op("dedup_minhash",
+    s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
+       |mh AS (SELECT doc_id, sh, $minhashesSql AS mh FROM sh),
+       |bands AS (
+       |  SELECT doc_id, sh, b, mh[2*b+1] AS h1, mh[2*b+2] AS h2
+       |  FROM mh, (SELECT unnest(range(0, ${NumHashes / BandSize})) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sh AS sh_a, b.sh AS sh_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
+       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) AS jaccard
+       |FROM cand
+       |WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
+       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val sh = t(s, d, "documents").select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val mh = sh.select(col("doc_id"), col("sh"), minhashes(col("sh")).as("mh"))
+    val bands = mh.select(col("doc_id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+          b => struct(b.as("b"),
+            element_at(col("mh"), b * BandSize + 1).as("h1"),
+            element_at(col("mh"), b * BandSize + 2).as("h2")))).as("band"))
+      .select(col("doc_id"), col("sh"),
+        col("band.b").as("b"), col("band.h1").as("h1"), col("band.h2").as("h2"))
+    val a = bands.select(col("b"), col("h1"), col("h2"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = bands.select(col("b"), col("h1"), col("h2"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("b", "h1", "h2"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = (inter.cast(DecimalType(18, 9))
+      / (size(col("sh_a")) + size(col("sh_b")) - inter)).cast("double")
+    cand.withColumn("jaccard", jac)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------------
+  // dedup_simhash — 60-bit simhash over 3-word shingles; 4 bands of 15 bits
+  // bucket candidates; verified by hamming distance <= 6. Shingles, not
+  // tokens: the fixture vocabulary is tiny, so token SETS are near-identical
+  // across all docs and token-simhash would put the whole corpus in one
+  // bucket (an accidental all-pairs); shingle sets are near-disjoint for
+  // unrelated docs, so buckets stay small — the same reasoning applies to
+  // real web corpora, where function-word token sets also collapse.
+  // --------------------------------------------------------------------
+  private val SimBits = 60
+  private val SimBands = 4
+  private val BandBits = SimBits / SimBands // 15
+
+  /** Column-valued shift amounts (functions.shiftleft/right only take Int). */
+  private def shr(c: Column, n: Column): Column = call_function("shiftright", c, n)
+  private def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
+
+  /** 60-bit simhash of a feature-string array (Spark): per-bit vote counts
+    * from each feature's h60, then set bit b iff the vote is positive. */
+  private def simhash(features: Column): Column = {
+    val hs = transform(features, f => h60(f))
+    val votes = transform(sequence(lit(0), lit(SimBits - 1)),
+      b => aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shr(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(SimBits - 1)),
+        (v, b) => when(v > 0, shl(lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  private val simhashSql =
+    s"""list_sum(list_transform(range(0, $SimBits), b ->
+       |      CASE WHEN list_sum(list_transform(hs, h ->
+       |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))""".stripMargin
+
+  private val dedupSimhash = Op("dedup_simhash",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_transform($shingles3Sql, tk -> ${h60Sql("tk")}) AS hs
+       |  FROM documents),
+       |sh AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS sim FROM tok),
+       |bands AS (
+       |  SELECT doc_id, sim, b, (sim >> (b * $BandBits)) & ${(1 << BandBits) - 1} AS bh
+       |  FROM sh, (SELECT unnest(range(0, $SimBands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sim AS sim_a, b.sim AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val sh = t(s, d, "documents").select(col("doc_id"),
+      simhash(shingles3(col("text"))).as("sim"))
+    val bands = sh.select(col("doc_id"), col("sim"),
+        explode(transform(sequence(lit(0), lit(SimBands - 1)),
+          b => struct(b.as("b"),
+            shr(col("sim"), b * BandBits)
+              .bitwiseAND((1 << BandBits) - 1).as("bh")))).as("band"))
+      .select(col("doc_id"), col("sim"), col("band.b").as("b"), col("band.bh").as("bh"))
+    val a = bands.select(col("b"), col("bh"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = bands.select(col("b"), col("bh"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    val cand = a.join(b, Seq("b", "bh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+    cand.withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------------
+  // dedup_ngram — banded exact n-gram Jaccard: each doc's 5 smallest shingle
+  // hashes are its candidate keys (a deterministic "cheapest shingles"
+  // blocking scheme); docs sharing a key get exact Jaccard >= 0.3.
+  // --------------------------------------------------------------------
+  private val NgramKeys = 5
+  private val dedupNgram = Op("dedup_ngram",
+    s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
+       |keyed AS (
+       |  SELECT doc_id, sh,
+       |    unnest(list_slice(list_sort(list_transform(sh, s -> ${h60Sql("s")})),
+       |                      1, $NgramKeys)) AS k
+       |  FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sh AS sh_a, b.sh AS sh_b
+       |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
+       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) AS jaccard
+       |FROM cand
+       |WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
+       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val sh = t(s, d, "documents").select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val keyed = sh.select(col("doc_id"), col("sh"),
+      explode(slice(array_sort(transform(col("sh"), s => h60(s))), 1, NgramKeys)).as("k"))
+    val a = keyed.select(col("k"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("k"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = (inter.cast(DecimalType(18, 9))
+      / (size(col("sh_a")) + size(col("sh_b")) - inter)).cast("double")
+    cand.withColumn("jaccard", jac)
+      .filter(col("jaccard") >= 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  val ops: Seq[Op] = Seq(dedupMinhash, dedupSimhash, dedupNgram)
+}

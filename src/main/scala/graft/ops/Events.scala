@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming-shaped event-time operators on `events` (SURVEY §2.B
+  * "Streaming-shaped ops"), batch-testable against gap-island / time-bucket
+  * oracle SQL. `graft.streaming.Streams` exposes the `readStream` twins of
+  * the same shapes with watermarks (unit-tested, not oracle-checkable).
+  *
+  * Scale: tumbling/sliding windows are plain hash aggregates on (window,
+  * key) — partial combine applies, so the shuffle carries one row per
+  * (window × key × partition). Session windows shuffle once on user_id.
+  */
+object Events {
+
+  private def dsumV = sum(col("value").cast(DecimalType(18, 2)))
+    .cast("double").as("sum_value")
+  private val dsumVSql = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+
+  private val tumbling = Op("stream_tumbling",
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+       |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS we,
+       |  event_type, COUNT(*) AS n, $dsumVSql
+       |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsumV)
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  // Sliding windows: each event lands in 4 overlapping 1h windows on a 15min
+  // slide. Oracle expands the same 4 windows per event via time_bucket.
+  private val sliding = Op("stream_sliding",
+    s"""SELECT CAST(tb - k.k * INTERVAL 15 MINUTE AS TIMESTAMP) AS ws,
+       |  CAST(tb - k.k * INTERVAL 15 MINUTE + INTERVAL 1 HOUR AS TIMESTAMP) AS we,
+       |  COUNT(*) AS n, $dsumVSql
+       |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) AS tb, value FROM events) e
+       |CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+       |GROUP BY 1, 2 ORDER BY ws""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), dsumV)
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("n"), col("sum_value"))
+      .orderBy("ws")
+  }
+
+  // Session windows per user (30min gap). Spark semantics: events merge into
+  // a session iff gap-to-previous < 30min; session end = last ts + gap. The
+  // oracle is the classic gap-island rewrite with the SAME boundary rule
+  // (new session iff diff >= gap — SURVEY §7.4).
+  private val session = Op("stream_session",
+    s"""WITH e AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e)
+       |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       |  COUNT(*) AS n, $dsumVSql
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsumV)
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  // Dedup: deterministic "first event wins" per (user_id, event_type) —
+  // dropDuplicates keeps an ARBITRARY row, so the verifiable form is the
+  // window rewrite with a total ordering (streaming twin:
+  // dropDuplicatesWithinWatermark in graft.streaming.Streams).
+  private val dedup = Op("stream_dedup",
+    """SELECT event_id, user_id, event_type, ts, value FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, event_id) = 1
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, d, "events")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .orderBy("event_id")
+  }
+
+  val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup)
+}

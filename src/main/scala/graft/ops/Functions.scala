@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType, TimestampType}
+
+import graft.engine.{Etl, Transforms}
+import graft.engine.Transforms.{ConcatLit, DatePart, Lower, Upper}
+
+/** Scalar-function families (SURVEY §2.B "Scalar functions"), including the
+  * reference-implemented transforms R7–R12 routed through the `engine/` layer
+  * so the parity code (string coercion, 1-based month, non-date no-op —
+  * reference ETLProcess.java:528-567) is exercised by the oracle gate.
+  *
+  * Everything here is a Catalyst expression — whole-stage codegen, no UDFs,
+  * so at 100 TB these run inside the scan stage with zero extra shuffles.
+  */
+object Functions {
+
+  // project_rename — R7 parity via Etl.mapColumns (unmapped columns dropped,
+  // PKs must be mapped; reference ETLProcess.java:313-345).
+  private val projectRename = Op("project_rename",
+    """SELECT c_custkey AS id, c_name AS full_name, c_acctbal AS balance
+      |FROM customer ORDER BY id""".stripMargin) { (s, d) =>
+    Etl(t(s, d, "customer"))
+      .mapColumns(
+        Seq("c_custkey" -> "id", "c_name" -> "full_name", "c_acctbal" -> "balance"),
+        destPks = Seq("id"))
+      .result.orderBy("id")
+  }
+
+  // fn_string — R8/R9/R11 via Transforms (toString coercion: ConcatLit on a
+  // BIGINT column) + the delegated trim/substring/split/regexp surface.
+  private val fnString = Op("fn_string",
+    """SELECT c_custkey,
+      |  upper(c_name) AS name_up, lower(c_mktsegment) AS seg_lo,
+      |  CAST(c_custkey AS VARCHAR) || '_x' AS key_tag,
+      |  trim('  pad  ') AS trimmed,
+      |  substr(c_name, 1, 8) AS name_head,
+      |  array_to_string(string_split(c_name, '#'), '|') AS name_parts,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+      |  length(c_name) AS name_len,
+      |  replace(c_mktsegment, 'A', '@') AS seg_repl
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    c.select(
+        col("c_custkey"),
+        Transforms(Upper, col("c_name"), StringType).as("name_up"),
+        Transforms(Lower, col("c_mktsegment"), StringType).as("seg_lo"),
+        Transforms(ConcatLit("_x"), col("c_custkey"), LongType).as("key_tag"),
+        trim(lit("  pad  ")).as("trimmed"),
+        substring(col("c_name"), 1, 8).as("name_head"),
+        array_join(split(col("c_name"), "#"), "|").as("name_parts"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_num"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_mktsegment"), "A", "@").as("seg_repl"))
+      .orderBy("c_custkey")
+  }
+
+  // fn_date — R10 parity: DatePart with the reference's Spanish part names
+  // (case-insensitive per ETLProcess.java:555; month 1-based per :559;
+  // unknown part and non-date input are no-ops per :564-565/:548-550).
+  private val fnDate = Op("fn_date",
+    """SELECT o_orderkey,
+      |  EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m,
+      |  EXTRACT(DAY FROM o_orderdate) AS dom, EXTRACT(HOUR FROM o_orderdate) AS h,
+      |  o_orderstatus AS status_noop,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+    val dp = (part: String) => Transforms(DatePart(part), col("o_orderdate"), TimestampType)
+    o.select(
+        col("o_orderkey"),
+        dp("Año").cast("long").as("y"),
+        dp("mes").cast("long").as("m"),
+        dp("DÍA").cast("long").as("dom"),
+        dp("hora").cast("long").as("h"),
+        // non-date input → no-op passthrough (reference :548-550)
+        Transforms(DatePart("año"), col("o_orderstatus"), StringType).as("status_noop"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"))
+      .orderBy("o_orderkey")
+  }
+
+  // fn_math — round via DECIMAL so HALF_UP matches on both engines; sqrt is
+  // IEEE-correctly-rounded so doubles agree bit-for-bit.
+  private val fnMath = Op("fn_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_discount - 0.05) AS disc_dev,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 1) AS DOUBLE) AS price_r1,
+      |  CAST(floor(l_quantity) AS BIGINT) AS q_floor,
+      |  CAST(ceil(l_quantity) AS BIGINT) AS q_ceil,
+      |  CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS q_class,
+      |  l_orderkey % 7 AS key_mod,
+      |  sqrt(l_quantity) AS q_sqrt
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        round(col("l_extendedprice").cast(DecimalType(18, 4)), 1)
+          .cast("double").as("price_r1"),
+        floor(col("l_quantity")).as("q_floor"),
+        ceil(col("l_quantity")).as("q_ceil"),
+        when(col("l_quantity") > 25, "big").otherwise("small").as("q_class"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        sqrt(col("l_quantity")).as("q_sqrt"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // fn_array — element access + exact-decimal fold over ArrayType(FloatType).
+  // `aggregate` keeps the fold inside Catalyst (no UDF); decimal accumulator
+  // makes the sum order-independent and bit-identical to the oracle.
+  private val fnArray = Op("fn_array",
+    """SELECT vec_id,
+      |  len(embedding) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first_v,
+      |  CAST(list_aggregate(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(20,7))), 'sum') AS DOUBLE) AS sum_v,
+      |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_v,
+      |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_v
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = t(s, d, "embeddings")
+    e.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        // float results widen to double on BOTH sides (exact) so the compare
+        // sees identical float64 bits instead of engine-specific float32 repr
+        element_at(col("embedding"), 1).cast("double").as("first_v"),
+        aggregate(
+          transform(col("embedding"), x => x.cast(DecimalType(20, 7))),
+          lit(0).cast(DecimalType(30, 7)),
+          (acc, x) => (acc + x).cast(DecimalType(30, 7))).cast("double").as("sum_v"),
+        array_min(col("embedding")).cast("double").as("min_v"),
+        array_max(col("embedding")).cast("double").as("max_v"))
+      .orderBy("vec_id")
+  }
+
+  // fn_map_json — parse events.props with an explicit schema (from_json) and
+  // a path extract (get_json_object). Schema'd parse beats string probing at
+  // scale: one pass, codegen'd, null on malformed.
+  private val fnMapJson = Op("fn_map_json",
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k2
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events")
+    e.select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
+        get_json_object(col("props"), "$.k").cast("int").as("k2"))
+      .orderBy("event_id")
+  }
+
+  // fn_cast_null — casts + coalesce/nullif (R12 null-passthrough parity).
+  private val fnCastNull = Op("fn_cast_null",
+    """SELECT o_orderkey,
+      |  nullif(o_orderstatus, 'F') AS status_n,
+      |  coalesce(nullif(o_orderstatus, 'F'), 'X') AS status_x,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_2dp,
+      |  CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+    o.select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("F")).as("status_n"),
+        coalesce(nullif(col("o_orderstatus"), lit("F")), lit("X")).as("status_x"),
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("price_2dp"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("prio_num"))
+      .orderBy("o_orderkey")
+  }
+
+  val ops: Seq[Op] = Seq(
+    projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
+  )
+}

@@ -1,0 +1,273 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (BASELINE mandate; SURVEY §2.B "LLM-data-pipeline ops").
+  *
+  * Scale discipline: no all-pairs comparisons on unbucketed data — dedup
+  * bucket by content hash / LSH band, similarity search buckets before any
+  * pairwise cosine. Cosine arithmetic goes through exact DECIMAL folds
+  * (Catalyst `zip_with`+`aggregate`, no UDF) so results are bit-identical to
+  * the oracle and independent of evaluation order.
+  */
+object Llm {
+
+  /** Exact-decimal cosine similarity between two ArrayType(FloatType) cols.
+    * Elements are unit-scale floats: decimal(9,7) elements, decimal(19,14)
+    * products. The accumulator is (30,14), NOT (38,14): Spark's decimal add
+    * result needs precision max(p-s)+s+1, and at p=38 that exceeds the cap,
+    * so Spark would silently round every partial sum to scale 13 — a (30,14)
+    * accumulator keeps (30,14)+(19,14)→(31,14) exact. Stays inside
+    * whole-stage codegen. */
+  private def cosine(a: Column, b: Column): Column = {
+    def fold(products: Column) =
+      aggregate(products, lit(0).cast(DecimalType(30, 14)),
+        (acc, x) => (acc + x).cast(DecimalType(30, 14)))
+    val dec = (c: Column) => transform(c, x => x.cast(DecimalType(9, 7)))
+    val dot   = fold(zip_with(dec(a), dec(b), (x, y) => x * y)).cast("double")
+    val na    = fold(zip_with(dec(a), dec(a), (x, y) => x * y)).cast("double")
+    val nb    = fold(zip_with(dec(b), dec(b), (x, y) => x * y)).cast("double")
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Elements rounded to 7 decimals as doubles (the same quantization the
+    * decimal path applies), precomputed ONCE per vector. */
+  private def rounded7(c: Column): Column =
+    transform(c, x => round(x.cast("double"), 7))
+
+  /** Tight-loop dot product over two double arrays — the prefilter inner
+    * loop. A Scala UDF, deliberately: Catalyst HOFs (zip_with/aggregate) are
+    * interpreted per element with boxing, ~50× slower on an n²-pair join;
+    * the UDF is a primitive while-loop. The EXACT scoring stays in Catalyst
+    * decimal expressions; only the conservative prefilter goes through this.
+    * (The ideal form is a codegen'd custom Expression — ADR: not worth it
+    * while the prefilter is already ~free relative to the join itself.) */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var i = 0; var s = 0.0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Oracle-side cosine via per-element expansion (dim is fixed at 64).
+    * Floats route through DOUBLE before the DECIMAL cast — DuckDB's direct
+    * float→decimal cast truncates differently from Spark's (which widens to
+    * double first), and the detour makes both engines bit-identical. */
+  private def d97(e: String): String = s"CAST(CAST($e AS DOUBLE) AS DECIMAL(9,7))"
+  private def cosineSql(aExpr: String, bExpr: String): String =
+    s"""CAST((SELECT SUM(${d97(s"$aExpr[i]")} * ${d97(s"$bExpr[i]")})
+       |       FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)
+       | / (sqrt(CAST((SELECT SUM(${d97(s"$aExpr[i]")} * ${d97(s"$aExpr[i]")})
+       |       FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE))
+       |    * sqrt(CAST((SELECT SUM(${d97(s"$bExpr[i]")} * ${d97(s"$bExpr[i]")})
+       |       FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)))""".stripMargin
+
+  // --------------------------------------------------------------------
+  // text_stats — tokenize + per-language aggregates.
+  // --------------------------------------------------------------------
+  private val textStats = Op("text_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  MAX(len(string_split(text, ' '))) AS max_tokens,
+      |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val doc = t(s, d, "documents")
+    val nTokens = size(split(col("text"), " "))
+    doc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTokens.cast("long")).as("sum_tokens"),
+        max(nTokens).as("max_tokens"),
+        davg(col("n_chars")).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  // --------------------------------------------------------------------
+  // dedup_exact — content-hash dedup, first doc_id wins. Bucketing by the
+  // sha2 digest (not the text itself) keeps shuffle keys fixed-width at
+  // 100 TB; the oracle partitions by text, which is equivalent modulo hash
+  // collisions.
+  // --------------------------------------------------------------------
+  private val dedupExact = Op("dedup_exact",
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id").asc)
+    t(s, d, "documents")
+      .withColumn("__h", sha2(col("text"), 256))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // sim_search — exact top-k cosine vs a query vector (vec_id 0), brute
+  // force over a broadcast query. At 100 TB this is the per-bucket inner
+  // loop; sim_search_bucketed below is the pruned scale path.
+  // --------------------------------------------------------------------
+  private val simSearch = Op("sim_search",
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos_sim
+       |FROM embeddings, q
+       |WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val e = t(s, d, "embeddings")
+    val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------------
+  // dedup_embed — embedding-cosine near-duplicates (cos >= 0.4 — the fixture
+  // embeddings are near-orthogonal, so 0.4 yields a small non-trivial pair
+  // set at sf0.01), exact arithmetic so the threshold cut is identical on
+  // both engines.
+  //
+  // Two-phase plan: a cheap all-double cosine prefilter (per-vector rounded
+  // arrays and norms precomputed ONCE on the n-row side, a primitive dot
+  // product per pair) keeps only candidates near the threshold, then the
+  // exact-decimal cosine decides. The double cosine is within ~1e-9 of the
+  // decimal one (elements quantized at 1e-7, dim 64), so a 1e-3 margin
+  // can't lose a qualifying pair — results stay bit-exact while the Decimal
+  // work drops from O(n²) to O(|candidates|).
+  // At 100 TB the candidate set must come from LSH banding instead of the
+  // n² prefilter — that path is dedup_minhash / the banded ANN op.
+  // --------------------------------------------------------------------
+  private val dedupEmbed = Op("dedup_embed",
+    s"""WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings),
+       |b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings)
+       |SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS cos_sim
+       |FROM a JOIN b ON id_a < id_b
+       |WHERE ${cosineSql("ea", "eb")} >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val e = t(s, d, "embeddings").select(
+      col("vec_id"), col("embedding"), rounded7(col("embedding")).as("r7"))
+    val withNorm = e.withColumn("dn", sqrt(dotUdf(col("r7"), col("r7"))))
+    val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("r7").as("ra"), col("dn").as("na"))
+    val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("r7").as("rb"), col("dn").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(dotUdf(col("ra"), col("rb")) / (col("na") * col("nb")) >= 0.4 - 1e-3)
+      .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= 0.4)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------------
+  // multimodal_cols — bundle text + typed metadata + embedding into a struct
+  // column (the multimodal row model: opaque payload bytes + metadata), then
+  // project typed fields back out for the oracle check.
+  // --------------------------------------------------------------------
+  private val multimodalCols = Op("multimodal_cols",
+    """SELECT d.doc_id, d.lang, d.source,
+      |  octet_length(CAST(d.text AS BLOB)) AS n_bytes,
+      |  len(e.embedding) AS dim
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val doc = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+    doc.join(emb, doc("doc_id") === emb("vec_id"))
+      .select(struct(
+          doc("doc_id"),
+          struct(doc("lang"), doc("source")).as("meta"),
+          doc("text").cast("binary").as("payload"),
+          emb("embedding")).as("mm"))
+      .select(
+        col("mm.doc_id").as("doc_id"),
+        col("mm.meta.lang").as("lang"),
+        col("mm.meta.source").as("source"),
+        length(col("mm.payload")).as("n_bytes"),
+        size(col("mm.embedding")).as("dim"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // sim_search_bucketed — the 100 TB ANN path: a 3-bit sign sketch over
+  // fixed embedding components partitions vectors into 8 buckets; the query
+  // probes its own bucket plus all hamming-1 neighbors (multiprobe), then
+  // exact cosine top-k runs only inside the probed buckets. At scale this
+  // is m sign bits (2^m buckets, pruning ~ (m+1)/2^m of the data) or an
+  // IVF with learned centroids — the plan shape (bucket equi-join, then
+  // per-bucket exact scoring) is identical.
+  // --------------------------------------------------------------------
+  private val SketchDims = Seq(1, 22, 43) // fixed components for sign bits
+
+  private def sketch(e: Column): Column =
+    SketchDims.zipWithIndex.map { case (dim, bit) =>
+      when(element_at(e, dim) >= 0, 1 << bit).otherwise(0)
+    }.reduce(_ + _)
+  private def sketchSql(e: String): String =
+    SketchDims.zipWithIndex.map { case (dim, bit) =>
+      s"CASE WHEN $e[$dim] >= 0 THEN ${1 << bit} ELSE 0 END"
+    }.mkString(" + ")
+
+  private val simSearchBucketed = Op("sim_search_bucketed",
+    s"""WITH s AS (SELECT vec_id, label, embedding, ${sketchSql("embedding")} AS sk
+       |           FROM embeddings),
+       |q AS (SELECT embedding AS qv, sk AS qsk FROM s WHERE vec_id = 0)
+       |SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos_sim
+       |FROM s, q
+       |WHERE vec_id <> 0 AND bit_count(xor(CAST(sk AS BIGINT), CAST(qsk AS BIGINT))) <= 1
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"), sketch(col("embedding")).as("sk"))
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("sk").as("qsk")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .filter(bit_count(col("sk").cast("long").bitwiseXOR(col("qsk").cast("long"))) <= 1)
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------------
+  // multimodal_decode — the decode/feature-extract stage of a multimodal
+  // pipeline: payload is an opaque binary column; "decoding" is a
+  // deterministic stand-in (this container has no image/audio codecs) that
+  // derives a fixed-width feature vector from the payload bytes via md5 —
+  // the REAL parts are the Spark-side plumbing: binary column in, typed
+  // ArrayType(DOUBLE) feature column + scalar metadata out, all scan-stage
+  // narrow work. Swap `fakeFeature` for a codec UDF / mapInPandas batch at
+  // deployment; the plan shape doesn't change.
+  // --------------------------------------------------------------------
+  private val FeatureDim = 4
+  private val multimodalDecode = Op("multimodal_decode", {
+    // DuckDB's md5 takes VARCHAR only; payload bytes == utf8(text), so
+    // md5(text) is the same digest Spark computes over the binary payload.
+    val featSqls = (0 until FeatureDim).map { i =>
+      s"""CAST(CAST(concat('0x', substr(md5(text), ${6 * i + 1}, 6)) AS BIGINT)
+         |     AS DOUBLE) / 16777216.0""".stripMargin
+    }
+    s"""SELECT doc_id, n_bytes, f[1] AS f0, f[2] AS f1, f[3] AS f2, f[4] AS f3 FROM (
+       |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+       |    [${featSqls.mkString(", ")}] AS f
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val fakeFeature = (payload: Column, i: Int) =>
+      (conv(substring(md5(payload), 6 * i + 1, 6), 16, 10)
+        .cast("double") / 16777216.0)
+    val feats = array((0 until FeatureDim).map(i => fakeFeature(col("payload"), i)): _*)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), length(col("payload")).as("n_bytes"), feats.as("f"))
+      .select(col("doc_id"), col("n_bytes"),
+        element_at(col("f"), 1).as("f0"), element_at(col("f"), 2).as("f1"),
+        element_at(col("f"), 3).as("f2"), element_at(col("f"), 4).as("f3"))
+      .orderBy("doc_id")
+  }
+
+  val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
+    multimodalCols, simSearchBucketed, multimodalDecode)
+}

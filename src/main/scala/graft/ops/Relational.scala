@@ -1,31 +1,22 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-
-import graft.Tables
 
 /** Relational operator set from SURVEY.md §2.B — the query surface the
   * reference delegates to SQL Server via raw SQL
   * (reference: src/etl/ETLProcess.java:84-86,163-164), re-owned by Spark.
   *
-  * Determinism conventions (oracle parity, SURVEY §5.2/§7.4):
-  *  - every query ends in a total ORDER BY (unique key tiebreak);
-  *  - double aggregates go through exact DECIMAL arithmetic and are cast
-  *    back to double at the end, so Spark and DuckDB produce bit-identical
-  *    values regardless of partial-aggregation order. At 100 TB this also
-  *    keeps sums reproducible across different partition counts.
+  * Scale notes are inline per operator; the common discipline:
+  *  - filters/projections stay declarative so Catalyst pushes them into the
+  *    Parquet scan (PushedFilters / ReadSchema);
+  *  - joins let Catalyst pick broadcast vs shuffle (AQE re-plans at runtime);
+  *    small dims are explicitly `broadcast()`ed where we know they're bounded;
+  *  - aggregates are hash aggregates with map-side partial combine.
   */
 object Relational {
-
-  /** Exact-sum of a double column: decimal(18,2) in, double out.
-    * Both engines round the same IEEE double to 2 decimals and sum exactly,
-    * so the result is independent of aggregation order. */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
-  private def davg(c: Column): Column = dsum(c) / count(lit(1))
-
-  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
   // --------------------------------------------------------------------
   // agg_group — TPC-H Q1 shape. Hash aggregate with partial (map-side)
@@ -64,4 +55,258 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Scans. Parquet DataSource v2 does split planning; ReadSchema shows the
+  // pruned projection for scan_projected (nothing else is read from disk).
+  // --------------------------------------------------------------------
+  private val scanParquet = Op("scan_parquet",
+    "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber") { (s, d) =>
+    t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val scanProjected = Op("scan_projected",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // --------------------------------------------------------------------
+  // filter_pred — conjunctive predicates: IN, BETWEEN, LIKE, NOT, null test.
+  // All of these push into the Parquet scan (PushedFilters) — at 100 TB the
+  // row groups whose min/max stats exclude the range are never read.
+  // --------------------------------------------------------------------
+  private val filterPred = Op("filter_pred",
+    """SELECT * FROM orders
+      |WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 500 AND 50000
+      |  AND o_orderpriority LIKE '_-%' AND o_orderdate IS NOT NULL
+      |  AND NOT o_orderpriority = '5-LOW'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+    o.filter(o("o_orderstatus").isin("F", "O")
+        && o("o_totalprice").between(500, 50000)
+        && o("o_orderpriority").like("_-%")
+        && o("o_orderdate").isNotNull
+        && !(o("o_orderpriority") === "5-LOW"))
+      .orderBy("o_orderkey")
+  }
+
+  // --------------------------------------------------------------------
+  // Joins. orders⋈customer: Catalyst/AQE picks broadcast when the built side
+  // fits, else sort-merge on the shuffled key. No hints needed except
+  // join_broadcast where we KNOW the dims are bounded (nation=25, region=5).
+  // --------------------------------------------------------------------
+  private val joinInner = Op("join_inner",
+    """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders"); val c = t(s, d, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(o("o_orderkey"), c("c_custkey"), c("c_name"), o("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val joinLeft = Op("join_left",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 30000) o
+      |  ON o_custkey = c_custkey
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 30000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  private val joinFull = Op("join_full",
+    """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_orders, sum_price
+      |FROM (SELECT * FROM customer WHERE c_custkey <= 200) c
+      |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |           FROM orders WHERE o_totalprice > 20000 AND o_custkey <= 400
+      |           GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").filter(col("c_custkey") <= 200)
+    val o = t(s, d, "orders")
+      .filter(col("o_totalprice") > 20000 && col("o_custkey") <= 400)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full")
+      .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+        c("c_name"), o("n_orders"), o("sum_price"))
+      .orderBy("custkey")
+  }
+
+  private val joinSemi = Op("join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 40000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 40000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  // Customers with no high-value order: the filter keeps the anti-join
+  // non-trivial (some customers qualify, some don't) at every SF.
+  private val joinAnti = Op("join_anti",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  // Explicit broadcast: nation (25 rows) and region (5) are bounded dims —
+  // at 100 TB the fact side streams map-side with zero shuffle.
+  private val joinBroadcast = Op("join_broadcast",
+    """SELECT c_custkey, n_name, r_name
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val n = broadcast(t(s, d, "nation")); val r = broadcast(t(s, d, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(c("c_custkey"), n("n_name"), r("r_name"))
+      .orderBy("c_custkey")
+  }
+
+  // Theta (non-equi) join: events against literal value bands. Spark plans
+  // BroadcastNestedLoopJoin — fine because the band side is O(1) rows; a
+  // non-equi join against an unbounded side would need a range-bucketing
+  // rewrite instead (see joinAsof for the scalable pattern).
+  private val joinTheta = Op("join_theta",
+    """SELECT e.event_id, e.value, b.label
+      |FROM events e JOIN (VALUES (0.0, 50.0, 'xs'), (50.0, 150.0, 's'),
+      |                           (150.0, 300.0, 'm'), (300.0, 1000.0, 'l'))
+      |  AS b(lo, hi, label) ON e.value >= b.lo AND e.value < b.hi
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events")
+    val bands = s.createDataFrame(Seq(
+      (0.0, 50.0, "xs"), (50.0, 150.0, "s"),
+      (150.0, 300.0, "m"), (300.0, 1000.0, "l")))
+      .toDF("lo", "hi", "label")
+    e.join(bands, e("value") >= bands("lo") && e("value") < bands("hi"))
+      .select(e("event_id"), e("value"), bands("label"))
+      .orderBy("event_id")
+  }
+
+  // As-of join: for each event, the latest order of the same customer with
+  // o_orderdate <= ts. Implemented with the union-tag + running `last(…,
+  // ignoreNulls)` pattern: ONE shuffle on the key, linear in |events|+|orders|
+  // — the scalable alternative to the quadratic inequality-join. Orders are
+  // first deduped per (custkey, orderdate) by max orderkey so ties are
+  // deterministic (SURVEY §7.4). Oracle: DuckDB ASOF JOIN (>= includes
+  // equality, matching tag-ordering below: order rows sort before event rows
+  // at equal timestamps).
+  private val joinAsof = Op("join_asof",
+    """WITH od AS (
+      |  SELECT * FROM orders
+      |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                             ORDER BY o_orderkey DESC) = 1)
+      |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      |FROM events e ASOF LEFT JOIN od o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events")
+    val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").desc)
+    val od = t(s, d, "orders")
+      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1)
+    val tagged = od.select(col("o_custkey").as("k"), col("o_orderdate").as("tt"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+      .unionByName(e.select(col("user_id").as("k"), col("ts").as("tt"),
+        lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice")))
+    val w = Window.partitionBy("k").orderBy(col("tt").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("m_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("m_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("m_orderkey").as("o_orderkey"), col("m_totalprice").as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------------------
+  // Sorts / limits / top-k.
+  // --------------------------------------------------------------------
+  private val sortMulti = Op("sort_multi",
+    """SELECT * FROM orders
+      |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+  }
+
+  // Global top-k: Spark plans TakeOrderedAndProject — each partition keeps a
+  // k-row heap, the driver merges k×partitions rows. No full sort at 100 TB.
+  private val limitTopk = Op("limit_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin) { (s, d) =>
+    t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(100)
+  }
+
+  private val topkPerGroup = Op("topk_per_group",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // --------------------------------------------------------------------
+  // Set operations. Spark intersect/except are distinct-semantics, matching
+  // SQL INTERSECT/EXCEPT; union is positional UNION ALL (+.distinct for UNION).
+  // --------------------------------------------------------------------
+  // Modulo-based segments: overlapping (%3 == 1) but distinct sets at EVERY
+  // scale factor (absolute key ranges go empty at sf0.001).
+  private def segA(s: SparkSession, d: String) =
+    t(s, d, "customer").filter(col("c_custkey") % 3 <= 1)
+      .select("c_custkey", "c_name", "c_mktsegment")
+  private def segB(s: SparkSession, d: String) =
+    t(s, d, "customer").filter(col("c_custkey") % 3 >= 1)
+      .select("c_custkey", "c_name", "c_mktsegment")
+  private val setSqlA = "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 3 <= 1"
+  private val setSqlB = "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 3 >= 1"
+
+  private val setUnion = Op("set_union",
+    s"SELECT * FROM (($setSqlA) UNION ($setSqlB)) ORDER BY c_custkey") { (s, d) =>
+    segA(s, d).union(segB(s, d)).distinct().orderBy("c_custkey")
+  }
+  private val setIntersect = Op("set_intersect",
+    s"SELECT * FROM (($setSqlA) INTERSECT ($setSqlB)) ORDER BY c_custkey") { (s, d) =>
+    segA(s, d).intersect(segB(s, d)).orderBy("c_custkey")
+  }
+  private val setExcept = Op("set_except",
+    s"SELECT * FROM (($setSqlA) EXCEPT ($setSqlB)) ORDER BY c_custkey") { (s, d) =>
+    segA(s, d).except(segB(s, d)).orderBy("c_custkey")
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("agg_group", aggGroupSql)(aggGroup),
+    scanParquet, scanProjected, filterPred,
+    joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
+    joinTheta, joinAsof,
+    sortMulti, limitTopk, topkPerGroup,
+    setUnion, setIntersect, setExcept,
+  )
 }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Etl, Sinks, Transforms}
+
+/** The reference's load paths (R13/R14/R16 — upsert, insert-if-not-exists,
+  * append; reference ETLProcess.java:161-287,388-466) wired as verifiable
+  * queries: each builds the post-load destination table as a DataFrame and is
+  * checked by row-set equality against the equivalent DuckDB SQL.
+  *
+  * Scale: each sink is one distributed plan — the only shuffles are the
+  * anti-join / window on the merge key (both hash on the same key, so AQE
+  * reuses the exchange). No per-row round trips, no driver-side state.
+  */
+object SinkOps {
+
+  private val custCols = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+  private def existing(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").filter(col("c_custkey") <= 500)
+
+  // Incoming batch for insert-if-absent: keys 400–800; even keys arrive with
+  // a changed balance (→ whole-row mismatch → inserted), odd keys are exact
+  // duplicates of destination rows (→ skipped). Exercises the reference's
+  // all-mapped-columns match semantics (SURVEY §2.C #6).
+  private def incomingIfAbsent(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").filter(col("c_custkey").between(400, 800))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 2 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+  private val incomingIfAbsentSql =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey BETWEEN 400 AND 800""".stripMargin
+
+  private val sinkAppend = Op("sink_append",
+    s"""SELECT * FROM (
+       |  SELECT $custCols FROM customer WHERE c_custkey <= 500
+       |  UNION ALL
+       |  SELECT $custCols FROM customer WHERE c_custkey BETWEEN 400 AND 800
+       |) ORDER BY c_custkey, c_name""".stripMargin) { (s, d) =>
+    Sinks.append(existing(s, d),
+        t(s, d, "customer").filter(col("c_custkey").between(400, 800)))
+      .orderBy("c_custkey", "c_name")
+  }
+
+  private val sinkInsertIfAbsent = Op("sink_insert_if_absent",
+    s"""WITH inc AS ($incomingIfAbsentSql),
+       |ex AS (SELECT * FROM customer WHERE c_custkey <= 500)
+       |SELECT * FROM (
+       |  SELECT * FROM ex
+       |  UNION ALL
+       |  SELECT DISTINCT * FROM inc i
+       |  WHERE NOT EXISTS (SELECT 1 FROM ex e
+       |    WHERE e.c_custkey = i.c_custkey AND e.c_name = i.c_name
+       |      AND e.c_nationkey = i.c_nationkey AND e.c_acctbal = i.c_acctbal
+       |      AND e.c_mktsegment = i.c_mktsegment)
+       |) ORDER BY c_custkey, c_acctbal""".stripMargin) { (s, d) =>
+    Sinks.insertIfAbsent(existing(s, d), incomingIfAbsent(s, d))
+      .orderBy("c_custkey", "c_acctbal")
+  }
+
+  // Upsert: two overlapping incoming versions; version 2 must win on the
+  // overlap (last-writer-wins per key, reference ETLProcess.java:388-427).
+  private val sinkUpsert = Op("sink_upsert",
+    s"""WITH inc AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000 AS c_acctbal,
+       |         c_mktsegment, 1 AS version
+       |  FROM customer WHERE c_custkey BETWEEN 500 AND 1200
+       |  UNION ALL
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 2000, c_mktsegment, 2
+       |  FROM customer WHERE c_custkey BETWEEN 800 AND 1100),
+       |lastw AS (
+       |  SELECT $custCols FROM inc
+       |  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) = 1),
+       |ex AS (SELECT * FROM customer WHERE c_custkey <= 1000)
+       |SELECT * FROM (
+       |  SELECT * FROM ex e
+       |  WHERE NOT EXISTS (SELECT 1 FROM lastw l WHERE l.c_custkey = e.c_custkey)
+       |  UNION ALL SELECT * FROM lastw
+       |) ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val ex = c.filter(col("c_custkey") <= 1000)
+    val v1 = c.filter(col("c_custkey").between(500, 1200))
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+      .withColumn("version", lit(1))
+    val v2 = c.filter(col("c_custkey").between(800, 1100))
+      .withColumn("c_acctbal", col("c_acctbal") + 2000)
+      .withColumn("version", lit(2))
+    Sinks.upsert(ex, v1.unionByName(v2), keys = Seq("c_custkey"),
+        orderCol = "version")
+      .orderBy("c_custkey")
+  }
+
+  // Full E/S/M/T/L chain — extract → rename (R7) → scalar transform (R9,
+  // uppercase with toString coercion) → load insert-if-absent (R14): the
+  // reference's whole pipeline (ETLProcess.java:161-287) as one lazy plan.
+  private val etlPipeline = Op("etl_pipeline",
+    """WITH inc AS (
+      |  SELECT c_custkey AS id, upper(c_name) AS name, c_mktsegment AS segment
+      |  FROM customer WHERE c_custkey BETWEEN 900 AND 1100),
+      |ex AS (
+      |  SELECT c_custkey AS id, upper(c_name) AS name, c_mktsegment AS segment
+      |  FROM customer WHERE c_custkey <= 1000)
+      |SELECT * FROM (
+      |  SELECT * FROM ex
+      |  UNION ALL
+      |  SELECT DISTINCT * FROM inc i
+      |  WHERE NOT EXISTS (SELECT 1 FROM ex e
+      |    WHERE e.id = i.id AND e.name = i.name AND e.segment = i.segment)
+      |) ORDER BY id""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    def shape(df: DataFrame): DataFrame =
+      Etl(df)
+        .mapColumns(
+          Seq("c_custkey" -> "id", "c_name" -> "name", "c_mktsegment" -> "segment"),
+          destPks = Seq("id"))
+        .transform(Map("name" -> Transforms.Upper))
+        .result
+    val ex = shape(c.filter(col("c_custkey") <= 1000))
+    Etl(shape(c.filter(col("c_custkey").between(900, 1100))))
+      .loadInsertIfAbsent(ex)
+      .orderBy("id")
+  }
+
+  val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert, etlPipeline)
+}

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis operators for the LLM-training-data pipeline (BASELINE
+  * mandate): token counting, language-ID heuristic, quality scoring, and
+  * winnowing document fingerprints — all over `documents`.
+  *
+  * Shared hash primitive: md5 → first 15 hex digits → BIGINT (60 bits).
+  * md5 is identical everywhere, so Spark (`conv(substr(md5(x),1,15),16,10)`)
+  * and DuckDB (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`) compute the SAME
+  * integer hash — the whole pipeline is engine-portable and deterministic,
+  * which is also what makes distributed runs reproducible at 100 TB (no
+  * JVM-seeded hashing anywhere).
+  *
+  * Everything is Catalyst expressions (HOFs over split arrays) — no UDFs, no
+  * shuffles except the final aggregates/sorts.
+  */
+object Text {
+
+  /** 60-bit md5-derived hash of a string column (Spark side). */
+  private[ops] def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Same hash in DuckDB SQL. */
+  private[ops] def h60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private[ops] def words(c: Column): Column = split(c, " ")
+
+  // --------------------------------------------------------------------
+  // token_count — whitespace tokens + a BPE-ish regex token count
+  // (letter-runs / single digits / single punctuation, the GPT-2-style
+  // pre-tokenizer shape). Pure scan-stage map work at any scale.
+  // --------------------------------------------------------------------
+  private val bpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  private val tokenCount = Op("token_count",
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_ws,
+       |  len(regexp_extract_all(text, '$bpeRe')) AS n_bpe,
+       |  n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents").select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws"),
+        size(regexp_extract_all(col("text"), lit(bpeRe), lit(0))).as("n_bpe"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // lang_id — stopword-profile language heuristic. Scores each language by
+  // its function-word hits in the token stream; highest score wins with a
+  // fixed preference order on ties. (The fixture text is synthetic word
+  // soup, so the *prediction* is what it is — the contract is that the
+  // heuristic is deterministic and identical on both engines.)
+  // --------------------------------------------------------------------
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "una", "es"),
+    "zh" -> Seq("的", "是", "在", "了", "我"),
+  )
+
+  private val langId = Op("lang_id", {
+    val scoreSqls = langProfiles.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS s_$lang"
+    }
+    val caseSql = langProfiles.init.zipWithIndex.map { case ((lang, _), i) =>
+      val later = langProfiles.drop(i + 1).map { case (l2, _) => s"s_$lang >= s_$l2" }
+      s"WHEN ${later.mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, pred_lang FROM (
+       |  SELECT doc_id, lang,
+       |    CASE $caseSql ELSE '${langProfiles.last._1}' END AS pred_lang
+       |  FROM (SELECT doc_id, lang, ${scoreSqls.mkString(", ")} FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val scored = langProfiles.foldLeft(t(s, d, "documents")) { case (df, (lang, ws)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(words(col("text")), w => w.isin(ws: _*))))
+    }
+    // same fixed-preference CASE chain as the oracle: first lang (in profile
+    // order) whose score is >= every later lang's score
+    val pred = langProfiles.init.zipWithIndex.foldRight(
+        lit(langProfiles.last._1)) { case (((lang, _), i), els) =>
+      val cond = langProfiles.drop(i + 1)
+        .map { case (l2, _) => col(s"s_$lang") >= col(s"s_$l2") }
+        .reduce(_ && _)
+      when(cond, lang).otherwise(els)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // quality_score — classic pre-training quality signals: token count,
+  // mean word length, punctuation ratio, stopword ratio, plus a composite
+  // score in exact decimal arithmetic (bit-identical across engines).
+  // --------------------------------------------------------------------
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val qualityScore = Op("quality_score", {
+    val inList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_tok, mean_wlen, punct_ratio, stop_ratio,
+       |  CAST(CAST(0.4 AS DECIMAL(8,4)) * CAST(stop_ratio AS DECIMAL(8,4))
+       |     + CAST(0.3 AS DECIMAL(8,4)) * (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
+       |     + CAST(0.3 AS DECIMAL(8,4)) * (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS mean_wlen,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS stop_ratio
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val ws = words(col("text"))
+    val nTok = size(ws)
+    // ratios via IEEE double division of small exact ints — bit-identical
+    // across engines (decimal division scales differ between Spark/DuckDB)
+    val base = t(s, d, "documents").select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      (col("n_chars").cast("double") / nTok).as("mean_wlen"),
+      (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double") / nTok).as("punct_ratio"),
+      (size(filter(ws, w => w.isin(stopwords: _*)))
+        .cast("double") / nTok).as("stop_ratio"))
+    base.withColumn("quality",
+        (lit(0.4).cast(DecimalType(8, 4)) * col("stop_ratio").cast(DecimalType(8, 4))
+          + lit(0.3).cast(DecimalType(8, 4)) * when(col("n_tok").between(20, 1000), 1).otherwise(0)
+          + lit(0.3).cast(DecimalType(8, 4)) * when(col("punct_ratio") <= 0.2, 1).otherwise(0))
+          .cast("double"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // doc_fingerprint — winnowing (Schleimer/Wilkerson/Aiken): hash every
+  // 3-word shingle, slide a window of 4 hashes, keep each window's min,
+  // emit the distinct fingerprint set. Narrow per-doc array work in the
+  // scan stage; the explode only materializes the (small) fingerprint set.
+  // --------------------------------------------------------------------
+  private val docFingerprint = Op("doc_fingerprint", {
+    val shingle = "array_to_string(list_slice(w, i+1, i+3), ' ')"
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, greatest(len(w) - 2, 1)),
+       |                   i -> ${h60Sql(shingle)}) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |fp AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(0, greatest(len(hs) - 3, 1)),
+       |                  i -> list_min(list_slice(hs, i+1, i+4)))) AS fps
+       |  FROM hashed)
+       |SELECT doc_id, unnest(fps) AS fp FROM fp
+       |ORDER BY doc_id, fp""".stripMargin
+  }) { (s, d) =>
+    val w = words(col("text"))
+    val hashed = t(s, d, "documents").select(
+      col("doc_id"),
+      transform(
+        sequence(lit(0), greatest(size(w) - 2, lit(1)) - 1),
+        i => h60(concat_ws(" ", slice(w, i + 1, lit(3))))).as("hs"))
+    val fps = hashed.select(
+      col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hs")) - 3, lit(1)) - 1),
+        i => array_min(slice(col("hs"), i + 1, lit(4))))).as("fps"))
+    fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint)
+}

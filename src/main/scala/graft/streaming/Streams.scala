@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch event-time ops in
+  * `graft.ops.Events` (SURVEY §2.B "Streaming-shaped ops" design note).
+  *
+  * Each takes an unbounded streaming DataFrame with the `events` schema
+  * (event_id long, user_id long, event_type string, ts timestamp, value
+  * double, props string) and returns a streaming DataFrame; callers attach
+  * `writeStream` with their own sink/trigger. Event-time correctness comes
+  * from watermarks: state for windows/sessions/dedup older than the
+  * watermark is dropped, which is what bounds state size on an unbounded
+  * 100 TB/day stream — without it every variant below would accumulate
+  * state forever.
+  *
+  * The batch twins in `ops.Events` share the same window semantics
+  * (window/session_window/dropDuplicates), so the oracle-checked batch
+  * results pin the streaming semantics too; these are unit-tested with
+  * MemoryStream (not oracle-checkable — SURVEY §5.2 #4).
+  */
+object Streams {
+
+  /** Tumbling 1h windows per event_type (twin of stream_tumbling). */
+  def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1h windows every 15 minutes (twin of stream_sliding). */
+  def sliding(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based session windows per user, 30 min gap (twin of stream_session).
+    * Sessions close once the watermark passes their end — append-mode output.
+    */
+  def session(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"), col("sum_value"))
+
+  /** Drop duplicate events by event_id within the watermark horizon (twin of
+    * stream_dedup). `dropDuplicatesWithinWatermark` keeps state only for the
+    * watermark window — bounded state for an unbounded stream. */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

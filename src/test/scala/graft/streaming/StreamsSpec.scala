@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** MemoryStream unit tests for the streaming twins (SURVEY §5.2 #4):
+  * windows aggregate correctly, watermark advancement closes sessions,
+  * dedup-within-watermark drops replays.
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(event_id: Long, user_id: Long, event_type: String,
+      ts: Timestamp, value: Double, props: String)
+
+  private def ev(id: Long, user: Long, tpe: String, t: String, v: Double) =
+    Ev(id, user, tpe, Timestamp.valueOf(t), v, "{}")
+
+  /** Run a streaming query over the input batches, return the sink rows. */
+  private def runStream(
+      mode: OutputMode, name: String,
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      batches: Seq[Seq[Ev]]): Seq[Seq[Any]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = build(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq.map(_.toSeq)
+    } finally q.stop()
+  }
+
+  test("tumbling windows aggregate per hour and event_type") {
+    val out = runStream(OutputMode.Complete(), "t_tumble",
+      df => Streams.tumbling(df),
+      Seq(Seq(
+        ev(1, 1, "click", "2024-01-01 10:05:00", 1.0),
+        ev(2, 1, "click", "2024-01-01 10:55:00", 2.0),
+        ev(3, 2, "view", "2024-01-01 11:05:00", 5.0))))
+    val byKey = out.map(r => (r(0).toString, r(2)) -> (r(3), r(4))).toMap
+    byKey(("2024-01-01 10:00:00.0", "click")) shouldBe ((2L, 3.0))
+    byKey(("2024-01-01 11:00:00.0", "view")) shouldBe ((1L, 5.0))
+  }
+
+  test("sliding windows place one event into 4 overlapping windows") {
+    val out = runStream(OutputMode.Complete(), "t_slide",
+      df => Streams.sliding(df),
+      Seq(Seq(ev(1, 1, "click", "2024-01-01 10:05:00", 1.0))))
+    out.size shouldBe 4
+    out.map(_(2)) shouldBe Seq(1L, 1L, 1L, 1L)
+  }
+
+  test("sessions close when the watermark passes; gap merges events") {
+    val out = runStream(OutputMode.Append(), "t_sess",
+      df => Streams.session(df),
+      Seq(
+        // two events 10 min apart -> one session for user 1
+        Seq(ev(1, 1, "c", "2024-01-01 10:00:00", 1.0),
+          ev(2, 1, "c", "2024-01-01 10:10:00", 2.0)),
+        // late-hour event advances the watermark far past the session end,
+        // forcing the closed session to emit in append mode
+        Seq(ev(3, 2, "c", "2024-01-01 13:00:00", 9.0))))
+    out.size shouldBe 1
+    val r = out.head
+    r(0) shouldBe 1L                                  // user_id
+    r(1).toString shouldBe "2024-01-01 10:00:00.0"    // session start
+    r(2).toString shouldBe "2024-01-01 10:40:00.0"    // last ts + 30min gap
+    r(3) shouldBe 2L
+    r(4) shouldBe 3.0
+  }
+
+  test("dedup within watermark drops replayed event_ids") {
+    val out = runStream(OutputMode.Append(), "t_dedup",
+      df => Streams.dedup(df),
+      Seq(
+        Seq(ev(1, 1, "c", "2024-01-01 10:00:00", 1.0)),
+        Seq(ev(1, 1, "c", "2024-01-01 10:00:30", 1.0), // replay of id=1 -> dropped
+          ev(2, 1, "c", "2024-01-01 10:01:00", 2.0))))
+    out.map(_(0)).toSet shouldBe Set(1L, 2L)
+  }
+}

@@ -14,7 +14,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        return repr(v + 0.0)  # normalize -0.0 vs 0.0
     return v
 
 def main(sf_dir, out_dir):
