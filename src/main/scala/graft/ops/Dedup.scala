@@ -68,8 +68,9 @@ object Dedup {
        |WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
        |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val sh = t(s, d, "documents").select(col("doc_id"), shingles3(col("text")).as("sh"))
-    val mh = sh.select(col("doc_id"), col("sh"), minhashes(col("sh")).as("mh"))
+    val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
+    val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val mh = exchange(sh.select(col("doc_id"), col("sh"), minhashes(col("sh")).as("mh")))
     val bands = mh.select(col("doc_id"), col("sh"),
         explode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
           b => struct(b.as("b"),
@@ -110,15 +111,18 @@ object Dedup {
   private def shr(c: Column, n: Column): Column = call_function("shiftright", c, n)
   private def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
 
-  /** 60-bit simhash of a feature-string array (Spark): per-bit vote counts
-    * from each feature's h60, then set bit b iff the vote is positive. */
-  private def simhash(features: Column): Column = {
-    val hs = transform(features, f => h60(f))
-    val votes = transform(sequence(lit(0), lit(SimBits - 1)),
-      b => aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shr(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+  /** 60-bit simhash from a feature-hash array (Spark): per-bit vote counts,
+    * then set bit b iff the vote is positive. Written as a single-pass fold
+    * that references `hs` exactly ONCE — a formulation like
+    * `transform(bits, b -> aggregate(hs, ...))` would inline (and thus
+    * re-evaluate) the upstream hash expression once per bit after Catalyst's
+    * projection collapse. */
+  private def simhash(hs: Column): Column = {
+    val counters = aggregate(hs, array_repeat(lit(0L), SimBits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(SimBits - 1)),
+        (a, b) => a + when(shr(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(SimBits - 1)),
+      zip_with(counters, sequence(lit(0), lit(SimBits - 1)),
         (v, b) => when(v > 0, shl(lit(1L), b)).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
   }
@@ -145,8 +149,9 @@ object Dedup {
        |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val sh = t(s, d, "documents").select(col("doc_id"),
-      simhash(shingles3(col("text"))).as("sim"))
+    val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
+    val sh = exchange(docs.select(col("doc_id"),
+      simhash(transform(shingles3(col("text")), tk => h60(tk))).as("sim")))
     val bands = sh.select(col("doc_id"), col("sim"),
         explode(transform(sequence(lit(0), lit(SimBands - 1)),
           b => struct(b.as("b"),
@@ -187,7 +192,8 @@ object Dedup {
        |WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
        |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val sh = t(s, d, "documents").select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
+    val sh = exchange(docs.select(col("doc_id"), shingles3(col("text")).as("sh")))
     val keyed = sh.select(col("doc_id"), col("sh"),
       explode(slice(array_sort(transform(col("sh"), s => h60(s))), 1, NgramKeys)).as("k"))
     val a = keyed.select(col("k"), col("doc_id").as("id_a"), col("sh").as("sh_a"))

@@ -147,8 +147,10 @@ object Llm {
        |FROM a JOIN b ON id_a < id_b
        |WHERE ${cosineSql("ea", "eb")} >= 0.4
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val e = t(s, d, "embeddings").select(
-      col("vec_id"), col("embedding"), rounded7(col("embedding")).as("r7"))
+    // exchange: spreads the streamed side of the pair join across cores (a
+    // single-file scan is one task) and materializes r7/dn once per vector.
+    val e = exchange(t(s, d, "embeddings").select(
+      col("vec_id"), col("embedding"), rounded7(col("embedding")).as("r7")))
     val withNorm = e.withColumn("dn", sqrt(dotUdf(col("r7"), col("r7"))))
     val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
       col("r7").as("ra"), col("dn").as("na"))

@@ -79,7 +79,9 @@ object Text {
        |  FROM (SELECT doc_id, lang, ${scoreSqls.mkString(", ")} FROM documents))
        |ORDER BY doc_id""".stripMargin
   }) { (s, d) =>
-    val scored = langProfiles.foldLeft(t(s, d, "documents")) { case (df, (lang, ws)) =>
+    val scored = langProfiles.foldLeft(
+        exchange(t(s, d, "documents").select("doc_id", "lang", "text"))) {
+      case (df, (lang, ws)) =>
       df.withColumn(s"s_$lang",
         size(filter(words(col("text")), w => w.isin(ws: _*))))
     }
@@ -143,8 +145,15 @@ object Text {
   // --------------------------------------------------------------------
   // doc_fingerprint — winnowing (Schleimer/Wilkerson/Aiken): hash every
   // 3-word shingle, slide a window of 4 hashes, keep each window's min,
-  // emit the distinct fingerprint set. Narrow per-doc array work in the
-  // scan stage; the explode only materializes the (small) fingerprint set.
+  // emit the distinct fingerprint set.
+  //
+  // The sliding min is RELATIONAL — posexplode the hash array once, then
+  // `min(h) OVER (PARTITION BY doc ORDER BY pos ROWS 3 FOLLOWING)` — not an
+  // array-HOF per window: a `transform(seq, i -> min(slice(hs, i, 4)))`
+  // formulation gets the hs expression re-inlined per WINDOW by projection
+  // collapse (O(len²) hashing per doc, measured 40× slower), while the
+  // window form hashes once per shingle and scales as one doc-keyed
+  // shuffle.
   // --------------------------------------------------------------------
   private val docFingerprint = Op("doc_fingerprint", {
     val shingle = "array_to_string(list_slice(w, i+1, i+3), ' ')"
@@ -161,18 +170,23 @@ object Text {
        |SELECT doc_id, unnest(fps) AS fp FROM fp
        |ORDER BY doc_id, fp""".stripMargin
   }) { (s, d) =>
-    val w = words(col("text"))
-    val hashed = t(s, d, "documents").select(
+    val docs = exchange(t(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("w")))
+    val hashed = docs.select(
       col("doc_id"),
       transform(
-        sequence(lit(0), greatest(size(w) - 2, lit(1)) - 1),
-        i => h60(concat_ws(" ", slice(w, i + 1, lit(3))))).as("hs"))
-    val fps = hashed.select(
-      col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(col("hs")) - 3, lit(1)) - 1),
-        i => array_min(slice(col("hs"), i + 1, lit(4))))).as("fps"))
-    fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+        sequence(lit(0), greatest(size(col("w")) - 2, lit(1)) - 1),
+        i => h60(concat_ws(" ", slice(col("w"), i + 1, lit(3))))).as("hs"))
+    val exploded = hashed.select(
+      col("doc_id"), size(col("hs")).as("m"),
+      posexplode(col("hs")).as(Seq("pos", "h")))
+    val winMin = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 3)
+    exploded
+      .withColumn("fp", min(col("h")).over(winMin))
+      .filter(col("pos") < greatest(col("m") - 3, lit(1)))
+      .select("doc_id", "fp").distinct()
       .orderBy("doc_id", "fp")
   }
 

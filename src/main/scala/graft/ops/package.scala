@@ -15,4 +15,18 @@ package object ops {
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
   def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Round-robin exchange used in the sketch-heavy document ops, for two
+    * reasons that both matter at any scale:
+    *  1. Parallelism — a small single-file parquet scan is ONE task, so
+    *     CPU-heavy per-row sketching (minhash/simhash HOFs) would run on one
+    *     core of 32. At 100 TB a scan has thousands of splits and this is a
+    *     no-op cost-wise, but the operator shouldn't degrade at small scale.
+    *  2. Materialization barrier — Catalyst collapses adjacent projections,
+    *     re-inlining an expensive sketch expression into EVERY downstream
+    *     reference (e.g. once per LSH band). An exchange materializes the
+    *     computed columns so each sketch is evaluated exactly once per row.
+    */
+  def exchange(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
