@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+
+/** Source/sink construction — the engine's equivalents of the reference's
+  * JDBC-to-JDBC endpoints plus the parquet endpoints the harness exercises.
+  *
+  * The reference opens two SQL Server connections from config and streams a
+  * query result row-by-row (reference: src/etl/ETLProcess.java:13-26,66-75,
+  * 163-164), loading in 1000-row batches (:210,263-267). Here both ends are
+  * DataFrames: a JDBC read becomes a partitioned parallel scan (predicate
+  * pushdown included), and the 1000-row write batching maps onto the JDBC
+  * writer's `batchsize` — per-executor round trips instead of a single
+  * serial connection. Parquet endpoints are the test/bench stand-ins and
+  * the native lake format at scale.
+  */
+object Sources {
+
+  /** Connection config — mirrors config.properties:1-9 (url/user/password
+    * per side) without any vendor specifics. */
+  final case class JdbcConfig(url: String, user: String, password: String)
+
+  /** Match the reference's MAX_BATCH_SIZE (ETLProcess.java:210). */
+  val DefaultBatchSize = 1000
+
+  def parquet(spark: SparkSession, dir: String, table: String): DataFrame =
+    graft.Tables(spark, dir, table)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  private def jdbcReader(spark: SparkSession, cfg: JdbcConfig): DataFrameReader =
+    spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+
+  /** Whole-table JDBC scan (R1). `partitionColumn`+bounds turn the serial
+    * cursor of the reference into N parallel range scans — the difference
+    * between one connection streaming 100 TB and a cluster reading it. */
+  def jdbcTable(spark: SparkSession, cfg: JdbcConfig, table: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0, upperBound: Long = 0,
+      numPartitions: Int = 1): DataFrame = {
+    val base = jdbcReader(spark, cfg).option("dbtable", table)
+    partitionColumn.fold(base) { c =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", lowerBound)
+        .option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+    }.load()
+  }
+
+  /** Raw-SQL extraction (R2): the query is pushed to the source database
+    * verbatim, exactly like the reference's pass-through
+    * (ETLProcess.java:84-86,163-164). */
+  def jdbcQuery(spark: SparkSession, cfg: JdbcConfig, query: String): DataFrame =
+    jdbcReader(spark, cfg).option("query", query).load()
+
+  /** Append rows over JDBC in `batchsize` batches (R16 parity). Transaction
+    * semantics differ by design: the reference commits every 1000 rows and
+    * can leave partial loads (ETLProcess.java:263-278); Spark's task commit
+    * is all-or-nothing per task. */
+  def jdbcAppend(df: DataFrame, cfg: JdbcConfig, table: String,
+      batchSize: Int = DefaultBatchSize): Unit =
+    df.write.format("jdbc")
+      .option("url", cfg.url)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .mode(SaveMode.Append)
+      .save()
+}
