@@ -23,6 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup outside the measured region: touch every table's footer and
+    // run one tiny job so the alphabetically-first query doesn't absorb
+    // session/codegen/FS-metadata startup costs.
+    Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
     // optional: bench only the named queries (dev use: `runMain graft.Bench q1 q2`)
     val wanted = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
