@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom per-key state via `flatMapGroupsWithState` — the escape hatch for
+  * stream logic that windowed aggregates can't express. The example here is
+  * a per-user session with BOTH a gap rule and a value cap: a session also
+  * closes as soon as its running value sum crosses `maxValue` (a fraud/
+  * budget-style trigger no built-in session_window supports, since closing
+  * depends on aggregated state, not time alone).
+  *
+  * Scale: state lives in the state store keyed by user — one shuffle on the
+  * key, per-key state is O(1) (four scalars), and event-time timeouts purge
+  * idle keys, so state size tracks ACTIVE users, not history. That bounded-
+  * state property is what lets this run forever on an unbounded stream.
+  */
+object CustomState {
+
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+      ts: Timestamp, value: Double, props: String)
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n: Long, sum_value: Double, reason: String)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Sessionize with a 30 min gap and a running-sum cap. Emits a session
+    * when the cap trips (reason="cap"), when a later event arrives past the
+    * gap (reason="gap"), or when the state times out (reason="timeout"). */
+  def sessionsWithCap(events: Dataset[Event], maxValue: Double)(
+      implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(user, s, "timeout"))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs >= GapMs =>
+                  out += close(user, s, "gap")
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+              if (cur.exists(_.sum >= maxValue)) {
+                out += close(user, cur.get, "cap")
+                cur = None
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastTs + GapMs)
+              case None => if (state.exists) state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  private def close(user: Long, s: SessionState, reason: String): ClosedSession =
+    ClosedSession(user, new Timestamp(s.start), new Timestamp(s.lastTs + GapMs),
+      s.n, s.sum, reason)
+}

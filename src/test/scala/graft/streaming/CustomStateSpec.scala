@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.CustomState.{Event, sessionsWithCap}
+
+/** flatMapGroupsWithState sessionizer: cap-triggered close, gap close, and
+  * bounded state via event-time timeout.
+  */
+class CustomStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, t: String, v: Double) =
+    Event(id, user, "c", Timestamp.valueOf(t), v, "{}")
+
+  private def run(batches: Seq[Seq[Event]], cap: Double): Seq[(Long, Long, Double, String)] = {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionsWithCap(input.toDS(), cap)
+      .writeStream.format("memory").queryName("t_cap").outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table("t_cap").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getString(5)))
+    } finally q.stop()
+  }
+
+  test("session closes immediately when the value cap trips") {
+    val out = run(Seq(Seq(
+      ev(1, 1, "2024-01-01 10:00:00", 40.0),
+      ev(2, 1, "2024-01-01 10:05:00", 70.0))), cap = 100.0)
+    out shouldBe Seq((1L, 2L, 110.0, "cap"))
+  }
+
+  test("gap closes the previous session; new one accumulates separately") {
+    val out = run(Seq(Seq(
+      ev(1, 2, "2024-01-01 10:00:00", 10.0),
+      ev(2, 2, "2024-01-01 11:00:00", 20.0))), cap = 1e9)
+    // first session closed by the 1h gap; second still open (no output yet)
+    out shouldBe Seq((2L, 1L, 10.0, "gap"))
+  }
+
+  test("per-user state is independent") {
+    val out = run(Seq(Seq(
+      ev(1, 10, "2024-01-01 10:00:00", 60.0),
+      ev(2, 11, "2024-01-01 10:00:00", 10.0),
+      ev(3, 11, "2024-01-01 10:01:00", 60.0))), cap = 50.0)
+    out.toSet shouldBe Set((10L, 1L, 60.0, "cap"), (11L, 2L, 70.0, "cap"))
+  }
+}
