@@ -39,18 +39,13 @@ object Llm {
   private def rounded7(c: Column): Column =
     transform(c, x => round(x.cast("double"), 7))
 
-  /** Tight-loop dot product over two double arrays — the prefilter inner
-    * loop. A Scala UDF, deliberately: Catalyst HOFs (zip_with/aggregate) are
-    * interpreted per element with boxing, ~50× slower on an n²-pair join;
-    * the UDF is a primitive while-loop. The EXACT scoring stays in Catalyst
-    * decimal expressions; only the conservative prefilter goes through this.
-    * (The ideal form is a codegen'd custom Expression — ADR: not worth it
-    * while the prefilter is already ~free relative to the join itself.) */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var i = 0; var s = 0.0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
+  /** Dot product for the prefilter inner loop: the custom codegen'd
+    * Catalyst expression [[graft.expressions.VecDot]] (a primitive loop in
+    * whole-stage codegen — no UDF boxing, no interpreted HOFs). Registered
+    * imperatively so it works on any driver-built session. */
+  private def dot(s: SparkSession)(a: Column, b: Column): Column = {
+    graft.expressions.VecDot.register(s)
+    call_function(graft.expressions.VecDot.name, a, b)
   }
 
   /** Oracle-side cosine via per-element expansion (dim is fixed at 64).
@@ -151,13 +146,13 @@ object Llm {
     // single-file scan is one task) and materializes r7/dn once per vector.
     val e = exchange(t(s, d, "embeddings").select(
       col("vec_id"), col("embedding"), rounded7(col("embedding")).as("r7")))
-    val withNorm = e.withColumn("dn", sqrt(dotUdf(col("r7"), col("r7"))))
+    val withNorm = e.withColumn("dn", sqrt(dot(s)(col("r7"), col("r7"))))
     val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
       col("r7").as("ra"), col("dn").as("na"))
     val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
       col("r7").as("rb"), col("dn").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .filter(dotUdf(col("ra"), col("rb")) / (col("na") * col("nb")) >= 0.4 - 1e-3)
+      .filter(dot(s)(col("ra"), col("rb")) / (col("na") * col("nb")) >= 0.4 - 1e-3)
       .withColumn("cos_sim", cosine(col("ea"), col("eb")))
       .filter(col("cos_sim") >= 0.4)
       .select("id_a", "id_b", "cos_sim")
