@@ -111,13 +111,13 @@ object Dedup {
   private def shr(c: Column, n: Column): Column = call_function("shiftright", c, n)
   private def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
 
-  /** 60-bit simhash, computed RELATIONALLY: explode the per-doc feature
-    * hashes, aggregate 60 per-bit vote sums (`sum(CASE bit)` — all inside
-    * whole-stage codegen, unlike array-HOF folds which are interpreted),
-    * then assemble the bits. One doc-keyed shuffle with map-side partial
-    * aggregation — the shape that scales AND runs ~10× faster than the
-    * HOF fold at bench scale. */
-  private def simhashed(docsWithHs: DataFrame): DataFrame = {
+  /** 60-bit simhash, computed RELATIONALLY: explode the per-doc shingles,
+    * hash each on the flat column (md5 in whole-stage codegen — hashing
+    * inside an array HOF is interpreted and ~10× slower), aggregate 60
+    * per-bit vote sums (`sum(CASE bit)`), then assemble the bits. One
+    * doc-keyed shuffle with map-side partial aggregation — the shape that
+    * scales AND measures fastest at bench scale. */
+  private def simhashed(docsWithShingles: DataFrame): DataFrame = {
     val voteCols = (0 until SimBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"v$b")
@@ -125,7 +125,8 @@ object Dedup {
     val simExpr = (0 until SimBits).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
-    docsWithHs.select(col("doc_id"), explode(col("hs")).as("h"))
+    docsWithShingles
+      .select(col("doc_id"), explode(transform(col("sh"), tk => h60(tk))).as("h"))
       .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"), simExpr.as("sim"))
   }
@@ -153,8 +154,7 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
-    val sh = simhashed(docs.select(col("doc_id"),
-      transform(shingles3(col("text")), tk => h60(tk)).as("hs")))
+    val sh = simhashed(docs.select(col("doc_id"), shingles3(col("text")).as("sh")))
     val bands = sh.select(col("doc_id"), col("sim"),
         explode(transform(sequence(lit(0), lit(SimBands - 1)),
           b => struct(b.as("b"),

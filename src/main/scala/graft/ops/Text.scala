@@ -170,19 +170,24 @@ object Text {
        |SELECT doc_id, unnest(fps) AS fp FROM fp
        |ORDER BY doc_id, fp""".stripMargin
   }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
     val docs = exchange(t(s, d, "documents")
       .select(col("doc_id"), words(col("text")).as("w")))
-    val hashed = docs.select(
-      col("doc_id"),
-      transform(
-        sequence(lit(0), greatest(size(col("w")) - 2, lit(1)) - 1),
-        i => h60(concat_ws(" ", slice(col("w"), i + 1, lit(3))))).as("hs"))
-    val exploded = hashed.select(
-      col("doc_id"), size(col("hs")).as("m"),
-      posexplode(col("hs")).as(Seq("pos", "h")))
-    val winMin = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 3)
+    // fully relational: explode words, build each 3-word shingle with lead()
+    // (concat_ws skips the nulls past the tail, matching the oracle's
+    // clamped list_slice on degenerate short docs), hash on the flat column
+    // — md5 stays in whole-stage codegen instead of an interpreted HOF.
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val exploded = docs.select(
+        col("doc_id"), size(col("w")).as("nw"),
+        posexplode(col("w")).as(Seq("pos", "word")))
+      .withColumn("shingle",
+        concat_ws(" ", col("word"), lead("word", 1).over(wOrd),
+          lead("word", 2).over(wOrd)))
+      .filter(col("pos") < greatest(col("nw") - 2, lit(1)))
+      .select(col("doc_id"), col("pos"),
+        greatest(col("nw") - 2, lit(1)).as("m"), h60(col("shingle")).as("h"))
+    val winMin = wOrd.rowsBetween(Window.currentRow, 3)
     exploded
       .withColumn("fp", min(col("h")).over(winMin))
       .filter(col("pos") < greatest(col("m") - 3, lit(1)))
