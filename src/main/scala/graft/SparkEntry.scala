@@ -10,9 +10,14 @@ import graft.ops._
   */
 object SparkEntry {
 
-  private val allOps: Seq[Op] =
-    Relational.ops ++ Aggregates.ops ++ Functions.ops ++ SinkOps.ops ++
+  private val allOps: Seq[Op] = {
+    val ops = Relational.ops ++ Aggregates.ops ++ Functions.ops ++ SinkOps.ops ++
       Events.ops ++ Llm.ops ++ Text.ops ++ Dedup.ops
+    // a name collision would silently drop an operator at toMap below
+    val dups = ops.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate op names: ${dups.mkString(", ")}")
+    ops
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

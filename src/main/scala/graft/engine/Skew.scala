@@ -44,6 +44,14 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    // Only types where the exploded small side can't surface unmatched
+    // duplicates: a right/full outer join would emit each unmatched
+    // small-side row once PER SALT.
+    val saltSafe = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(saltSafe(joinType.toLowerCase),
+      s"saltedJoin does not support joinType=$joinType: the salt-exploded " +
+        "small side would duplicate unmatched rows under right/full outer")
     val bigSalted = big.withColumn("__salt",
       pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
     val smallExploded = small.withColumn("__salt",

@@ -29,11 +29,25 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
-  private def jdbcReader(spark: SparkSession, cfg: JdbcConfig): DataFrameReader =
-    spark.read.format("jdbc")
-      .option("url", cfg.url)
-      .option("user", cfg.user)
-      .option("password", cfg.password)
+  private def baseOptions(cfg: JdbcConfig): Map[String, String] =
+    Map("url" -> cfg.url, "user" -> cfg.user, "password" -> cfg.password)
+
+  /** Option map for a (possibly range-partitioned) table read — pure, so
+    * the wiring is unit-testable without a database. */
+  private[engine] def jdbcReadOptions(cfg: JdbcConfig, table: String,
+      partitionColumn: Option[String], lowerBound: Long, upperBound: Long,
+      numPartitions: Int): Map[String, String] =
+    baseOptions(cfg) ++ Map("dbtable" -> table) ++
+      partitionColumn.map { c =>
+        Map("partitionColumn" -> c,
+          "lowerBound" -> lowerBound.toString,
+          "upperBound" -> upperBound.toString,
+          "numPartitions" -> numPartitions.toString)
+      }.getOrElse(Map.empty)
+
+  private[engine] def jdbcWriteOptions(cfg: JdbcConfig, table: String,
+      batchSize: Int): Map[String, String] =
+    baseOptions(cfg) ++ Map("dbtable" -> table, "batchsize" -> batchSize.toString)
 
   /** Whole-table JDBC scan (R1). `partitionColumn`+bounds turn the serial
     * cursor of the reference into N parallel range scans — the difference
@@ -41,21 +55,19 @@ object Sources {
   def jdbcTable(spark: SparkSession, cfg: JdbcConfig, table: String,
       partitionColumn: Option[String] = None,
       lowerBound: Long = 0, upperBound: Long = 0,
-      numPartitions: Int = 1): DataFrame = {
-    val base = jdbcReader(spark, cfg).option("dbtable", table)
-    partitionColumn.fold(base) { c =>
-      base.option("partitionColumn", c)
-        .option("lowerBound", lowerBound)
-        .option("upperBound", upperBound)
-        .option("numPartitions", numPartitions)
-    }.load()
-  }
+      numPartitions: Int = 1): DataFrame =
+    spark.read.format("jdbc")
+      .options(jdbcReadOptions(cfg, table, partitionColumn,
+        lowerBound, upperBound, numPartitions))
+      .load()
 
   /** Raw-SQL extraction (R2): the query is pushed to the source database
     * verbatim, exactly like the reference's pass-through
     * (ETLProcess.java:84-86,163-164). */
   def jdbcQuery(spark: SparkSession, cfg: JdbcConfig, query: String): DataFrame =
-    jdbcReader(spark, cfg).option("query", query).load()
+    spark.read.format("jdbc")
+      .options(baseOptions(cfg) + ("query" -> query))
+      .load()
 
   /** Append rows over JDBC in `batchsize` batches (R16 parity). Transaction
     * semantics differ by design: the reference commits every 1000 rows and
@@ -64,11 +76,7 @@ object Sources {
   def jdbcAppend(df: DataFrame, cfg: JdbcConfig, table: String,
       batchSize: Int = DefaultBatchSize): Unit =
     df.write.format("jdbc")
-      .option("url", cfg.url)
-      .option("user", cfg.user)
-      .option("password", cfg.password)
-      .option("dbtable", table)
-      .option("batchsize", batchSize)
+      .options(jdbcWriteOptions(cfg, table, batchSize))
       .mode(SaveMode.Append)
       .save()
 }

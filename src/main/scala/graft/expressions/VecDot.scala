@@ -36,13 +36,19 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  // A null ELEMENT in either array nulls the whole result, matching the
+  // zip_with/aggregate formulation (null product → null fold) — not 0.0.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
     var s = 0.0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -55,6 +61,7 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;
@@ -71,7 +78,7 @@ object VecDot {
 
   private val info = new ExpressionInfo(classOf[VecDot].getName, name)
 
-  private val builder: Seq[Expression] => Expression = {
+  private[expressions] val builder: Seq[Expression] => Expression = {
     case Seq(a, b) => VecDot(a, b)
     case other => throw new IllegalArgumentException(
       s"$name expects 2 arguments, got ${other.size}")
@@ -94,5 +101,5 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(
       (FunctionIdentifier(VecDot.name),
         new ExpressionInfo(classOf[VecDot].getName, VecDot.name),
-        { exprs: Seq[Expression] => VecDot(exprs(0), exprs(1)) }))
+        VecDot.builder)) // same arity-checked builder as the imperative path
 }

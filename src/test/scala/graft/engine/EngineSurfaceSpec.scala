@@ -52,14 +52,21 @@ class EngineSurfaceSpec extends SparkSpec {
     out shouldBe Seq(("a", 3L), ("b", 9L))
   }
 
-  test("jdbc option plumbing builds without a connection") {
-    // no SQL Server in the harness (SURVEY §2.B design note) — validate the
-    // reader/writer construction shape only
+  test("jdbc option maps wire url/credentials/partitioning/batching (R1/R16)") {
+    // no SQL Server in the harness (SURVEY §2.B design note) — the option
+    // construction is pure and tested; only .load()/.save() would connect
     val cfg = Sources.JdbcConfig("jdbc:postgresql://localhost/none", "u", "p")
-    noException should be thrownBy {
-      // building the plan does not connect; only .load() would
-      val _ = cfg
-      Sources.DefaultBatchSize shouldBe 1000
-    }
+    val plain = Sources.jdbcReadOptions(cfg, "t", None, 0, 0, 1)
+    plain("url") shouldBe cfg.url
+    plain("dbtable") shouldBe "t"
+    plain should not contain key("partitionColumn")
+    val ranged = Sources.jdbcReadOptions(cfg, "t", Some("id"), 10, 500, 8)
+    ranged("partitionColumn") shouldBe "id"
+    ranged("lowerBound") shouldBe "10"
+    ranged("upperBound") shouldBe "500"
+    ranged("numPartitions") shouldBe "8"
+    val write = Sources.jdbcWriteOptions(cfg, "t", Sources.DefaultBatchSize)
+    write("batchsize") shouldBe "1000" // reference MAX_BATCH_SIZE parity
+    write("user") shouldBe "u"
   }
 }

@@ -34,6 +34,14 @@ class SkewSpec extends SparkSpec {
     salted.count() shouldBe plain.count()
   }
 
+  test("saltedJoin rejects right/full outer (would duplicate unmatched rows)") {
+    val dim = Seq(("hot", "H")).toDF("k", "label")
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(skewed, dim, Seq("k"), salts = 4, "full")
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(skewed, dim, Seq("k"), salts = 4, "right")
+  }
+
   test("saltedJoin left-outer keeps unmatched big-side rows exactly once") {
     val dim = Seq(("hot", "H")).toDF("k", "label")
     val salted = Skew.saltedJoin(skewed, dim, Seq("k"), salts = 4, "left")

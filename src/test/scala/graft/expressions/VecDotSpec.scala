@@ -30,6 +30,12 @@ class VecDotSpec extends SparkSpec {
     assert(df.select(callDot("a", "b")).collect()(0).get(0) == null)
   }
 
+  test("null ELEMENT propagates null (matches the HOF formulation)") {
+    val df = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0)))
+      .toDF("a", "b")
+    assert(df.select(callDot("a", "b")).collect()(0).get(0) == null)
+  }
+
   test("matches the interpreted HOF formulation on random vectors") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextDouble()), Seq.fill(64)(rnd.nextDouble())))
