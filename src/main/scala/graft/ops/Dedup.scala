@@ -50,7 +50,9 @@ object Dedup {
     s"""list_transform(range(0, $NumHashes),
        |      i -> list_min(list_transform(sh, s -> ${h60Sql("concat(CAST(i AS VARCHAR), ':', s)")})))""".stripMargin
 
-  private val dedupMinhash = Op("dedup_minhash",
+  /** Verified minhash near-dup pairs (id_a < id_b, jaccard ≥ 0.5), no
+    * ordering — shared by dedup_minhash and the clustering op. */
+  private[ops] val minhashPairsSql: String =
     s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
        |mh AS (SELECT doc_id, sh, $minhashesSql AS mh FROM sh),
        |bands AS (
@@ -66,8 +68,9 @@ object Dedup {
        |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) AS jaccard
        |FROM cand
        |WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
-       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.5""".stripMargin
+
+  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
     val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
     val mh = exchange(sh.select(col("doc_id"), col("sh"), minhashes(col("sh")).as("mh")))
@@ -91,7 +94,62 @@ object Dedup {
     cand.withColumn("jaccard", jac)
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupMinhash = Op("dedup_minhash",
+    s"""$minhashPairsSql
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    minhashPairs(s, d).orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------------
+  // dedup_cluster — connected components over the verified near-dup pair
+  // graph: every doc in a dup cluster mapped to the cluster's minimum
+  // doc_id (the canonical survivor). Label propagation to fixpoint: each
+  // round is one join + min-aggregate (all shuffles on the vertex key);
+  // iterations = graph diameter, and near-dup clusters are shallow (pairs
+  // share a common source doc), so a handful of rounds closes 100 TB-scale
+  // graphs too — the driver loop holds only a convergence flag, never data.
+  // Oracle: DuckDB recursive CTE transitive closure (cluster sizes are
+  // small, so closure blowup is bounded).
+  // --------------------------------------------------------------------
+  private val dedupCluster = Op("dedup_cluster",
+    s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+       |sym AS (SELECT id_a AS v, id_b AS n FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(v, n) AS (
+       |  SELECT v, n FROM sym
+       |  UNION
+       |  SELECT r.v, s.n FROM reach r JOIN sym s ON r.n = s.v),
+       |comp AS (
+       |  SELECT v AS doc_id, least(v, MIN(n)) AS canonical_id
+       |  FROM reach GROUP BY v)
+       |SELECT doc_id, canonical_id FROM comp
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = minhashPairs(s, d).select("id_a", "id_b").cache()
+    val sym = pairs.select(col("id_a").as("v"), col("id_b").as("n"))
+      .union(pairs.select(col("id_b").as("v"), col("id_a").as("n")))
+      .distinct().cache()
+    var labels = sym.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      // candidate label per vertex: min over neighbours' current labels
+      val nbrMin = sym.join(labels.withColumnRenamed("v", "n"), "n")
+        .groupBy("v").agg(min(col("lbl")).as("cand"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    pairs.unpersist()
+    labels.select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
+      .orderBy("doc_id")
   }
 
   // --------------------------------------------------------------------
@@ -212,5 +270,5 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  val ops: Seq[Op] = Seq(dedupMinhash, dedupSimhash, dedupNgram)
+  val ops: Seq[Op] = Seq(dedupMinhash, dedupSimhash, dedupNgram, dedupCluster)
 }

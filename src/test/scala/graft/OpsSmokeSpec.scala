@@ -15,7 +15,7 @@ class OpsSmokeSpec extends SparkSpec {
 
   private val mayBeEmpty = Set(
     "dedup_minhash", "dedup_simhash", "dedup_ngram", "dedup_embed",
-    "join_anti")
+    "dedup_cluster", "join_anti")
 
   test("entry returns rows on sf0.001") {
     SparkEntry.entry(spark).count() should be > 0L
