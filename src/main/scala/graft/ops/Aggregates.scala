@@ -173,8 +173,56 @@ object Aggregates {
       .orderBy("o_custkey", "o_totalprice", "o_orderkey")
   }
 
+  // Pivot: one hash aggregate keyed by the row dimension, pivot values as
+  // conditional aggregates — the oracle spells the same CASE form. Pivot
+  // columns must be a KNOWN small set at plan time (here: order status
+  // F/O/P); an unbounded pivot would need a two-pass distinct first.
+  private val aggPivot = Op("agg_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"))
+      .select(col("o_orderpriority"), col("F").as("sum_F"),
+        col("O").as("sum_O"), col("P").as("sum_P"))
+      .orderBy("o_orderpriority")
+  }
+
+  // Exact interpolated percentiles: Spark `percentile` and DuckDB
+  // `quantile_cont` share the same linear-interpolation definition; inputs
+  // go through DECIMAL(18,2) so both engines interpolate identical doubles.
+  private val aggPercentile = Op("agg_percentile",
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS p50,
+      |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val price = col("l_extendedprice").cast(DecimalType(18, 2)).cast("double")
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(percentile(price, lit(0.5)).as("p50"),
+        percentile(price, lit(0.95)).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
+  private val winNtile = Op("win_ntile",
+    """SELECT o_orderkey, o_custkey,
+      |  ntile(4) OVER (PARTITION BY o_orderstatus
+      |                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("quartile", ntile(4).over(w))
+      .select("o_orderkey", "o_custkey", "quartile")
+      .orderBy("o_orderkey")
+  }
+
   val ops: Seq[Op] = Seq(
     aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
-    winRank, winAnalytic, winFrameRows, winFrameRange,
+    aggPivot, aggPercentile,
+    winRank, winAnalytic, winFrameRows, winFrameRange, winNtile,
   )
 }

@@ -172,7 +172,24 @@ object Functions {
       .orderBy("o_orderkey")
   }
 
+  // fn_explode — the generator/UDTF surface (lateral view): split each
+  // document into one row per token with its position. Generate is a
+  // narrow op (no shuffle); only the final presentation sort shuffles.
+  private val fnExplode = Op("fn_explode",
+    """SELECT doc_id, pos, tok FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      |  FROM documents)
+      |WHERE doc_id <= 50 ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    t(s, d, "documents").filter(col("doc_id") <= 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select("doc_id", "pos", "tok")
+      .orderBy("doc_id", "pos")
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
+    fnExplode,
   )
 }
