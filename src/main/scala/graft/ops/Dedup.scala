@@ -141,13 +141,17 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
         .cache()
+      // the count materializes `next`, so the previous round's cache (and,
+      // after convergence, pairs/sym) can be dropped without recompute
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
         .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels.unpersist()
       labels = next
       converged = changed == 0
       rounds += 1
     }
     pairs.unpersist()
+    sym.unpersist()
     labels.select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
       .orderBy("doc_id")
   }
