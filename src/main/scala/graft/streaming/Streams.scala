@@ -54,4 +54,20 @@ object Streams {
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream→table upsert: apply the engine's keyed last-writer-wins merge
+    * ([[graft.engine.Sinks.upsert]], reference R13 semantics) to every
+    * micro-batch via foreachBatch. `readTable`/`writeTable` abstract the
+    * destination (parquet dir, Delta-style table, JDBC stage+merge) so the
+    * merge SEMANTICS live here and the storage commit lives with the
+    * caller. Each micro-batch is one distributed merge plan — the streaming
+    * generalization of the reference's batched upsert loop, minus its
+    * partial-commit failure mode (task commit is atomic per batch).
+    */
+  def upsertSink(incoming: DataFrame, keys: Seq[String], orderCol: String)(
+      readTable: () => DataFrame)(writeTable: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeTable(graft.engine.Sinks.upsert(readTable(), batch, keys, orderCol))
+    }
 }

@@ -74,6 +74,31 @@ class StreamsSpec extends SparkSpec {
     r(4) shouldBe 3.0
   }
 
+  test("upsertSink merges each micro-batch with last-writer-wins per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    // in-memory "table" stand-in for the destination storage
+    var table = Seq((1L, "keep", 0.0)).toDF("user_id", "event_type", "value")
+    val q = Streams.upsertSink(
+        input.toDF().select($"user_id", $"event_type", $"value"),
+        keys = Seq("user_id"), orderCol = "value")(
+        () => table)(merged => table = merged.collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+          .toDF("user_id", "event_type", "value"))
+      .start()
+    try {
+      input.addData(Seq(ev(1, 2, "a", "2024-01-01 10:00:00", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        ev(2, 2, "b", "2024-01-01 10:01:00", 2.0),   // overwrites user 2
+        ev(3, 3, "c", "2024-01-01 10:02:00", 3.0)))  // new key
+      q.processAllAvailable()
+      table.collect().map(_.toSeq).toSet shouldBe Set(
+        Seq(1L, "keep", 0.0), Seq(2L, "b", 2.0), Seq(3L, "c", 3.0))
+    } finally q.stop()
+  }
+
   test("dedup within watermark drops replayed event_ids") {
     val out = runStream(OutputMode.Append(), "t_dedup",
       df => Streams.dedup(df),
