@@ -52,4 +52,64 @@ object Decode {
       decodeBatch(rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
     }(enc)
   }
+
+  // ------------------------------------------------------------------
+  // resize / frame-sample — the other two standard media stages. Real
+  // codecs operate on decoded pixels/samples; these deterministic
+  // byte-level stand-ins keep the exact Spark shape (binary in, binary
+  // out, narrow per-row map, fixed output size) so swapping in a codec
+  // changes only the kernel.
+  // ------------------------------------------------------------------
+
+  /** "Resize" a payload to exactly `targetBytes` by averaging fixed-stride
+    * byte buckets (the byte-level analog of area-average image resize).
+    * Output length is constant per row — the property downstream
+    * fixed-width feature stages rely on. */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+      targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(out)
+    df.select(idCol, payloadCol).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val resized = Array.tabulate(targetBytes) { i =>
+          if (bytes.isEmpty) 0.toByte
+          else {
+            val from = (i.toLong * bytes.length / targetBytes).toInt
+            val until = math.max((((i + 1).toLong * bytes.length) / targetBytes).toInt, from + 1)
+            var s = 0; var j = from
+            while (j < until && j < bytes.length) { s += bytes(j) & 0xff; j += 1 }
+            (s / math.max(math.min(until, bytes.length) - from, 1)).toByte
+          }
+        }
+        Row(r.getLong(0), resized)
+      }
+    }(enc)
+  }
+
+  /** Sample every `stride`-th fixed-size frame from a payload — the
+    * video-frame-sampling shape: one input row explodes into its sampled
+    * frames with indices, each a fixed-size binary. */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(out)
+    df.select(idCol, payloadCol).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).map { f =>
+          Row(id, f, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }(enc)
+  }
 }

@@ -33,6 +33,24 @@ class DecodeSpec extends SparkSpec {
     again shouldBe once
   }
 
+  test("resize emits constant-size payloads regardless of input length") {
+    val out = Decode.resize(payloads, "doc_id", "payload", targetBytes = 16)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq.sortBy(_._1)
+    out.map(_._2.length) shouldBe Seq(16, 16, 16)
+    // deterministic: same input -> same bytes
+    val again = Decode.resize(payloads.repartition(2), "doc_id", "payload", 16)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    out.foreach { case (id, b) => again(id) shouldBe b.toSeq }
+  }
+
+  test("frameSample explodes payloads into strided fixed-size frames") {
+    val out = Decode.frameSample(payloads, "doc_id", "payload",
+        frameBytes = 256, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).length)).toSeq
+    // only doc 3 (1024 bytes) has frames: 4 frames, stride 2 -> frames 0 and 2
+    out shouldBe Seq((3L, 0, 256), (3L, 2, 256))
+  }
+
   test("decode runs on the real documents fixture payloads") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
