@@ -134,22 +134,36 @@ object Dedup {
       .select(col("v"), col("v").as("lbl"))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val MaxRounds = 25 // with pointer-jumping: covers diameter ~2^25
+    while (!converged && rounds < MaxRounds) {
       // candidate label per vertex: min over neighbours' current labels
       val nbrMin = sym.join(labels.withColumnRenamed("v", "n"), "n")
         .groupBy("v").agg(min(col("lbl")).as("cand"))
-      val next = labels.join(nbrMin, Seq("v"), "left")
+      val prop = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
         .cache()
-      // the count materializes `next`, so the previous round's cache (and,
-      // after convergence, pairs/sym) can be dropped without recompute
+      // pointer-jump: also adopt the label OF the current label — halves
+      // the remaining diameter each round, so convergence is O(log d)
+      // rather than O(d) and the round cap is principled, not hopeful
+      val next = prop
+        .join(prop.select(col("v").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .cache()
+      // ONE full job both materializes every partition of `next` into the
+      // cache (the join consumes it completely — no limit-style early
+      // stop) and counts changed labels; dropping the previous round's
+      // cache is then recompute-free
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
+        .agg(count(when(col("lbl") =!= col("old"), 1)))
+        .collect()(0).getLong(0)
+      prop.unpersist()
       labels.unpersist()
       labels = next
       converged = changed == 0
       rounds += 1
     }
+    // an unconverged result would silently split clusters — fail loudly
+    require(converged, s"dedup_cluster: not converged after $MaxRounds rounds")
     pairs.unpersist()
     sym.unpersist()
     labels.select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
