@@ -144,10 +144,13 @@ object Dedup {
         .cache()
       // pointer-jump: also adopt the label OF the current label — halves
       // the remaining diameter each round, so convergence is O(log d)
-      // rather than O(d) and the round cap is principled, not hopeful
-      val next = prop
-        .join(prop.select(col("v").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+      // rather than O(d) and the round cap is principled, not hopeful.
+      // Near-dup clusters are almost always shallow, so the first rounds
+      // skip the extra self-join and usually converge without it.
+      val next = (if (rounds < 2) prop
+        else prop
+          .join(prop.select(col("v").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
         .cache()
       // ONE full job both materializes every partition of `next` into the
       // cache (the join consumes it completely — no limit-style early
@@ -156,7 +159,7 @@ object Dedup {
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
         .agg(count(when(col("lbl") =!= col("old"), 1)))
         .collect()(0).getLong(0)
-      prop.unpersist()
+      if (next ne prop) prop.unpersist()
       labels.unpersist()
       labels = next
       converged = changed == 0
