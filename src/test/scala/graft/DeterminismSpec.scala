@@ -1,0 +1,29 @@
+package graft
+
+/** The engine's determinism claim, tested directly: operator results must be
+  * IDENTICAL (values and order) under a different shuffle parallelism —
+  * the property that makes results reproducible across cluster sizes and
+  * task retries at 100 TB. Uses `newSession()` (shared context, separate
+  * SQLConf) with a co-prime partition count.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ops whose internals exercise the risky shapes: partial aggregation,
+  // windows, LSH banding, top-k ties, label propagation, decimal folds
+  private val sensitive = Seq(
+    "agg_group", "agg_percentile", "win_rank", "topk_per_group",
+    "dedup_minhash", "dedup_cluster", "sim_search", "stream_session",
+    "sink_upsert", "doc_fingerprint")
+
+  sensitive.foreach { name =>
+    test(s"$name is bit-identical under different shuffle parallelism") {
+      val alt = spark.newSession()
+      alt.conf.set("spark.sql.shuffle.partitions", "7")
+      val base = SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+      val other = SparkEntry.queries(name)(alt, dir).collect().map(_.toString).toSeq
+      other shouldBe base
+    }
+  }
+}
