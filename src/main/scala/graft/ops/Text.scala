@@ -50,24 +50,33 @@ object Text {
   }
 
   // --------------------------------------------------------------------
-  // lang_id — stopword-profile language heuristic. Scores each language by
-  // its function-word hits in the token stream; highest score wins with a
-  // fixed preference order on ties. (The fixture text is synthetic word
-  // soup, so the *prediction* is what it is — the contract is that the
-  // heuristic is deterministic and identical on both engines.)
+  // lang_id — character-n-gram language heuristic (textcat-style): each
+  // language has a profile of distinctive character trigrams (function-word
+  // cores with their flanking spaces); a doc's score per language is the
+  // total occurrence count of that profile's trigrams in the text, and the
+  // highest score wins with a fixed preference order on ties.
+  //
+  // Occurrences are counted portably as (len(text) - len(replace(text, g,
+  // ''))) / len(g) — plain string expressions, whole-stage codegen, no
+  // HOFs — so Spark and DuckDB agree exactly. (The fixture text is
+  // synthetic word soup, so the *prediction* is what it is — the contract
+  // is that the heuristic is deterministic and identical on both engines.)
   // --------------------------------------------------------------------
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to"),
-    "de" -> Seq("der", "und", "die", "das", "ist"),
-    "fr" -> Seq("le", "la", "et", "les", "des"),
-    "es" -> Seq("el", "los", "las", "una", "es"),
+    "en" -> Seq(" th", "he ", " an", "nd ", " of"),
+    "de" -> Seq("der", "und", "ie ", "ch ", "ein"),
+    "fr" -> Seq(" le", "es ", " de", "ait", "que"),
+    "es" -> Seq(" el", " la", "os ", "ión", "ent"),
     "zh" -> Seq("的", "是", "在", "了", "我"),
   )
 
   private val langId = Op("lang_id", {
-    val scoreSqls = langProfiles.map { case (lang, ws) =>
-      val inList = ws.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS s_$lang"
+    val scoreSqls = langProfiles.map { case (lang, gs) =>
+      val terms = gs.map { g =>
+        val lit = g.replace("'", "''")
+        s"(length(text) - length(replace(text, '$lit', ''))) // length('$lit')"
+      }
+      s"${terms.mkString(" + ")} AS s_$lang"
     }
     val caseSql = langProfiles.init.zipWithIndex.map { case ((lang, _), i) =>
       val later = langProfiles.drop(i + 1).map { case (l2, _) => s"s_$lang >= s_$l2" }
@@ -79,11 +88,13 @@ object Text {
        |  FROM (SELECT doc_id, lang, ${scoreSqls.mkString(", ")} FROM documents))
        |ORDER BY doc_id""".stripMargin
   }) { (s, d) =>
+    def occurrences(g: String): Column =
+      (length(col("text")) - length(replace(col("text"), lit(g), lit("")))) / g.length
     val scored = langProfiles.foldLeft(
         exchange(t(s, d, "documents").select("doc_id", "lang", "text"))) {
-      case (df, (lang, ws)) =>
-      df.withColumn(s"s_$lang",
-        size(filter(words(col("text")), w => w.isin(ws: _*))))
+      case (df, (lang, gs)) =>
+        df.withColumn(s"s_$lang",
+          gs.map(occurrences).reduce(_ + _).cast("long"))
     }
     // same fixed-preference CASE chain as the oracle: first lang (in profile
     // order) whose score is >= every later lang's score
