@@ -199,6 +199,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // Bucketed range join — the scalable rewrite joinTheta's comment points
+  // at: when the band side is UNBOUNDED (here 100 overlapping ranges; think
+  // millions of intervals at 100 TB), BroadcastNestedLoop is quadratic.
+  // Instead both sides map to fixed-width buckets — each band explodes to
+  // the buckets it covers, each probe row to the bucket containing its
+  // value — and an EQUI-join on bucket + residual range predicate finds
+  // exactly the interval matches with one hash shuffle. Work scales with
+  // (rows + intervals) × overlap, not rows × intervals.
+  private val BucketW = 7.0
+  private val joinRangeBucketed = Op("join_range_bucketed",
+    """WITH bands AS (
+      |  SELECT i*7.0 AS lo, i*7.0 + 21.0 AS hi,
+      |         'b' || CAST(i AS VARCHAR) AS label
+      |  FROM (SELECT unnest(range(0, 100)) AS i))
+      |SELECT e.event_id, e.value, b.label
+      |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+      |ORDER BY e.event_id, b.label""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events")
+    val bands = s.range(100).select(
+      (col("id") * BucketW).as("lo"),
+      (col("id") * BucketW + 21.0).as("hi"),
+      concat(lit("b"), col("id").cast("string")).as("label"))
+    val bandBuckets = bands.select(col("lo"), col("hi"), col("label"),
+      explode(sequence(floor(col("lo") / BucketW).cast("long"),
+        ceil(col("hi") / BucketW).cast("long") - 1)).as("bucket"))
+    val probe = e.select(col("event_id"), col("value"),
+      floor(col("value") / BucketW).cast("long").as("bucket"))
+    probe.join(bandBuckets, Seq("bucket"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .select("event_id", "value", "label")
+      .orderBy("event_id", "label")
+  }
+
   // As-of join: for each event, the latest order of the same customer with
   // o_orderdate <= ts. Implemented with the union-tag + running `last(…,
   // ignoreNulls)` pattern: ONE shuffle on the key, linear in |events|+|orders|
@@ -305,7 +338,7 @@ object Relational {
     Op("agg_group", aggGroupSql)(aggGroup),
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
-    joinTheta, joinAsof,
+    joinTheta, joinAsof, joinRangeBucketed,
     sortMulti, limitTopk, topkPerGroup,
     setUnion, setIntersect, setExcept,
   )
