@@ -167,9 +167,14 @@ object Dedup {
     }
     // an unconverged result would silently split clusters — fail loudly
     require(converged, s"dedup_cluster: not converged after $MaxRounds rounds")
+    // hand the result off via localCheckpoint (lineage truncated, blocks
+    // freed on GC) so the loop's cache entry can be released now — without
+    // this every invocation leaks one cached plan for the context lifetime
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
     pairs.unpersist()
     sym.unpersist()
-    labels.select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
+    result.select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
       .orderBy("doc_id")
   }
 

@@ -208,18 +208,19 @@ object Relational {
   // exactly the interval matches with one hash shuffle. Work scales with
   // (rows + intervals) × overlap, not rows × intervals.
   private val BucketW = 7.0
+  private val BandW = 3 * BucketW // each band covers exactly 3 buckets
   private val joinRangeBucketed = Op("join_range_bucketed",
-    """WITH bands AS (
-      |  SELECT i*7.0 AS lo, i*7.0 + 21.0 AS hi,
-      |         'b' || CAST(i AS VARCHAR) AS label
-      |  FROM (SELECT unnest(range(0, 100)) AS i))
-      |SELECT e.event_id, e.value, b.label
-      |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
-      |ORDER BY e.event_id, b.label""".stripMargin) { (s, d) =>
+    s"""WITH bands AS (
+       |  SELECT i*$BucketW AS lo, i*$BucketW + $BandW AS hi,
+       |         'b' || CAST(i AS VARCHAR) AS label
+       |  FROM (SELECT unnest(range(0, 100)) AS i))
+       |SELECT e.event_id, e.value, b.label
+       |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+       |ORDER BY e.event_id, b.label""".stripMargin) { (s, d) =>
     val e = t(s, d, "events")
     val bands = s.range(100).select(
       (col("id") * BucketW).as("lo"),
-      (col("id") * BucketW + 21.0).as("hi"),
+      (col("id") * BucketW + BandW).as("hi"),
       concat(lit("b"), col("id").cast("string")).as("label"))
     val bandBuckets = bands.select(col("lo"), col("hi"), col("label"),
       explode(sequence(floor(col("lo") / BucketW).cast("long"),

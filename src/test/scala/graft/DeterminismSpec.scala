@@ -21,7 +21,13 @@ class DeterminismSpec extends SparkSpec {
     test(s"$name is bit-identical under different shuffle parallelism") {
       val alt = spark.newSession()
       alt.conf.set("spark.sql.shuffle.partitions", "7")
+      // make the comparison non-vacuous: AQE coalescing would collapse both
+      // runs to the same post-shuffle partitioning on tiny data, and the
+      // shared CacheManager could serve the alt run from the base run's
+      // cached plans (computed under base parallelism)
+      alt.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       val base = SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+      spark.catalog.clearCache()
       val other = SparkEntry.queries(name)(alt, dir).collect().map(_.toString).toSeq
       other shouldBe base
     }
