@@ -220,9 +220,45 @@ object Aggregates {
       .orderBy("o_orderkey")
   }
 
+  // cume_dist/percent_rank need a gap-free total ordering for cross-engine
+  // determinism on ties — o_totalprice can tie, so rank over (price, key).
+  private val winCume = Op("win_cume",
+    """SELECT o_orderkey, o_orderstatus,
+      |  cume_dist()    OVER w AS cd,
+      |  percent_rank() OVER w AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .select("o_orderkey", "o_orderstatus", "cd", "pr")
+      .orderBy("o_orderkey")
+  }
+
+  // Correlated scalar subquery — Catalyst decorrelates it into a left outer
+  // aggregate join (RewriteCorrelatedScalarSubquery), so at scale it's one
+  // keyed shuffle, not a per-row probe.
+  private val subqueryScalar = Op("subquery_scalar",
+    """SELECT c_custkey, c_name,
+      |  (SELECT CAST(MAX(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT CAST(MAX(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c ORDER BY c_custkey""".stripMargin)
+  }
+
   val ops: Seq[Op] = Seq(
     aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
     aggPivot, aggPercentile,
-    winRank, winAnalytic, winFrameRows, winFrameRange, winNtile,
+    winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
+    subqueryScalar,
   )
 }
