@@ -29,13 +29,17 @@ object Aggregates {
   // At 100 TB approx_count_distinct is the only sane distinct-count: the
   // sketch is mergeable, so the shuffle carries one sketch per partition
   // instead of the distinct values themselves.
+  // The exact count is part of the output so the oracle hash-verifies real
+  // values, not just the tolerance flag; the exact side exists ONLY for
+  // verification — the production path at 100 TB is the sketch alone (HLL
+  // partials merge, so the shuffle carries one sketch per partition).
   private val aggApproxDistinct = Op("agg_approx_distinct",
-    """SELECT l_returnflag, true AS approx_ok
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS exact, true AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     t(s, d, "lineitem").groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_suppkey"), 0.02).as("approx"),
         countDistinct(col("l_suppkey")).as("exact"))
-      .select(col("l_returnflag"),
+      .select(col("l_returnflag"), col("exact"),
         (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("approx_ok"))
       .orderBy("l_returnflag")
   }
