@@ -29,6 +29,50 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** CSV/JSON endpoints — the interchange formats a complete engine needs
+    * beside the columnar lake format. Explicit schema avoids the inference
+    * scan (a full extra pass over the data at scale). */
+  def csv(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header)
+    schema.fold(r.option("inferSchema", true))(r.schema).csv(path)
+  }
+
+  def json(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", true).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-style partitioned write: readers with a predicate on the
+    * partition columns scan only matching directories (PartitionFilters in
+    * the plan — whole partitions pruned before any I/O). The 100 TB layout
+    * decision: partition by the dominant filter dimension, NOT high-
+    * cardinality keys (small-files explosion). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table write: rows are hash-bucketed by `bucketCols` at write
+    * time, so an equi-join (or aggregate) on those columns between tables
+    * with the same bucketing needs NO shuffle at read time — the
+    * co-located-join layout for repeated large-fact joins. Requires the
+    * session catalog (`saveAsTable`); `sortCols` additionally pre-sorts
+    * within buckets for merge-join without a sort. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   private def baseOptions(cfg: JdbcConfig): Map[String, String] =
     Map("url" -> cfg.url, "user" -> cfg.user, "password" -> cfg.password)
 
