@@ -126,5 +126,25 @@ object SinkOps {
       .orderBy("id")
   }
 
-  val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert, etlPipeline)
+  // Round-trip through a hive-partitioned layout: write orders partitioned
+  // by status, read back through a partition predicate — the read scans
+  // ONLY the matching directory (PartitionFilters; whole partitions pruned
+  // before any I/O — the dominant-filter-dimension layout at 100 TB).
+  // Scratch lives under target/ (inside the repo, git-ignored).
+  private val sinkPartitioned = Op("sink_partitioned",
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = s"target/tmp/sink_partitioned_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.engine.Sources.writePartitioned(
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+      path, Seq("o_orderstatus"))
+    s.read.parquet(path)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
+    sinkPartitioned, etlPipeline)
 }
