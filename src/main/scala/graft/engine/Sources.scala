@@ -67,6 +67,7 @@ object Sources {
     * within buckets for merge-join without a sort. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

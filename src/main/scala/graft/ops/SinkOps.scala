@@ -130,12 +130,14 @@ object SinkOps {
   // by status, read back through a partition predicate — the read scans
   // ONLY the matching directory (PartitionFilters; whole partitions pruned
   // before any I/O — the dominant-filter-dimension layout at 100 TB).
-  // Scratch lives under target/ (inside the repo, git-ignored).
+  // Scratch is an absolute temp dir (the harness may launch the JVM from
+  // any working directory).
   private val sinkPartitioned = Op("sink_partitioned",
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val path = s"target/tmp/sink_partitioned_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sink_partitioned").toString + "/orders"
     graft.engine.Sources.writePartitioned(
       t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
       path, Seq("o_orderstatus"))

@@ -34,8 +34,9 @@ class SourcesLayoutSpec extends SparkSpec {
     Sources.writePartitioned(df, path, Seq("o_orderstatus"))
     val read = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
     val plan = read.queryExecution.executedPlan.toString
-    plan should include("PartitionFilters")
-    plan should include("o_orderstatus")
+    // the predicate must be INSIDE the PartitionFilters list — a plain
+    // 'PartitionFilters: []' with a post-scan data filter would full-scan
+    plan should include regex """PartitionFilters: \[[^\]]*o_orderstatus"""
     // values survive the layout round trip
     read.count() shouldBe df.filter(col("o_orderstatus") === "F").count()
   }

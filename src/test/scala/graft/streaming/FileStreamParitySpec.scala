@@ -28,9 +28,13 @@ class FileStreamParitySpec extends SparkSpec {
       staged.resolve("events.parquet"))
     val stream = convert(
       spark.readStream.schema(rawSchema).parquet(staged.toString))
+    // decimal-exact sums: raw double sums are aggregation-order dependent,
+    // and streaming/batch combine partials in different orders
+    def dsumV = sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .cast("double").as("sum_value")
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsumV)
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("sum_value"))
     val q = agg.writeStream.format("memory").queryName("t_file_parity")
@@ -41,7 +45,7 @@ class FileStreamParitySpec extends SparkSpec {
         .map(_.toSeq).toSet
       val batch = convert(spark.read.parquet(s"$dir/events.parquet"))
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dsumV)
         .select(col("window.start").as("ws"), col("event_type"), col("n"),
           col("sum_value"))
         .collect().map(_.toSeq).toSet
