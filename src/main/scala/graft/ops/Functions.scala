@@ -188,8 +188,31 @@ object Functions {
       .orderBy("doc_id", "pos")
   }
 
+  // fn_bitwise — the bit-manipulation surface (masks, shifts, popcount) the
+  // hash/sketch ops rely on, exposed as its own verified family.
+  private val fnBitwise = Op("fn_bitwise",
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS lo_byte,
+      |  o_orderkey | 4096 AS with_flag,
+      |  xor(o_orderkey, 21845) AS xored,
+      |  o_orderkey << 2 AS shl2,
+      |  o_orderkey >> 3 AS shr3,
+      |  bit_count(o_orderkey) AS pop
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val k = col("o_orderkey")
+    t(s, d, "orders").select(
+        k,
+        k.bitwiseAND(255).as("lo_byte"),
+        k.bitwiseOR(4096).as("with_flag"),
+        k.bitwiseXOR(21845).as("xored"),
+        shiftleft(k, 2).as("shl2"),
+        shiftright(k, 3).as("shr3"),
+        bit_count(k).as("pop"))
+      .orderBy("o_orderkey")
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
-    fnExplode,
+    fnExplode, fnBitwise,
   )
 }

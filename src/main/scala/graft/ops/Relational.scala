@@ -292,6 +292,18 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(100)
   }
 
+  // Pagination: ORDER BY + LIMIT/OFFSET over a total ordering. Spark plans
+  // a global sort + CollectLimit with offset; at scale prefer keyset
+  // pagination (WHERE key > last_seen LIMIT n) — noted here, this op pins
+  // the OFFSET semantics.
+  private val limitOffset = Op("limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 100""".stripMargin) { (s, d) =>
+    t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(100).limit(50)
+  }
+
   private val topkPerGroup = Op("topk_per_group",
     """SELECT * FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -340,7 +352,7 @@ object Relational {
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     joinTheta, joinAsof, joinRangeBucketed,
-    sortMulti, limitTopk, topkPerGroup,
+    sortMulti, limitTopk, limitOffset, topkPerGroup,
     setUnion, setIntersect, setExcept,
   )
 }

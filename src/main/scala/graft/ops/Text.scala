@@ -206,5 +206,26 @@ object Text {
       .orderBy("doc_id", "fp")
   }
 
-  val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint)
+  // --------------------------------------------------------------------
+  // text_normalize — the canonicalization step before hashing/dedup:
+  // lowercase, strip non-alphanumerics to spaces, collapse whitespace,
+  // trim. Pure scan-stage string expressions; emitting the normalized
+  // text's hash keeps the verified output narrow.
+  // --------------------------------------------------------------------
+  private val textNormalize = Op("text_normalize",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                          ' +', ' ', 'g'))) AS norm_hash,
+      |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                             ' +', ' ', 'g'))) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    t(s, d, "documents")
+      .select(col("doc_id"), md5(norm).as("norm_hash"), length(norm).as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
+    textNormalize)
 }
