@@ -259,9 +259,27 @@ object Aggregates {
         |FROM customer c ORDER BY c_custkey""".stripMargin)
   }
 
+  // Ordered string aggregation (LISTAGG/STRING_AGG): collect_list has no
+  // deterministic order in a distributed aggregate, so determinism comes
+  // from sort_array before joining — same contract as DuckDB's
+  // string_agg ... ORDER BY.
+  private val aggCollect = Op("agg_collect",
+    """SELECT c_mktsegment,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+      |  COUNT(*) AS n
+      |FROM customer WHERE c_custkey <= 100
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    t(s, d, "customer").filter(col("c_custkey") <= 100)
+      .groupBy("c_mktsegment")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
   val ops: Seq[Op] = Seq(
     aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
-    aggPivot, aggPercentile,
+    aggPivot, aggPercentile, aggCollect,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
     subqueryScalar,
   )

@@ -179,6 +179,16 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  // Explicit cross join (bounded dims only — 5×25 rows; an unbounded cross
+  // join is a design error, not an operator choice).
+  private val joinCross = Op("join_cross",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    t(s, d, "region").crossJoin(t(s, d, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
+
   // Theta (non-equi) join: events against literal value bands. Spark plans
   // BroadcastNestedLoopJoin — fine because the band side is O(1) rows; a
   // non-equi join against an unbounded side would need a range-bucketing
@@ -351,7 +361,7 @@ object Relational {
     Op("agg_group", aggGroupSql)(aggGroup),
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
-    joinTheta, joinAsof, joinRangeBucketed,
+    joinCross, joinTheta, joinAsof, joinRangeBucketed,
     sortMulti, limitTopk, limitOffset, topkPerGroup,
     setUnion, setIntersect, setExcept,
   )
