@@ -91,5 +91,28 @@ object Events {
       .orderBy("event_id")
   }
 
-  val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup)
+  // Incremental aggregation — the delta-processing pattern: partial
+  // aggregates computed on disjoint slices (yesterday's materialized
+  // rollup + today's delta) MERGE into exactly the full-recompute result,
+  // because count/decimal-sum are algebraic. At 100 TB this is the
+  // difference between touching one day of data and touching all of it;
+  // the oracle is the full recompute, so the gate proves merge == full.
+  private val incremental = Op("agg_incremental",
+    s"""SELECT event_type, COUNT(*) AS n, $dsumVSql
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events")
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("dsum"))
+    val history = partial(e.filter(col("ts") < cutoff))   // materialized rollup
+    val delta = partial(e.filter(col("ts") >= cutoff))    // today's slice
+    history.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"), sum(col("dsum")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental)
 }
