@@ -106,8 +106,10 @@ object Events {
       df.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).as("dsum"))
+    // the slices must PARTITION the table — a bare ts >= cutoff complement
+    // would silently drop NULL-ts rows that the full recompute counts
     val history = partial(e.filter(col("ts") < cutoff))   // materialized rollup
-    val delta = partial(e.filter(col("ts") >= cutoff))    // today's slice
+    val delta = partial(e.filter(col("ts") >= cutoff || col("ts").isNull))
     history.unionByName(delta)
       .groupBy("event_type")
       .agg(sum(col("n")).as("n"), sum(col("dsum")).cast("double").as("sum_value"))
