@@ -17,11 +17,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Spark 4 rejects parquet TIMESTAMP(NANOS) outright; read nanos as long
-    * and truncate to a microsecond TimestampType column (SURVEY §7.4 — the
-    * driver data has zero sub-microsecond components, so this is lossless). */
+  /** Spark 4 rejects parquet TIMESTAMP(NANOS) outright; `nanosAsLong` reads
+    * nanos as long, which we truncate to a microsecond TimestampType column
+    * (SURVEY §7.4 — the driver data has zero sub-microsecond components, so
+    * this is lossless).
+    *
+    * The flag is an all-or-nothing SESSION config (no per-read option
+    * exists), so library entry points (Verify/Bench/Explain, tests) set it
+    * at session construction. As a fallback for driver-owned sessions we
+    * set it here too — but only when loading `events` (the sole
+    * ns-timestamp table) and only if the caller hasn't set it, keeping the
+    * loader side-effect-free on every other path. */
+  private val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (name == "events" && !spark.conf.getOption(NanosFlag).contains("true"))
+      spark.conf.set(NanosFlag, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -36,6 +36,20 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  private def elementsNullable(dt: DataType): Boolean = dt match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true // unresolved/invalid — be conservative
+  }
+
+  /** Nullable whenever a null can come OUT: a null input array (child
+    * nullability) or a null element (ArrayType.containsNull) — a non-nullable
+    * child can still hold null elements (e.g. `array(nullableCol)`), so the
+    * default `left.nullable || right.nullable` alone would declare
+    * non-nullable while nullSafeEval returns null. */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      elementsNullable(left.dataType) || elementsNullable(right.dataType)
+
   // A null ELEMENT in either array nulls the whole result, matching the
   // zip_with/aggregate formulation (null product → null fold) — not 0.0.
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -57,11 +71,20 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // Emit the element null-check only when elements CAN be null. When
+      // `nullable` is false, nullSafeCodeGen declares ev.isNull as the
+      // FalseLiteral constant — assigning to it would not compile — and
+      // containsNull=false on both sides guarantees isNullAt is never true,
+      // so the check is dead anyway.
+      val elemNullCheck =
+        if (elementsNullable(left.dataType) || elementsNullable(right.dataType))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $elemNullCheck
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

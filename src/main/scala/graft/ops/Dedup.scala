@@ -134,6 +134,7 @@ object Dedup {
       .select(col("v"), col("v").as("lbl"))
     var converged = false
     var rounds = 0
+    var prevSum: Option[java.math.BigDecimal] = None
     val MaxRounds = 25 // with pointer-jumping: covers diameter ~2^25
     while (!converged && rounds < MaxRounds) {
       // candidate label per vertex: min over neighbours' current labels
@@ -141,7 +142,6 @@ object Dedup {
         .groupBy("v").agg(min(col("lbl")).as("cand"))
       val prop = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
-        .cache()
       // pointer-jump: also adopt the label OF the current label — halves
       // the remaining diameter each round, so convergence is O(log d)
       // rather than O(d) and the round cap is principled, not hopeful.
@@ -152,17 +152,19 @@ object Dedup {
           .join(prop.select(col("v").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
           .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
         .cache()
-      // ONE full job both materializes every partition of `next` into the
-      // cache (the join consumes it completely — no limit-style early
-      // stop) and counts changed labels; dropping the previous round's
-      // cache is then recompute-free
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
-        .agg(count(when(col("lbl") =!= col("old"), 1)))
-        .collect()(0).getLong(0)
-      if (next ne prop) prop.unpersist()
+      // Convergence check WITHOUT a join against the previous round: min-
+      // propagation only ever DECREASES a vertex's label, so the exact
+      // decimal sum of labels is strictly decreasing until fixpoint and
+      // equal-sum ⟺ no label changed. One cheap aggregate per round — the
+      // same job also materializes every partition of `next` into the cache
+      // (the aggregate consumes it completely), so dropping the previous
+      // round's cache entry is recompute-free.
+      val lblSum = next.agg(sum(col("lbl").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = prevSum.contains(lblSum)
+      prevSum = Some(lblSum)
       rounds += 1
     }
     // an unconverged result would silently split clusters — fail loudly

@@ -103,6 +103,23 @@ object Llm {
   // force over a broadcast query. At 100 TB this is the per-bucket inner
   // loop; sim_search_bucketed below is the pruned scale path.
   // --------------------------------------------------------------------
+  /** Shortlist size for the double-prefilter refine step: the codegen'd
+    * double cosine agrees with the exact decimal one to ~1e-9 (elements
+    * quantized at 1e-7, dim 64), so the true decimal top-k is inside the
+    * double top-RefineK unless RefineK-k candidates crowd within 2e-9 of
+    * the k-th score — for real embedding corpora that means exact duplicate
+    * vectors, which belong to dedup, not search. 20× headroom over k=10. */
+  private val RefineK = 200
+
+  /** Double-precision cosine prefilter via the codegen'd [[dot]]: per-row
+    * primitive loops in whole-stage codegen, vs ~3 interpreted decimal HOF
+    * folds per row for the exact cosine. The exact path then scores only
+    * the RefineK shortlist — scoring cost drops from O(n) decimal folds to
+    * O(RefineK), while TakeOrderedAndProject keeps the shortlist selection
+    * a per-partition heap (no global sort) at any scale. */
+  private def doubleCos(s: SparkSession)(r: Column, rq: Column): Column =
+    dot(s)(r, rq) / (sqrt(dot(s)(r, r)) * sqrt(dot(s)(rq, rq)))
+
   private val simSearch = Op("sim_search",
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
        |SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos_sim
@@ -110,9 +127,15 @@ object Llm {
        |WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     val e = t(s, d, "embeddings")
-    val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
-    e.filter(col("vec_id") =!= 0)
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), rounded7(col("embedding")).as("rq")))
+    val shortlist = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding"), rounded7(col("embedding")).as("r7"))
       .crossJoin(q)
+      .withColumn("dcos", doubleCos(s)(col("r7"), col("rq")))
+      .orderBy(col("dcos").desc, col("vec_id").asc)
+      .limit(RefineK)
+    shortlist
       .select(col("vec_id"), col("label"),
         cosine(col("embedding"), col("qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -218,10 +241,14 @@ object Llm {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"), sketch(col("embedding")).as("sk"))
     val q = broadcast(e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"), col("sk").as("qsk")))
-    e.filter(col("vec_id") =!= 0)
+      .select(col("embedding").as("qv"), rounded7(col("embedding")).as("rq"), col("sk").as("qsk")))
+    val shortlist = e.filter(col("vec_id") =!= 0)
       .crossJoin(q)
       .filter(bit_count(col("sk").cast("long").bitwiseXOR(col("qsk").cast("long"))) <= 1)
+      .withColumn("dcos", doubleCos(s)(rounded7(col("embedding")), col("rq")))
+      .orderBy(col("dcos").desc, col("vec_id").asc)
+      .limit(RefineK)
+    shortlist
       .select(col("vec_id"), col("label"),
         cosine(col("embedding"), col("qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

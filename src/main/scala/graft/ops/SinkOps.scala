@@ -130,14 +130,27 @@ object SinkOps {
   // by status, read back through a partition predicate — the read scans
   // ONLY the matching directory (PartitionFilters; whole partitions pruned
   // before any I/O — the dominant-filter-dimension layout at 100 TB).
-  // Scratch is an absolute temp dir (the harness may launch the JVM from
-  // any working directory).
+  //
+  // NOTE: building this op performs I/O (the partitioned write is the thing
+  // under test). Scratch is one FIXED absolute temp path, deleted before
+  // each write — repeated builds (Verify/Bench/Explain) reuse the same
+  // directory instead of leaking one copy of orders per invocation.
+  private def freshScratch(sub: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", sub)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    root.toString
+  }
+
   private val sinkPartitioned = Op("sink_partitioned",
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_sink_partitioned").toString + "/orders"
+    val path = freshScratch("sink_partitioned") + "/orders"
     graft.engine.Sources.writePartitioned(
       t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
       path, Seq("o_orderstatus"))

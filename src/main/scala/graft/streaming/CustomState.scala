@@ -66,7 +66,18 @@ object CustomState {
             cur match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.lastTs + GapMs)
+                // setTimeoutTimestamp at-or-below the current watermark
+                // throws and kills the whole query. Microbatch execution
+                // filters watermark-late input before the state function
+                // (verified by CustomStateSpec), so lastTs is normally >=
+                // watermark — but that invariant lives in the EXECUTION
+                // layer, not this function's contract (e.g. a caller
+                // without a watermark-filtered source, or state restored
+                // across a gap change). Clamp to watermark+1: the session
+                // then times out at the next watermark advance, the right
+                // close for an already-expired gap. Defense in depth.
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(s.lastTs + GapMs, wm + 1))
               case None => if (state.exists) state.remove()
             }
             out.result().iterator

@@ -13,6 +13,7 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is ns (SURVEY 7.4)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

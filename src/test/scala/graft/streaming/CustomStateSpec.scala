@@ -45,6 +45,24 @@ class CustomStateSpec extends SparkSpec {
     out shouldBe Seq((2L, 1L, 10.0, "gap"))
   }
 
+  test("a straggler behind watermark+gap neither kills the query nor creates state") {
+    // Batch 1 drives the watermark to 11:50 (10-min delay). Batch 2 delivers
+    // a user-2 event at 10:00, behind the watermark. Pinned behavior (Spark
+    // 4 microbatch): FlatMapGroupsWithStateExec filters watermark-late rows
+    // BEFORE the state function, so the straggler is dropped — no user-2
+    // session ever, no crash. (sessionsWithCap additionally clamps its
+    // timeout to watermark+1 as defense in depth for execution paths
+    // without that filter.)
+    val out = run(Seq(
+      Seq(ev(1, 1, "2024-01-01 12:00:00", 1.0)),
+      Seq(ev(2, 2, "2024-01-01 10:00:00", 5.0)), // late straggler — dropped
+      Seq(ev(3, 1, "2024-01-01 13:00:00", 1.0)),
+      Seq(ev(4, 1, "2024-01-01 14:00:00", 1.0))), cap = 1e9)
+    out.filter(_._1 == 2L) shouldBe empty
+    // the in-watermark sessions still close normally
+    out.count(_ == ((1L, 1L, 1.0, "gap"))) shouldBe 2
+  }
+
   test("per-user state is independent") {
     val out = run(Seq(Seq(
       ev(1, 10, "2024-01-01 10:00:00", 60.0),
