@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Composite analytics queries — multi-join + aggregate + top-k shapes in
+  * the style of TPC-H Q3/Q5/Q10, restricted to the fixture's columns
+  * (FIXTURES.md). These are the workloads the reference's users run through
+  * its raw-SQL delegation (reference: src/etl/ETLProcess.java:84-86), and
+  * they are where Catalyst's multi-join planning actually matters:
+  *
+  *  - join ORDER: filters reduce each input before the join tree
+  *    (PushDownPredicates), and Catalyst/AQE picks broadcast vs shuffle per
+  *    edge at runtime — nation/region dims always broadcast;
+  *  - partial aggregation: revenue sums combine map-side, so the final
+  *    shuffle carries |groups| rows, not |lineitem|;
+  *  - top-k: ORDER BY + LIMIT plans TakeOrderedAndProject (per-partition
+  *    heaps, no global sort) — at 100 TB the Q3/Q10 result never exceeds
+  *    k × partitions rows in flight.
+  *
+  * Revenue uses the exact-decimal discipline (Op.scala): both engines sum
+  * DECIMAL(18,2)×DECIMAL(18,2) products exactly, so results are independent
+  * of aggregation order and partition count.
+  */
+object Composite {
+
+  /** sum(l_extendedprice * (1 - l_discount)) in exact decimal, as double. */
+  private def revenue: Column =
+    sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+      .cast("double")
+  private val revenueSql =
+    """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // tpch_q3 — shipping-priority shape: segment-filtered customers joined
+  // through orders to lineitem, revenue per (order, date), top 10.
+  // --------------------------------------------------------------------
+  private val tpchQ3 = Op("tpch_q3",
+    s"""SELECT l_orderkey, $revenueSql AS revenue, o_orderdate
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = t(s, d, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"))
+      .agg(revenue.as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q5 — local-supplier-volume shape: the 6-table join through both
+  // the customer and supplier arms, restricted to one region and year,
+  // with the co-nationality predicate (c_nationkey = s_nationkey) that
+  // makes the join graph cyclic — the classic join-reorder stress test.
+  // --------------------------------------------------------------------
+  private val tpchQ5 = Op("tpch_q5",
+    s"""SELECT n_name, $revenueSql AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = t(s, d, "lineitem")
+    val su = t(s, d, "supplier")
+    val n = broadcast(t(s, d, "nation"))
+    val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey")
+        && c("c_nationkey") === su("s_nationkey"))
+      .join(n, su("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q10 — returned-item reporting shape: revenue lost to returns per
+  // customer over a quarter, top 20 customers.
+  // --------------------------------------------------------------------
+  private val tpchQ10 = Op("tpch_q10",
+    s"""SELECT c_custkey, c_name, n_name, $revenueSql AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-07-01'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+    val n = broadcast(t(s, d, "nation"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_custkey"), c("c_name"), n("n_name"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  // --------------------------------------------------------------------
+  // join_skew_salted — the hand-rolled hot-key mitigation (engine.Skew)
+  // exposed as a verified operator: orders⋈customer through an 8-way
+  // salted join, oracle = the PLAIN join. Salting spreads each hot key
+  // over `salts` partitions (small side exploded salts×, big side salted
+  // deterministically by row hash); the oracle equality proves the
+  // rewrite is semantics-preserving. Use when one key dominates and the
+  // small side is too big to broadcast — the case AQE's skew handling
+  // (join-partition splitting) can't always reach.
+  // --------------------------------------------------------------------
+  private val joinSkewSalted = Op("join_skew_salted",
+    """SELECT o_orderkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val big = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("ck"), col("o_totalprice"))
+    val small = t(s, d, "customer")
+      .select(col("c_custkey").as("ck"), col("c_name"))
+    graft.engine.Skew.saltedJoin(big, small, Seq("ck"), salts = 8)
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted)
+}

@@ -23,15 +23,18 @@ object Llm {
     * so Spark would silently round every partial sum to scale 13 — a (30,14)
     * accumulator keeps (30,14)+(19,14)→(31,14) exact. Stays inside
     * whole-stage codegen. */
+  private def fold(products: Column): Column =
+    aggregate(products, lit(0).cast(DecimalType(30, 14)),
+      (acc, x) => (acc + x).cast(DecimalType(30, 14)))
+  private def dec(c: Column): Column = transform(c, x => x.cast(DecimalType(9, 7)))
+
+  /** Exact-decimal squared L2 norm (the same fold as cosine's na/nb). */
+  private def sqNorm(c: Column): Column =
+    fold(zip_with(dec(c), dec(c), (x, y) => x * y)).cast("double")
+
   private def cosine(a: Column, b: Column): Column = {
-    def fold(products: Column) =
-      aggregate(products, lit(0).cast(DecimalType(30, 14)),
-        (acc, x) => (acc + x).cast(DecimalType(30, 14)))
-    val dec = (c: Column) => transform(c, x => x.cast(DecimalType(9, 7)))
-    val dot   = fold(zip_with(dec(a), dec(b), (x, y) => x * y)).cast("double")
-    val na    = fold(zip_with(dec(a), dec(a), (x, y) => x * y)).cast("double")
-    val nb    = fold(zip_with(dec(b), dec(b), (x, y) => x * y)).cast("double")
-    dot / (sqrt(na) * sqrt(nb))
+    val dot = fold(zip_with(dec(a), dec(b), (x, y) => x * y)).cast("double")
+    dot / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))
   }
 
   /** Elements rounded to 7 decimals as doubles (the same quantization the
@@ -292,6 +295,66 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // embed_normalize — L2 normalization, the standard pre-step before
+  // cosine/ANN (normalized vectors turn cosine into a plain dot product).
+  // Emits the exact-decimal norm plus the first unit component; the full
+  // normalized array stays a library transform (the verified output is
+  // scalar-narrow for the oracle compare). Pure scan-stage map work.
+  // --------------------------------------------------------------------
+  private val embedNormalize = Op("embed_normalize",
+    s"""SELECT vec_id, l2_norm, CAST(e0 AS DOUBLE) / l2_norm AS e0_unit FROM (
+       |  SELECT vec_id,
+       |    sqrt(CAST((SELECT SUM(${d97("embedding[i]")} * ${d97("embedding[i]")})
+       |          FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)) AS l2_norm,
+       |    ${d97("embedding[1]")} AS e0
+       |  FROM embeddings)
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        sqrt(sqNorm(col("embedding"))).as("l2_norm"),
+        element_at(col("embedding"), 1).cast(DecimalType(9, 7)).as("e0"))
+      .select(col("vec_id"), col("l2_norm"),
+        (col("e0").cast("double") / col("l2_norm")).as("e0_unit"))
+      .orderBy("vec_id")
+  }
+
+  // --------------------------------------------------------------------
+  // vec_quantize — symmetric int8 quantization (the ANN/storage-compression
+  // workhorse): per-vector scale = 127 / max|x|, elements mapped with
+  // floor(x*scale + 0.5) — floor instead of round() because round-half
+  // conventions differ across engines while floor on IEEE doubles is
+  // bit-identical. Emits per-vector quantization stats; all narrow work.
+  // A zero vector yields NULL scale/stats via nullif (no div-by-zero).
+  // --------------------------------------------------------------------
+  private val vecQuantize = Op("vec_quantize", {
+    val q7 = (x: String) => s"CAST(${d97(x)} AS DOUBLE)"
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding,
+       |    127.0 / nullif(list_max(list_transform(embedding, x -> abs(${q7("x")}))), 0.0) AS scale
+       |  FROM embeddings),
+       |qq AS (
+       |  SELECT vec_id, scale,
+       |    list_transform(embedding, x -> CAST(floor(${q7("x")} * scale + 0.5) AS BIGINT)) AS qs
+       |  FROM sc)
+       |SELECT vec_id, scale, list_min(qs) AS q_min, list_max(qs) AS q_max,
+       |  CAST(list_sum(list_transform(qs, x -> abs(x))) AS BIGINT) AS q_l1
+       |FROM qq ORDER BY vec_id""".stripMargin
+  }) { (s, d) =>
+    val q7 = (x: Column) => x.cast(DecimalType(9, 7)).cast("double")
+    val scale = lit(127.0) /
+      nullif(array_max(transform(col("embedding"), x => abs(q7(x)))), lit(0.0))
+    val qs = transform(col("embedding"), x => floor(q7(x) * col("scale") + 0.5))
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"), col("scale"), qs.as("qs"))
+      .select(col("vec_id"), col("scale"),
+        array_min(col("qs")).as("q_min"), array_max(col("qs")).as("q_max"),
+        aggregate(col("qs"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+      .orderBy("vec_id")
+  }
+
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
-    multimodalCols, simSearchBucketed, multimodalDecode)
+    multimodalCols, simSearchBucketed, multimodalDecode,
+    embedNormalize, vecQuantize)
 }

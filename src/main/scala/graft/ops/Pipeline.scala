@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text.{h60, h60Sql, words}
+
+/** Training-data curation operators over `documents` (BASELINE mandate —
+  * the corpus-preparation stages between raw crawl and tokenizer):
+  * stratified sampling, context-window chunking, rule-based quality
+  * filtering, and PII redaction.
+  *
+  * All four are scan-stage narrow work — no shuffle except the final
+  * deterministic ORDER BY (which exists only for the oracle compare; a
+  * production pipeline writes the filter/map output straight back out).
+  * Sampling/filter predicates are md5-derived and engine-portable, so the
+  * SAME sample falls out on any engine, any partitioning, any retry — the
+  * reproducibility property a 100 TB curation run needs for auditability.
+  */
+object Pipeline {
+
+  // --------------------------------------------------------------------
+  // sample_stratified — deterministic per-stratum Bernoulli sampling:
+  // keep a doc iff h(lang:doc_id) mod 100 < rate(lang). Per-language
+  // rates rebalance the corpus (downsample over-represented languages) —
+  // the standard data-mixing knob. Hash-based (not rand()) so the sample
+  // is stable across retries/partitioning and auditable after the fact.
+  // --------------------------------------------------------------------
+  private val sampleStratified = Op("sample_stratified",
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE CAST(concat('0x', substr(md5(concat(lang, ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100
+      |      < CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 5 ELSE 10 END
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val rate = when(col("lang") === "en", 20)
+      .when(col("lang") === "zh", 5).otherwise(10)
+    t(s, d, "documents")
+      .filter(h60(concat(col("lang"), lit(":"), col("doc_id").cast("string"))) % 100 < rate)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // chunk_split — context-window packing: split each doc's token stream
+  // into fixed-size chunks with overlap (stride < size), the standard
+  // pre-tokenization windowing for LLM training. One generator per doc
+  // (posexplode over chunk starts) — rows out ≈ tokens/stride, all narrow.
+  // --------------------------------------------------------------------
+  private val ChunkTokens = 50
+  private val Stride = 40 // 10-token overlap between consecutive chunks
+
+  private val chunkSplit = Op("chunk_split",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |st AS (SELECT doc_id, w, unnest(range(0, len(w), $Stride)) AS st FROM w)
+       |SELECT doc_id, st // $Stride AS chunk_id,
+       |  len(list_slice(w, st+1, st+$ChunkTokens)) AS n_tokens,
+       |  array_to_string(list_slice(w, st+1, st+$ChunkTokens), ' ') AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(Stride)))
+          .as(Seq("chunk_id", "st")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("w"), col("st") + 1, lit(ChunkTokens))).as("n_tokens"),
+        concat_ws(" ", slice(col("w"), col("st") + 1, lit(ChunkTokens))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // --------------------------------------------------------------------
+  // text_filter — rule-based quality gate (C4/Gopher-style): length
+  // bounds, punctuation ratio, mean word length. Emits every doc with its
+  // verdict + FIRST failing rule, so downstream can both take the kept
+  // set and audit per-rule rejection rates. Ratios are IEEE-double
+  // divisions of exact ints (the engine-portable formulation proven by
+  // quality_score).
+  // --------------------------------------------------------------------
+  private val textFilter = Op("text_filter",
+    """SELECT doc_id, n_tok, reason, reason = 'ok' AS keep FROM (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN n_tok < 10 THEN 'too_short'
+      |         WHEN n_tok > 2000 THEN 'too_long'
+      |         WHEN punct_ratio > 0.3 THEN 'high_punct'
+      |         WHEN mean_wlen < 2 OR mean_wlen > 15 THEN 'word_len'
+      |         ELSE 'ok' END AS reason
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(string_split(text, ' ')) AS n_tok,
+      |      CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS mean_wlen,
+      |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS punct_ratio
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nTok = size(words(col("text")))
+    val base = t(s, d, "documents").select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      (col("n_chars").cast("double") / nTok).as("mean_wlen"),
+      (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double") / nTok).as("punct_ratio"))
+    base.select(col("doc_id"), col("n_tok"),
+        when(col("n_tok") < 10, "too_short")
+          .when(col("n_tok") > 2000, "too_long")
+          .when(col("punct_ratio") > 0.3, "high_punct")
+          .when(col("mean_wlen") < 2 || col("mean_wlen") > 15, "word_len")
+          .otherwise("ok").as("reason"))
+      .withColumn("keep", col("reason") === "ok")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // pii_redact — regex scrubbing of emails / IPv4s / long digit runs,
+  // with per-category match counts for audit. Patterns are restricted to
+  // the Java-regex ∩ RE2 common subset so Spark and the oracle agree.
+  // (The fixture word-soup contains no PII, so counts are zero here —
+  // the verified contract is that both engines compute the SAME redacted
+  // text and counts; swap patterns freely at deployment.) Scan-stage
+  // string work; the verified output carries md5(redacted), not the text.
+  // --------------------------------------------------------------------
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val LongNumRe = "\\d{6,}"
+
+  private val piiRedact = Op("pii_redact", {
+    // single-quoted SQL strings: DuckDB keeps backslashes literal, so the
+    // runtime regexes interpolate verbatim
+    val (e, i, n) = (EmailRe, Ipv4Re, LongNumRe)
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$e')) AS n_email,
+       |  len(regexp_extract_all(text, '$i')) AS n_ip,
+       |  len(regexp_extract_all(text, '$n')) AS n_num,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |        '$e', '<EMAIL>', 'g'),
+       |        '$i', '<IP>', 'g'),
+       |        '$n', '<NUM>', 'g')) AS red_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), LongNumRe, "<NUM>")
+    t(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ip"),
+        size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0))).as("n_num"),
+        md5(redacted).as("red_hash"))
+      .orderBy("doc_id")
+  }
+
+  val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact)
+}

@@ -51,8 +51,28 @@ class PlanAuditSpec extends SparkSpec {
   test("operators keep UDFs off the hot path (vec_dot excepted by design)") {
     // the only ScalaUDF-bearing plan allowed is none: dedup_embed's
     // prefilter uses the codegen'd VecDot expression, not a UDF
-    Seq("dedup_embed", "sim_search", "agg_group", "join_asof").foreach { name =>
+    Seq("dedup_embed", "sim_search", "agg_group", "join_asof",
+        "embed_normalize", "vec_quantize", "chunk_split").foreach { name =>
       withClue(name) { planOf(name) should not include "ScalaUDF" }
     }
+  }
+
+  test("tpch_q5 broadcasts the bounded dims and aggregates partial+final") {
+    val plan = planOf("tpch_q5")
+    plan should include("BroadcastHashJoin")
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("tpch_q3 tops out in TakeOrderedAndProject (no global sort for top-10)") {
+    planOf("tpch_q3") should include("TakeOrderedAndProject")
+  }
+
+  test("sample_stratified is a pure scan-stage filter (only the final sort exchanges)") {
+    val plan = planOf("sample_stratified")
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("join_skew_salted actually joins on the salt key") {
+    planOf("join_skew_salted") should include("__salt")
   }
 }
