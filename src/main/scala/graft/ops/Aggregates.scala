@@ -277,9 +277,54 @@ object Aggregates {
       .orderBy("c_mktsegment")
   }
 
+  // --------------------------------------------------------------------
+  // agg_stats — second-moment statistics (mean/stddev/correlation) computed
+  // from exact-decimal power sums, NOT the engines' native stddev/corr:
+  // Welford-style streaming moments are aggregation-order-dependent in the
+  // last bits, so cross-engine (and cross-partitioning) bit-equality comes
+  // from summing n, Σx, Σx², Σxy exactly in decimal and deriving the
+  // moments with one identical IEEE-double formula at the end. The sums
+  // are algebraic → map-side partial combine, one shuffled row per group;
+  // this is also the decomposition that makes the op incremental (partials
+  // merge, agg_incremental-style) at 100 TB.
+  // --------------------------------------------------------------------
+  private val aggStats = Op("agg_stats",
+    """SELECT l_returnflag, n,
+      |  sxd / n AS mean_qty,
+      |  sqrt((sxxd - sxd * sxd / n) / (n - 1)) AS std_qty,
+      |  (n * sxyd - sxd * syd)
+      |    / (sqrt(n * sxxd - sxd * sxd) * sqrt(n * syyd - syd * syd)) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxd,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syd,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxxd,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syyd,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxyd
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val dx = col("l_quantity").cast(DecimalType(18, 2))
+    val dy = col("l_extendedprice").cast(DecimalType(18, 2))
+    val sums = t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast("double").as("sxd"), sum(dy).cast("double").as("syd"),
+        sum(dx * dx).cast("double").as("sxxd"),
+        sum(dy * dy).cast("double").as("syyd"),
+        sum(dx * dy).cast("double").as("sxyd"))
+    sums.select(col("l_returnflag"), col("n"),
+        (col("sxd") / col("n")).as("mean_qty"),
+        sqrt((col("sxxd") - col("sxd") * col("sxd") / col("n")) / (col("n") - 1))
+          .as("std_qty"),
+        ((col("n") * col("sxyd") - col("sxd") * col("syd"))
+          / (sqrt(col("n") * col("sxxd") - col("sxd") * col("sxd"))
+            * sqrt(col("n") * col("syyd") - col("syd") * col("syd"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val ops: Seq[Op] = Seq(
     aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
-    aggPivot, aggPercentile, aggCollect,
+    aggPivot, aggPercentile, aggCollect, aggStats,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
     subqueryScalar,
   )

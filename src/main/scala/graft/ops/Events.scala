@@ -116,5 +116,83 @@ object Events {
       .orderBy("event_type")
   }
 
-  val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental)
+  // --------------------------------------------------------------------
+  // event_funnel — ordered-sequence analysis: how far does each user get
+  // through signup → click → purchase, where each step must occur STRICTLY
+  // AFTER the previous one? Three keyed min-aggregates chained by joins —
+  // every join and aggregate hashes on user_id, so the whole funnel is one
+  // shuffle key end-to-end (AQE reuses the exchange) and scales linearly.
+  // --------------------------------------------------------------------
+  private val funnel = Op("event_funnel",
+    """WITH su AS (SELECT user_id, MIN(ts) AS t_signup FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+      |      JOIN su ON e.user_id = su.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > su.t_signup GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id,
+      |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+      |       WHEN c.t_click IS NOT NULL THEN 2
+      |       WHEN su.t_signup IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  CAST(su.t_signup AS TIMESTAMP) AS t_signup,
+      |  CAST(c.t_click AS TIMESTAMP) AS t_click,
+      |  CAST(p.t_purchase AS TIMESTAMP) AS t_purchase
+      |FROM u LEFT JOIN su ON u.user_id = su.user_id
+      |       LEFT JOIN c ON u.user_id = c.user_id
+      |       LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY u.user_id""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events").select("user_id", "event_type", "ts")
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    val cl = e.filter(col("event_type") === "click").join(su, "user_id")
+      .filter(col("ts") > col("t_signup"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val pu = e.filter(col("event_type") === "purchase").join(cl, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    e.select("user_id").distinct()
+      .join(su, Seq("user_id"), "left")
+      .join(cl, Seq("user_id"), "left")
+      .join(pu, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_signup").isNotNull, 1)
+          .otherwise(0).as("stage"),
+        col("t_signup"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  // --------------------------------------------------------------------
+  // retention_cohort — cohort analysis: users grouped by first-active week,
+  // counted in each subsequent week they return. Two keyed aggregates (user
+  // distinct-weeks, then per-user min) + one count-distinct per cell; weeks
+  // via date_trunc so both engines bucket on Monday boundaries.
+  // --------------------------------------------------------------------
+  private val retention = Op("retention_cohort",
+    """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+      |            FROM events WHERE ts IS NOT NULL),
+      |co AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id)
+      |SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+      |  CAST(datediff('day', cw, w) // 7 AS INT) AS week_offset,
+      |  COUNT(DISTINCT uw.user_id) AS n_users
+      |FROM uw JOIN co ON uw.user_id = co.user_id
+      |GROUP BY cw, datediff('day', cw, w) // 7
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    val uw = t(s, d, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+    val co = uw.groupBy("user_id").agg(min("w").as("cw"))
+    uw.join(co, "user_id")
+      .select(col("user_id"), col("cw"),
+        (datediff(col("w"), col("cw")) / 7).cast("int").as("week_offset"))
+      .groupBy(col("cw").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental,
+    funnel, retention)
 }

@@ -145,5 +145,32 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact)
+  // --------------------------------------------------------------------
+  // sample_per_group — exactly-k-per-stratum sampling: rank docs inside
+  // each language by a deterministic hash of their id and keep the first
+  // 20. Hash order is uniform-random in distribution but reproducible —
+  // the distributed equivalent of seeded reservoir sampling, without the
+  // sequential reservoir. One shuffle on the stratum key; if a stratum is
+  // ever hot, pre-filter with a hash-threshold Bernoulli pass (the
+  // sample_stratified predicate) before the exact window rank.
+  // --------------------------------------------------------------------
+  private val SamplePerGroupK = 20
+  private val samplePerGroup = Op("sample_per_group",
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+       |             doc_id) AS rn
+       |  FROM documents) WHERE rn <= $SamplePerGroupK
+       |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(h60(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    t(s, d, "documents").select("doc_id", "lang")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SamplePerGroupK)
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+  }
+
+  val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
+    samplePerGroup)
 }

@@ -226,6 +226,32 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // text_ngram_freq — corpus-wide bigram frequencies, top 50: vocabulary /
+  // collocation analysis over the whole corpus (the frequency table behind
+  // tokenizer training and contamination checks). One generator per doc +
+  // one hash aggregate with map-side combine; the top-k is
+  // TakeOrderedAndProject, so at 100 TB only |distinct grams| rows shuffle
+  // and only k×partitions rows reach the driver.
+  // --------------------------------------------------------------------
+  private val ngramFreq = Op("text_ngram_freq",
+    """WITH grams AS (
+      |  SELECT unnest(list_transform(
+      |    range(0, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i+1, i+2), ' '))) AS gram
+      |  FROM documents)
+      |SELECT gram, COUNT(*) AS n FROM grams
+      |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin) { (s, d) =>
+    val w = words(col("text"))
+    t(s, d, "documents")
+      .select(explode(transform(
+        sequence(lit(0), greatest(size(w) - 1, lit(1)) - 1),
+        i => concat_ws(" ", slice(w, i + 1, lit(2))))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(50)
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
-    textNormalize)
+    textNormalize, ngramFreq)
 }

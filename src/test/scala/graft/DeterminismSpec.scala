@@ -15,7 +15,12 @@ class DeterminismSpec extends SparkSpec {
   private val sensitive = Seq(
     "agg_group", "agg_percentile", "win_rank", "topk_per_group",
     "dedup_minhash", "dedup_cluster", "sim_search", "stream_session",
-    "sink_upsert", "doc_fingerprint")
+    "sink_upsert", "doc_fingerprint",
+    // round 3: hash sampling, moment stats, funnel joins, top-k grams —
+    // each combines partial aggregation or hash ranking with tie-bearing
+    // top-k/window shapes
+    "sample_stratified", "sample_per_group", "agg_stats", "event_funnel",
+    "text_ngram_freq", "tpch_q3", "vec_quantize")
 
   sensitive.foreach { name =>
     test(s"$name is bit-identical under different shuffle parallelism") {
