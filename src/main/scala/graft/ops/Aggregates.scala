@@ -322,9 +322,29 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // Mode (most frequent value) per group with a deterministic tiebreak —
+  // native `mode()` breaks ties arbitrarily on both engines, so the
+  // verifiable form is the count + row_number rewrite: two hash aggregates
+  // (both partial-combining) and one tiny window.
+  private val aggMode = Op("agg_mode",
+    """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+      |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+      |                           ORDER BY cnt DESC, l_quantity ASC) = 1
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val ops: Seq[Op] = Seq(
     aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
-    aggPivot, aggPercentile, aggCollect, aggStats,
+    aggPivot, aggPercentile, aggCollect, aggStats, aggMode,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
     subqueryScalar,
   )

@@ -259,6 +259,73 @@ object Llm {
   }
 
   // --------------------------------------------------------------------
+  // sim_search_ivf — the IVF (inverted-file) ANN path, complementing the
+  // sign-sketch LSH of sim_search_bucketed: vectors are assigned to their
+  // nearest of 8 centroids (the inverted lists); a query probes only its 2
+  // nearest centroids' lists and runs exact cosine top-k inside them.
+  //
+  // Centroid selection here is deterministic hash-top-8 (so the oracle can
+  // reproduce it); in production the centroids come from k-means on a
+  // driver-side sample — the PLAN SHAPE is what scales and is what this op
+  // pins: selection is a TakeOrderedAndProject over a narrow projection,
+  // assignment is one broadcast-join map pass (centroids are tiny by
+  // construction), lists are equi-join-able by cid — at 100 TB you write
+  // the corpus partitioned by cid and a probe reads 2/8 of the data before
+  // any scoring. Assignment/scoring use the exact-decimal cosine so both
+  // engines agree bit-for-bit.
+  // --------------------------------------------------------------------
+  private val NumCentroids = 8
+  private val NumProbes = 2
+
+  private val simSearchIvf = Op("sim_search_ivf",
+    s"""WITH cen AS (
+       |  SELECT cid, cv FROM (
+       |    SELECT vec_id AS cid, embedding AS cv,
+       |      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |    FROM embeddings)
+       |  ORDER BY h, cid LIMIT $NumCentroids),
+       |asg AS (
+       |  SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |      ${cosineSql("e.embedding", "c.cv")} AS ccos
+       |    FROM embeddings e, cen c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid FROM (SELECT c.cid, ${cosineSql("c.cv", "q.qv")} AS pcos FROM cen c, q)
+       |  QUALIFY row_number() OVER (ORDER BY pcos DESC, cid) <= $NumProbes)
+       |SELECT a.vec_id, a.label, ${cosineSql("a.embedding", "q.qv")} AS cos_sim
+       |FROM asg a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+       |WHERE a.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, d, "embeddings")
+    val cen = broadcast(e
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        graft.ops.Text.h60(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h").asc, col("cid").asc).limit(NumCentroids)
+      .drop("h"))
+    val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+    val asg = e.crossJoin(cen)
+      .withColumn("ccos", cosine(col("embedding"), col("cv")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("arn") === 1)
+      .select("vec_id", "label", "embedding", "cid")
+    val probes = broadcast(cen.crossJoin(q)
+      .withColumn("pcos", cosine(col("cv"), col("qv")))
+      .orderBy(col("pcos").desc, col("cid").asc).limit(NumProbes)
+      .select("cid"))
+    asg.join(probes, "cid")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------------
   // multimodal_decode — the decode/feature-extract stage of a multimodal
   // pipeline: payload is an opaque binary column; "decoding" is a
   // deterministic stand-in (this container has no image/audio codecs) that
@@ -355,6 +422,6 @@ object Llm {
   }
 
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
-    multimodalCols, simSearchBucketed, multimodalDecode,
+    multimodalCols, simSearchBucketed, simSearchIvf, multimodalDecode,
     embedNormalize, vecQuantize)
 }
