@@ -299,28 +299,60 @@ object Llm {
        |WHERE a.vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // exact decimal dot given precomputed norms: the per-vector norm fold
+    // runs ONCE per row (behind an exchange barrier), not once per pair —
+    // the pairwise work is a single decimal fold + two mults
+    def pairCos(a: Column, b: Column, an: Column, bn: Column): Column =
+      fold(zip_with(dec(a), dec(b), (x, y) => x * y)).cast("double") / (an * bn)
     val e = t(s, d, "embeddings")
+    // exchange: materializes the rounded array so projection collapse can't
+    // re-inline it into every one of the 8 pair rows
+    val eN = exchange(e.select(col("vec_id"), col("label"), col("embedding"),
+      rounded7(col("embedding")).as("r7")))
+      .withColumn("dn", sqrt(dot(s)(col("r7"), col("r7"))))
     val cen = broadcast(e
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         graft.ops.Text.h60(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h").asc, col("cid").asc).limit(NumCentroids)
-      .drop("h"))
-    val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
-    val asg = e.crossJoin(cen)
-      .withColumn("ccos", cosine(col("embedding"), col("cv")))
-      .withColumn("arn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .drop("h")
+      .select(col("cid"), col("cv"), sqrt(sqNorm(col("cv"))).as("cn"),
+        rounded7(col("cv")).as("rc")))
+      .withColumn("dcn", sqrt(dot(s)(col("rc"), col("rc"))))
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), sqrt(sqNorm(col("embedding"))).as("qn")))
+    // Assignment. Two cost levers keep the exact-decimal work off the n×8
+    // pair grid while matching the oracle's full decimal argmax:
+    //  1. the per-VECTOR norm cancels inside the per-vector argmax, so
+    //     ranking by exact dot/cn is the same ranking as exact cosine —
+    //     no vector-norm fold at all during assignment;
+    //  2. the codegen'd double cosine prefilters the 8 centroids to the
+    //     top 2 before the decimal pass — the decimal-best escapes the
+    //     double top-2 only if two others crowd within ~2e-9 of it
+    //     (the RefineK margin argument).
+    val wD = Window.partitionBy("vec_id").orderBy(col("dcos").desc, col("cid").asc)
+    val wX = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    val asg = eN.crossJoin(cen)
+      .withColumn("dcos", dot(s)(col("r7"), col("rc")) / (col("dn") * col("dcn")))
+      .withColumn("drn", row_number().over(wD))
+      .filter(col("drn") <= NumProbes)
+      .withColumn("ccos",
+        fold(zip_with(dec(col("embedding")), dec(col("cv")), (x, y) => x * y))
+          .cast("double") / col("cn"))
+      .withColumn("arn", row_number().over(wX))
       .filter(col("arn") === 1)
       .select("vec_id", "label", "embedding", "cid")
     val probes = broadcast(cen.crossJoin(q)
-      .withColumn("pcos", cosine(col("cv"), col("qv")))
+      .withColumn("pcos", pairCos(col("cv"), col("qv"), col("cn"), col("qn")))
       .orderBy(col("pcos").desc, col("cid").asc).limit(NumProbes)
       .select("cid"))
+    // the exact vector norm is computed only HERE, on the ~n×probes/lists
+    // rows that survive the probe filter
     asg.join(probes, "cid")
       .filter(col("vec_id") =!= 0)
       .crossJoin(q)
       .select(col("vec_id"), col("label"),
-        cosine(col("embedding"), col("qv")).as("cos_sim"))
+        pairCos(col("embedding"), col("qv"),
+          sqrt(sqNorm(col("embedding"))), col("qn")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
