@@ -193,6 +193,34 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  // --------------------------------------------------------------------
+  // stream_interval_join — the stream-stream join shape: each purchase
+  // matched to the same user's clicks in the preceding 10 minutes. Batch
+  // twin of Streams.intervalJoin (where watermarks bound both sides'
+  // buffered state). Plan: equi-join on user_id with the time-range
+  // residual — one keyed shuffle, no quadratic blowup, because the range
+  // rides on the equi key.
+  // --------------------------------------------------------------------
+  private val intervalJoin = Op("stream_interval_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS delay_ms
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
+      |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    p.join(c, Seq("user_id"))
+      .filter(col("cts") <= col("pts")
+        && col("cts") > col("pts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_millis(col("pts")) - unix_millis(col("cts"))).as("delay_ms"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental,
-    funnel, retention)
+    funnel, retention, intervalJoin)
 }

@@ -55,6 +55,28 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (twin of the batch stream_interval_join):
+    * purchases matched to the same user's clicks in the preceding
+    * `window`. BOTH sides carry watermarks and the join condition bounds
+    * event time in both directions — that pair of constraints is what lets
+    * Structured Streaming expire buffered rows (click state older than
+    * watermark + window drops), keeping state bounded on unbounded inputs.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "10 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+    p.join(c, col("p_user") === col("c_user")
+        && col("cts") <= col("pts")
+        && col("cts") > col("pts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        (unix_millis(col("pts")) - unix_millis(col("cts"))).as("delay_ms"))
+  }
+
   /** Stream→table upsert: apply the engine's keyed last-writer-wins merge
     * ([[graft.engine.Sinks.upsert]], reference R13 semantics) to every
     * micro-batch via foreachBatch. `readTable`/`writeTable` abstract the

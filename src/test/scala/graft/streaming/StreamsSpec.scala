@@ -99,6 +99,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join matches purchases to preceding clicks, two live streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.intervalJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("t_ij")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Seq(
+        ev(10, 1, "click", "2024-01-01 10:00:00", 1.0),
+        ev(11, 1, "click", "2024-01-01 10:08:00", 1.0),
+        ev(12, 2, "click", "2024-01-01 10:00:00", 1.0)))
+      purchases.addData(Seq(
+        // user 1 purchase at 10:09 → joins clicks at 10:00 (9min) and 10:08 (1min)
+        ev(20, 1, "purchase", "2024-01-01 10:09:00", 5.0),
+        // user 2 purchase at 10:30 → its only click is 30min stale, no match
+        ev(21, 2, "purchase", "2024-01-01 10:30:00", 5.0)))
+      q.processAllAvailable()
+      val out = spark.table("t_ij").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      out.toSet shouldBe Set((20L, 10L, 540000L), (20L, 11L, 60000L))
+    } finally q.stop()
+  }
+
   test("dedup within watermark drops replayed event_ids") {
     val out = runStream(OutputMode.Append(), "t_dedup",
       df => Streams.dedup(df),
