@@ -342,9 +342,27 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // Filtered + boolean aggregates: COUNT(*) FILTER / bool_or / bool_and —
+  // the conditional-aggregation surface (equivalent to SUM(CASE...) but
+  // first-class). All algebraic, map-side combining.
+  private val aggFiltered = Op("agg_filtered",
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 50000) AS n_big,
+      |  bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    t(s, d, "orders").groupBy("o_orderstatus")
+      .agg(count_if(col("o_totalprice") > 50000).as("n_big"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("has_urgent"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   val ops: Seq[Op] = Seq(
     aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
-    aggPivot, aggPercentile, aggCollect, aggStats, aggMode,
+    aggPivot, aggPercentile, aggCollect, aggStats, aggMode, aggFiltered,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
     subqueryScalar,
   )

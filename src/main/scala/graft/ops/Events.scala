@@ -217,7 +217,7 @@ object Events {
       .filter(col("cts") <= col("pts")
         && col("cts") > col("pts") - expr("INTERVAL 10 MINUTES"))
       .select(col("purchase_id"), col("click_id"), col("user_id"),
-        (unix_millis(col("pts")) - unix_millis(col("cts"))).as("delay_ms"))
+        (unix_millis(col("pts").cast("timestamp")) - unix_millis(col("cts").cast("timestamp"))).as("delay_ms"))
       .orderBy("purchase_id", "click_id")
   }
 

@@ -116,9 +116,9 @@ object Pipeline {
   // text and counts; swap patterns freely at deployment.) Scan-stage
   // string work; the verified output carries md5(redacted), not the text.
   // --------------------------------------------------------------------
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private val LongNumRe = "\\d{6,}"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val LongNumRe = "\\d{6,}"
 
   private val piiRedact = Op("pii_redact", {
     // single-quoted SQL strings: DuckDB keeps backslashes literal, so the

@@ -160,6 +160,40 @@ object SinkOps {
       .orderBy("o_orderkey")
   }
 
+  // --------------------------------------------------------------------
+  // CSV / JSON source round-trips — the non-parquet text formats a real
+  // ingestion surface needs (the reference's analog: whatever JDBC hands
+  // it). Write a slice out in the format, read it back with an EXPLICIT
+  // schema (schema inference is a second pass over the data — never at
+  // 100 TB), verify against the plain parquet slice. Spark writes doubles
+  // as shortest-round-trip decimal strings, so numeric columns survive
+  // text round-trips bit-exactly.
+  // --------------------------------------------------------------------
+  private val sliceSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderkey <= 5000
+      |ORDER BY o_orderkey""".stripMargin
+  private def slice(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .filter(col("o_orderkey") <= 5000)
+
+  private val scanCsv = Op("scan_csv_roundtrip", sliceSql) { (s, d) =>
+    val path = freshScratch("scan_csv")
+    val df = slice(s, d)
+    df.write.option("header", "true").csv(path)
+    s.read.option("header", "true").schema(df.schema).csv(path)
+      .orderBy("o_orderkey")
+  }
+
+  private val scanJson = Op("scan_json_roundtrip", sliceSql) { (s, d) =>
+    val path = freshScratch("scan_json")
+    val df = slice(s, d)
+    df.write.json(path)
+    s.read.schema(df.schema).json(path)
+      .orderBy("o_orderkey")
+  }
+
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
-    sinkPartitioned, etlPipeline)
+    sinkPartitioned, etlPipeline, scanCsv, scanJson)
 }

@@ -74,7 +74,7 @@ object Streams {
         && col("cts") <= col("pts")
         && col("cts") > col("pts") - expr(s"INTERVAL $window"))
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
-        (unix_millis(col("pts")) - unix_millis(col("cts"))).as("delay_ms"))
+        (unix_millis(col("pts").cast("timestamp")) - unix_millis(col("cts").cast("timestamp"))).as("delay_ms"))
   }
 
   /** Stream→table upsert: apply the engine's keyed last-writer-wins merge
