@@ -211,8 +211,51 @@ object Functions {
       .orderBy("o_orderkey")
   }
 
+  // fn_timestamp_fmt — timestamp formatting + epoch conversions (the
+  // other half of the fn_date surface): pattern-formatted strings and
+  // millisecond epochs. Patterns differ per engine (JDK vs strftime), so
+  // each side spells its own dialect of the SAME format; epoch_ms is
+  // exact integer arithmetic on both.
+  private val fnTimestampFmt = Op("fn_timestamp_fmt",
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      |  epoch_ms(o_orderdate) AS ts_ms
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val ts = col("o_orderdate")
+    t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(ts, "yyyy-MM-dd").as("d_str"),
+        date_format(ts, "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        unix_millis(ts.cast("timestamp")).as("ts_ms"))
+      .orderBy("o_orderkey")
+  }
+
+  // win_frame_time — time-RANGE window frame: per-customer trailing-30-day
+  // revenue, ordered by order date. RANGE frames are peer-inclusive, so
+  // the frame SET (all orders within [t-30d, t]) is partition-order
+  // independent and the decimal sum is deterministic without a unique
+  // tiebreak. Goes through spark.sql — interval RANGE bounds are
+  // SQL-only surface (also the R2 raw-SQL parity path).
+  private val winFrameTime = Op("win_frame_time",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_30d
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
-    fnExplode, fnBitwise,
+    fnExplode, fnBitwise, fnTimestampFmt, winFrameTime,
   )
 }
