@@ -194,6 +194,35 @@ object SinkOps {
       .orderBy("o_orderkey")
   }
 
+  // --------------------------------------------------------------------
+  // sink_bucketed — hash-bucketed table layout + shuffle-free aggregation:
+  // orders written bucketed by o_custkey (8 buckets, bucket-sorted), then
+  // aggregated on the bucket key. The on-disk layout IS the hash
+  // partitioning, so the aggregate's required distribution is already
+  // satisfied — NO exchange before the HashAggregate (PlanAuditSpec pins
+  // this). At 100 TB a fact table bucketed on its hot key pays the
+  // shuffle once at write time and never again across every downstream
+  // aggregate/join on that key (a join partner either broadcasts,
+  // shuffles to match the buckets, or is bucketed the same way).
+  // --------------------------------------------------------------------
+  private val sinkBucketed = Op("sink_bucketed",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val table = "graft_bucketed_orders"
+    val path = freshScratch("sink_bucketed") + "/orders"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", path).format("parquet").mode("overwrite")
+      .saveAsTable(table)
+    s.table(table)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_custkey")
+  }
+
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
-    sinkPartitioned, etlPipeline, scanCsv, scanJson)
+    sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson)
 }

@@ -75,4 +75,13 @@ class PlanAuditSpec extends SparkSpec {
   test("join_skew_salted actually joins on the salt key") {
     planOf("join_skew_salted") should include("__salt")
   }
+
+  test("sink_bucketed: bucket layout replaces the aggregation shuffle") {
+    val plan = SparkEntry.queries("sink_bucketed")(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should include("Bucketed: true")
+    // the only exchange is the final ORDER BY's range partitioning — the
+    // aggregate's hash distribution comes from the bucket layout
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
 }
