@@ -211,6 +211,27 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // The percentile SCALE path: agg_percentile's exact interpolation buffers
+  // every group value (fine for verification, wrong at 100 TB); the
+  // production form is the mergeable t-digest-style sketch. Sketch values
+  // differ across engines, so — like agg_approx_distinct — the oracle pins
+  // the accuracy contract (within 5% of exact) and hash-verifies the exact
+  // values it is judged against.
+  private val aggPercentileApprox = Op("agg_percentile_approx",
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS p50_exact,
+      |  true AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val price = col("l_extendedprice").cast(DecimalType(18, 2)).cast("double")
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(percentile(price, lit(0.5)).as("p50_exact"),
+        percentile_approx(price, lit(0.5), lit(1000)).as("p50_approx"))
+      .select(col("l_returnflag"), col("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          abs(col("p50_exact")) * 0.05).as("approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
   private val winNtile = Op("win_ntile",
     """SELECT o_orderkey, o_custkey,
       |  ntile(4) OVER (PARTITION BY o_orderstatus
@@ -362,7 +383,8 @@ object Aggregates {
 
   val ops: Seq[Op] = Seq(
     aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
-    aggPivot, aggPercentile, aggCollect, aggStats, aggMode, aggFiltered,
+    aggPivot, aggPercentile, aggPercentileApprox, aggCollect, aggStats,
+    aggMode, aggFiltered,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
     subqueryScalar,
   )

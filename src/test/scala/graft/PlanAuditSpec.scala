@@ -76,6 +76,39 @@ class PlanAuditSpec extends SparkSpec {
     planOf("join_skew_salted") should include("__salt")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
+    // the 100 TB pattern: fact partitioned on the join dimension, dim
+    // carries the selective filter — DPP turns the dim filter into a
+    // runtime partition filter on the fact scan, skipping whole
+    // directories before any I/O
+    val scratch = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      val fact = SparkEntry.queries("scan_parquet")(spark, dir)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      fact.write.partitionBy("l_returnflag").mode("overwrite").parquet(scratch)
+      // the dim must be a FILE-backed relation: a local collection folds
+      // its filter at plan time, leaving DPP no selective predicate
+      spark.createDataFrame(Seq(("A", "returned"), ("N", "kept"),
+          ("R", "refused"))).toDF("flag", "label")
+        .write.mode("overwrite").parquet(s"$scratch-dim")
+      import org.apache.spark.sql.functions.{broadcast, col => c}
+      val dim = spark.read.parquet(s"$scratch-dim")
+      val joined = spark.read.parquet(scratch)
+        .join(broadcast(dim.filter(c("label") === "kept")),
+          c("l_returnflag") === c("flag"))
+      val plan = joined.queryExecution.executedPlan.toString
+      plan.toLowerCase should include("dynamicpruning")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(scratch, s"$scratch-dim")
+        .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
+        .foreach { p =>
+          java.nio.file.Files.walk(p).iterator().asScala
+            .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    }
+  }
+
   test("sink_bucketed: bucket layout replaces the aggregation shuffle") {
     val plan = SparkEntry.queries("sink_bucketed")(spark, dir)
       .queryExecution.executedPlan.toString
