@@ -381,7 +381,27 @@ object Aggregates {
       .orderBy("o_orderstatus")
   }
 
+  // The custom-UDAF registration path, oracle-checked end-to-end: the
+  // typed Aggregator (engine.Udfs.minhash_agg — mergeable running min, so
+  // Spark executes it partial+final like a built-in) aggregates the
+  // md5-derived 60-bit text hash per language; the oracle computes the
+  // same MIN over the same portable hash.
+  private val aggCustomUdaf = Op("agg_custom_udaf",
+    s"""SELECT lang,
+       |  MIN(${graft.ops.Text.h60Sql("text")}) AS min_hash,
+       |  COUNT(*) AS n
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    graft.engine.Udfs.register(s)
+    t(s, d, "documents")
+      .select(col("lang"), graft.ops.Text.h60(col("text")).as("h"))
+      .groupBy("lang")
+      .agg(call_function("minhash_agg", col("h")).as("min_hash"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+  }
+
   val ops: Seq[Op] = Seq(
+    aggCustomUdaf,
     aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
     aggPivot, aggPercentile, aggPercentileApprox, aggCollect, aggStats,
     aggMode, aggFiltered,

@@ -254,8 +254,27 @@ object Functions {
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  // fn_try — error-safe expression surface (ANSI-adjacent): casts and
+  // divisions that return NULL instead of failing the job. At 100 TB one
+  // malformed row must not kill a 6-hour pipeline; try_* turns data errors
+  // into per-row nulls a later audit query can count.
+  private val fnTry = Op("fn_try",
+    """SELECT o_orderkey,
+      |  TRY_CAST(o_orderpriority AS INTEGER) AS pri_bad,
+      |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+      |  o_totalprice / nullif(o_orderkey % 3, 0) AS ratio_or_null
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("try_cast(o_orderpriority AS INT)").as("pri_bad"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_num"),
+        try_divide(col("o_totalprice"),
+          nullif(col("o_orderkey") % 3, lit(0))).as("ratio_or_null"))
+      .orderBy("o_orderkey")
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
-    fnExplode, fnBitwise, fnTimestampFmt, winFrameTime,
+    fnExplode, fnBitwise, fnTimestampFmt, winFrameTime, fnTry,
   )
 }

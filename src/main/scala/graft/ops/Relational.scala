@@ -357,11 +357,32 @@ object Relational {
     segA(s, d).except(segB(s, d)).orderBy("c_custkey")
   }
 
+  // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys MATCH each
+  // other instead of dropping out — the semantics merge/upsert pipelines
+  // need when the business key is nullable. EqualNullSafe is hashable, so
+  // Spark still plans a hash join (not a nested loop).
+  private val joinNullsafe = Op("join_nullsafe",
+    """SELECT c_custkey, o_orderkey FROM
+      |  (SELECT c_custkey, nullif(c_custkey % 7, 0) AS k
+      |   FROM customer WHERE c_custkey <= 200) c
+      |JOIN (SELECT o_orderkey, nullif(o_orderkey % 7, 0) AS k
+      |      FROM orders WHERE o_orderkey <= 1000) o
+      |  ON c.k IS NOT DISTINCT FROM o.k
+      |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), nullif(col("c_custkey") % 7, lit(0)).as("ck"))
+    val o = t(s, d, "orders").filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), nullif(col("o_orderkey") % 7, lit(0)).as("ok"))
+    c.join(o, c("ck") <=> o("ok"))
+      .select("c_custkey", "o_orderkey")
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("agg_group", aggGroupSql)(aggGroup),
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
-    joinCross, joinTheta, joinAsof, joinRangeBucketed,
+    joinCross, joinTheta, joinAsof, joinRangeBucketed, joinNullsafe,
     sortMulti, limitTopk, limitOffset, topkPerGroup,
     setUnion, setIntersect, setExcept,
   )
