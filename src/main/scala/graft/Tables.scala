@@ -24,13 +24,16 @@ object Tables {
     *
     * The flag is an all-or-nothing SESSION config (no per-read option
     * exists), so library entry points (Verify/Bench/Explain, tests) set it
-    * at session construction. As a fallback for driver-owned sessions we
-    * set it here too — but only when loading `events` (the sole
-    * ns-timestamp table) and only if the caller hasn't set it, keeping the
-    * loader side-effect-free on every other path. */
+    * at session construction via [[Graft.configure]]. As a fallback for
+    * driver-owned sessions we set it here too — but only when loading
+    * `events` (the sole ns-timestamp table) and only if the caller hasn't
+    * EXPLICITLY set the flag either way (sessionState.conf.contains sees
+    * only explicit entries, not the registered default), keeping the
+    * loader side-effect-free on every other path and never overriding a
+    * deliberate `false`. */
   private val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events" && !spark.conf.getOption(NanosFlag).contains("true"))
+    if (name == "events" && !spark.sessionState.conf.contains(NanosFlag))
       spark.conf.set(NanosFlag, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))

@@ -140,8 +140,12 @@ object Dedup {
       // candidate label per vertex: min over neighbours' current labels
       val nbrMin = sym.join(labels.withColumnRenamed("v", "n"), "n")
         .groupBy("v").agg(min(col("lbl")).as("cand"))
+      // cached: the pointer-jump below self-joins prop on two DIFFERENT
+      // keys (v and lbl), so without the cache the neighbor-min aggregate
+      // subtree would execute twice per round (no exchange reuse applies)
       val prop = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+        .cache()
       // pointer-jump: also adopt the label OF the current label — halves
       // the remaining diameter each round, so convergence is O(log d)
       // rather than O(d) and the round cap is principled, not hopeful.
@@ -161,6 +165,7 @@ object Dedup {
       // round's cache entry is recompute-free.
       val lblSum = next.agg(sum(col("lbl").cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
+      if (next ne prop) prop.unpersist()
       labels.unpersist()
       labels = next
       converged = prevSum.contains(lblSum)

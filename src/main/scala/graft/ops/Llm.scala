@@ -287,7 +287,10 @@ object Llm {
        |asg AS (
        |  SELECT vec_id, label, embedding, cid FROM (
        |    SELECT e.vec_id, e.label, e.embedding, c.cid,
-       |      ${cosineSql("e.embedding", "c.cv")} AS ccos
+       |      CAST((SELECT SUM(${d97("e.embedding[i]")} * ${d97("c.cv[i]")})
+       |            FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)
+       |       / sqrt(CAST((SELECT SUM(${d97("c.cv[i]")} * ${d97("c.cv[i]")})
+       |            FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)) AS ccos
        |    FROM embeddings e, cen c)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -321,10 +324,13 @@ object Llm {
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), sqrt(sqNorm(col("embedding"))).as("qn")))
     // Assignment. Two cost levers keep the exact-decimal work off the n×8
-    // pair grid while matching the oracle's full decimal argmax:
+    // pair grid:
     //  1. the per-VECTOR norm cancels inside the per-vector argmax, so
     //     ranking by exact dot/cn is the same ranking as exact cosine —
-    //     no vector-norm fold at all during assignment;
+    //     no vector-norm fold at all during assignment. The ORACLE ranks
+    //     by the SAME dot/cn metric (not the vn-divided cosine): both
+    //     engines then compute the identical IEEE value, so even
+    //     rounding-induced ties resolve to the same centroid;
     //  2. the codegen'd double cosine prefilters the 8 centroids to the
     //     top 2 before the decimal pass — the decimal-best escapes the
     //     double top-2 only if two others crowd within ~2e-9 of it

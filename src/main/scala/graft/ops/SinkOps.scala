@@ -132,16 +132,23 @@ object SinkOps {
   // before any I/O — the dominant-filter-dimension layout at 100 TB).
   //
   // NOTE: building this op performs I/O (the partitioned write is the thing
-  // under test). Scratch is one FIXED absolute temp path, deleted before
-  // each write — repeated builds (Verify/Bench/Explain) reuse the same
-  // directory instead of leaking one copy of orders per invocation.
+  // under test). Scratch is one fixed PER-PROCESS temp path, deleted before
+  // each write — repeated builds within a JVM (Verify/Bench/Explain) reuse
+  // the same directory instead of leaking one copy per invocation, while
+  // the PID component keeps concurrent JVMs (a Bench racing a Verify) from
+  // deleting each other's in-flight data. Disk cost is bounded at one copy
+  // per process lifetime.
   private def freshScratch(sub: String): String = {
+    val pid = java.lang.ProcessHandle.current().pid()
     val root = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", sub)
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scratch_$pid", sub)
     if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
     }
     root.toString
   }

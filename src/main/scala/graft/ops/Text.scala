@@ -239,11 +239,15 @@ object Text {
       |  SELECT unnest(list_transform(
       |    range(0, greatest(len(string_split(text, ' ')) - 1, 1)),
       |    i -> array_to_string(list_slice(string_split(text, ' '), i+1, i+2), ' '))) AS gram
-      |  FROM documents)
+      |  FROM documents WHERE text IS NOT NULL)
       |SELECT gram, COUNT(*) AS n FROM grams
       |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin) { (s, d) =>
     val w = words(col("text"))
     t(s, d, "documents")
+      // NULL text filtered on BOTH sides: Spark's concat_ws would count a
+      // null doc's gram as "" while DuckDB's array_to_string yields NULL —
+      // excluding null docs keeps the engines symmetric
+      .filter(col("text").isNotNull)
       .select(explode(transform(
         sequence(lit(0), greatest(size(w) - 1, lit(1)) - 1),
         i => concat_ws(" ", slice(w, i + 1, lit(2))))).as("gram"))

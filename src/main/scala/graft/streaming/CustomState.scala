@@ -71,12 +71,17 @@ object CustomState {
                 // filters watermark-late input before the state function
                 // (verified by CustomStateSpec), so lastTs is normally >=
                 // watermark — but that invariant lives in the EXECUTION
-                // layer, not this function's contract (e.g. a caller
-                // without a watermark-filtered source, or state restored
+                // layer, not this function's contract (e.g. state restored
                 // across a gap change). Clamp to watermark+1: the session
                 // then times out at the next watermark advance, the right
                 // close for an already-expired gap. Defense in depth.
-                val wm = state.getCurrentWatermarkMs()
+                // getCurrentWatermarkMs itself THROWS when no watermark is
+                // defined (Spark supports flatMapGroupsWithState on BATCH
+                // Datasets, where withWatermark is erased) — in that mode
+                // there is no watermark to clamp against and timeouts never
+                // fire, so fall back to the raw timestamp.
+                val wm = scala.util.Try(state.getCurrentWatermarkMs())
+                  .getOrElse(Long.MinValue)
                 state.setTimeoutTimestamp(math.max(s.lastTs + GapMs, wm + 1))
               case None => if (state.exists) state.remove()
             }

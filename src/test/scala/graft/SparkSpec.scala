@@ -8,12 +8,10 @@ import org.scalatest.matchers.should.Matchers
   * the whole suite pays SparkSession startup once.
   */
 object SparkSpec {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Graft.configure(SparkSession.builder())
     .master("local[2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is ns (SURVEY 7.4)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -63,6 +63,22 @@ class CustomStateSpec extends SparkSpec {
     out.count(_ == ((1L, 1L, 1.0, "gap"))) shouldBe 2
   }
 
+  test("runs on a BATCH dataset, where no watermark exists to clamp against") {
+    // flatMapGroupsWithState is also a batch API; withWatermark is erased
+    // there and getCurrentWatermarkMs THROWS — the clamp must not call it
+    // unguarded. The third event leaves a session OPEN at end-of-data,
+    // which is exactly the path that sets a timeout.
+    implicit val s = spark
+    import spark.implicits._
+    val ds = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", 1.0),
+      ev(2, 1, "2024-01-01 10:05:00", 2.0),  // sum 3.0 >= cap → "cap" close
+      ev(3, 1, "2024-01-01 11:30:00", 0.5)). // new session, left open
+      toDS()
+    val out = sessionsWithCap(ds, 2.5).collect()
+    out.map(_.reason) should contain("cap")
+  }
+
   test("per-user state is independent") {
     val out = run(Seq(Seq(
       ev(1, 10, "2024-01-01 10:00:00", 60.0),
