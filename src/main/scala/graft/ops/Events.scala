@@ -221,6 +221,33 @@ object Events {
       .orderBy("purchase_id", "click_id")
   }
 
+  // Left-outer flavor: every purchase appears, matched or not — the
+  // attribution-report shape (unattributed purchases carry NULL click).
+  // In the streaming twin (Streams.intervalJoin with joinType=left_outer)
+  // the unmatched row is emitted once the watermark proves no click can
+  // still arrive.
+  private val intervalJoinLeft = Op("stream_interval_join_left",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS delay_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
+      |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cuid"), col("ts").as("cts"))
+    p.join(c, col("user_id") === col("cuid")
+        && col("cts") <= col("pts")
+        && col("cts") > col("pts") - expr("INTERVAL 10 MINUTES"), "left")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_millis(col("pts").cast("timestamp"))
+          - unix_millis(col("cts").cast("timestamp"))).as("delay_ms"))
+      .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_first)
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental,
-    funnel, retention, intervalJoin)
+    funnel, retention, intervalJoin, intervalJoinLeft)
 }

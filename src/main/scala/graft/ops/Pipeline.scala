@@ -171,6 +171,48 @@ object Pipeline {
       .orderBy("lang", "doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // curation_pipeline — the whole corpus-preparation flow composed as ONE
+  // lazy plan: normalize → length-filter → exact-dedup on the normalized
+  // hash → deterministic 50% sample → chunk accounting. This is the
+  // end-to-end shape a 100 TB curation run has: every stage before the
+  // dedup window is scan-stage narrow work, the dedup is the single keyed
+  // shuffle (on the fixed-width hash), and the sample predicate after it
+  // is free. Catalyst pipelines the narrow stages into one pass over the
+  // data — composing the operators costs nothing over running the last
+  // one.
+  // --------------------------------------------------------------------
+  private val curationPipeline = Op("curation_pipeline",
+    s"""WITH norm AS (
+       |  SELECT doc_id, lang,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |                        ' +', ' ', 'g')) AS ntext
+       |  FROM documents),
+       |tok AS (SELECT doc_id, lang, ntext,
+       |        len(string_split(ntext, ' ')) AS n_tok FROM norm),
+       |filt AS (SELECT * FROM tok WHERE n_tok BETWEEN 10 AND 2000),
+       |ded AS (SELECT * FROM filt
+       |        QUALIFY row_number() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) = 1),
+       |samp AS (SELECT * FROM ded
+       |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50)
+       |SELECT doc_id, lang, n_tok, (n_tok + 39) // 40 AS n_chunks
+       |FROM samp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ntext = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val w = Window.partitionBy("nhash").orderBy(col("doc_id").asc)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), ntext.as("ntext"))
+      .withColumn("n_tok", size(words(col("ntext"))))
+      .filter(col("n_tok").between(10, 2000))
+      .withColumn("nhash", md5(col("ntext")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .filter(h60(col("doc_id").cast("string")) % 100 < 50)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        ((col("n_tok") + 39) / 40).cast("long").as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
-    samplePerGroup)
+    samplePerGroup, curationPipeline)
 }

@@ -63,16 +63,19 @@ object Streams {
     * watermark + window drops), keeping state bounded on unbounded inputs.
     */
   def intervalJoin(clicks: DataFrame, purchases: DataFrame,
-      window: String = "10 minutes", watermark: String = "10 minutes"): DataFrame = {
+      window: String = "10 minutes", watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("cts"))
     val p = purchases.withWatermark("ts", watermark)
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("pts"))
+    // joinType=left_outer emits unmatched purchases (NULL click) once the
+    // watermark proves no qualifying click can still arrive
     p.join(c, col("p_user") === col("c_user")
         && col("cts") <= col("pts")
-        && col("cts") > col("pts") - expr(s"INTERVAL $window"))
+        && col("cts") > col("pts") - expr(s"INTERVAL $window"), joinType)
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         (unix_millis(col("pts").cast("timestamp")) - unix_millis(col("cts").cast("timestamp"))).as("delay_ms"))
   }
