@@ -10,17 +10,11 @@ class DeterminismSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // ops whose internals exercise the risky shapes: partial aggregation,
-  // windows, LSH banding, top-k ties, label propagation, decimal folds
-  private val sensitive = Seq(
-    "agg_group", "agg_percentile", "win_rank", "topk_per_group",
-    "dedup_minhash", "dedup_cluster", "sim_search", "stream_session",
-    "sink_upsert", "doc_fingerprint",
-    // round 3: hash sampling, moment stats, funnel joins, top-k grams —
-    // each combines partial aggregation or hash ranking with tie-bearing
-    // top-k/window shapes
-    "sample_stratified", "sample_per_group", "agg_stats", "event_funnel",
-    "text_ngram_freq", "tpch_q3", "vec_quantize")
+  // the ENTIRE declared inventory: every operator must reproduce
+  // bit-identically under a different parallelism — partial aggregation,
+  // windows, LSH banding, top-k ties, label propagation, decimal folds,
+  // hash sampling, sketch-gated outputs, sink round-trips included
+  private val sensitive: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   sensitive.foreach { name =>
     test(s"$name is bit-identical under different shuffle parallelism") {
