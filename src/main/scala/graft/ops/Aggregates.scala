@@ -400,8 +400,56 @@ object Aggregates {
       .orderBy("lang")
   }
 
+  // argmax/argmin with DETERMINISTIC ties: native max_by/arg_max break
+  // ties arbitrarily, so the comparator is a (value, unique-key) struct —
+  // lexicographic struct ordering makes the winner unique. Same trick on
+  // both engines.
+  private val aggMinmaxBy = Op("agg_minmax_by",
+    // DuckDB arg_max has no struct-comparator overload, so the oracle
+    // spells the SAME tie rule via row_number: max_by(k, (v, k)) = first
+    // row of ORDER BY v DESC, k DESC; min_by(k, (v, -k)) = first row of
+    // ORDER BY v ASC, k DESC.
+    """WITH ranked AS (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS r_top,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice ASC, o_orderkey DESC) AS r_bot
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |  MAX(CASE WHEN r_top = 1 THEN o_orderkey END) AS top_order,
+      |  MAX(CASE WHEN r_bot = 1 THEN o_orderkey END) AS bottom_order,
+      |  MAX(o_totalprice) AS top_price
+      |FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    t(s, d, "orders").groupBy("o_orderstatus")
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), (-col("o_orderkey")).as("nk"))).as("bottom_order"),
+        max(col("o_totalprice")).as("top_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // Fixed-width histogram: value → bucket via floor division, count per
+  // bucket — the groupBy form of a histogram is embarrassingly parallel
+  // (map-side combine carries one row per bucket).
+  private val aggHistogram = Op("agg_histogram",
+    """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .groupBy(floor(col("o_totalprice") / 20000).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("lo"),
+        max(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("hi"))
+      .orderBy("bucket")
+  }
+
   val ops: Seq[Op] = Seq(
-    aggCustomUdaf,
+    aggCustomUdaf, aggMinmaxBy, aggHistogram,
     aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
     aggPivot, aggPercentile, aggPercentileApprox, aggCollect, aggStats,
     aggMode, aggFiltered,

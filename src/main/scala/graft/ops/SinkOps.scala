@@ -230,6 +230,36 @@ object SinkOps {
       .orderBy("o_custkey")
   }
 
+  // --------------------------------------------------------------------
+  // scan_schema_evolution — schema drift: two batches of the same table
+  // land with DIFFERENT column sets (a new column appeared mid-stream, the
+  // normal state of a long-lived 100 TB dataset). mergeSchema=true unions
+  // the file schemas at read time; rows from the old batch surface NULL
+  // for the new column. Merge is a footer-only operation — no data pass.
+  // --------------------------------------------------------------------
+  private val scanSchemaEvolution = Op("scan_schema_evolution",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus, 1 AS batch
+      |  FROM orders WHERE o_orderkey <= 1000
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus, 2
+      |  FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+      |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = freshScratch("scan_schema_evolution") + "/orders"
+    val o = t(s, d, "orders")
+    // batch 1: the narrow historical schema
+    o.filter(col("o_orderkey") <= 1000).select("o_orderkey", "o_totalprice")
+      .write.parquet(s"$path/batch=1")
+    // batch 2: a column appeared
+    o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.parquet(s"$path/batch=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "batch")
+      .orderBy("o_orderkey")
+  }
+
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
-    sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson)
+    sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson,
+    scanSchemaEvolution)
 }
