@@ -435,16 +435,18 @@ object Aggregates {
   // bucket — the groupBy form of a histogram is embarrassingly parallel
   // (map-side combine carries one row per bucket).
   private val aggHistogram = Op("agg_histogram",
+    // min/max of doubles are order-INdependent (unlike sums), so no
+    // decimal round-trip is needed — the true bounds are reported exactly
     """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
       |  COUNT(*) AS n,
-      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
-      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+      |  MIN(o_totalprice) AS lo,
+      |  MAX(o_totalprice) AS hi
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
     t(s, d, "orders")
       .groupBy(floor(col("o_totalprice") / 20000).as("bucket"))
       .agg(count(lit(1)).as("n"),
-        min(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("lo"),
-        max(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("hi"))
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
       .orderBy("bucket")
   }
 
