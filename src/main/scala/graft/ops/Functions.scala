@@ -258,6 +258,9 @@ object Functions {
   // divisions that return NULL instead of failing the job. At 100 TB one
   // malformed row must not kill a 6-hour pipeline; try_* turns data errors
   // into per-row nulls a later audit query can count.
+  // Cost note: a FAILING try_cast pays a caught exception per row (this
+  // op's pri_bad column fails on every row by design, hence its bench
+  // time) — on real data the failure rate, and so the overhead, is small.
   private val fnTry = Op("fn_try",
     """SELECT o_orderkey,
       |  TRY_CAST(o_orderpriority AS INTEGER) AS pri_bad,
