@@ -276,8 +276,46 @@ object Functions {
       .orderBy("o_orderkey")
   }
 
+  // fn_variant — Spark 4's VARIANT type over the events JSON props:
+  // parse_json keeps the document in a typed binary form, variant_get
+  // extracts typed fields lazily — unlike from_json (fn_map_json) no
+  // schema is declared up front, the semi-structured analog of
+  // schema-on-read at 100 TB.
+  private val fnVariant = Op("fn_variant",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+      |  props IS NOT NULL AND json_valid(props) AS is_json
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    t(s, d, "events").createOrReplaceTempView("events")
+    s.sql(
+      // coalesce: on INVALID json try_parse_json is null and the bare
+      // comparison would yield NULL where DuckDB's json_valid says false
+      """SELECT event_id,
+        |  variant_get(parse_json(props), '$.k', 'int') AS k_int,
+        |  props IS NOT NULL
+        |    AND coalesce(is_variant_null(try_parse_json(props)) = false, false) AS is_json
+        |FROM events ORDER BY event_id""".stripMargin)
+  }
+
+  // fn_generate_series — date-spine generation via sequence+explode: one
+  // literal row explodes into the series, then joins/aggregates run
+  // distributed. This is the parallel-friendly series form (recursion —
+  // recursive_cte — is inherently sequential per step).
+  private val fnGenerateSeries = Op("fn_generate_series",
+    """SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+      |                              TIMESTAMP '1995-03-01', INTERVAL 1 DAY)) AS d
+      |ORDER BY d""".stripMargin) { (s, d) =>
+    t(s, d, "orders").sparkSession.range(1)
+      .select(explode(sequence(
+        lit("1995-01-01").cast("timestamp"),
+        lit("1995-03-01").cast("timestamp"),
+        expr("INTERVAL 1 DAY"))).as("d"))
+      .orderBy("d")
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
     fnExplode, fnBitwise, fnTimestampFmt, winFrameTime, fnTry,
+    fnVariant, fnGenerateSeries,
   )
 }

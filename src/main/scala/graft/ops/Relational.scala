@@ -378,8 +378,27 @@ object Relational {
       .orderBy("c_custkey", "o_orderkey")
   }
 
+  // Recursive CTE (Spark 4 WITH RECURSIVE): a weekly date spine generated
+  // by recursion, left-joined to orders so weeks with ZERO orders still
+  // appear — the calendar-fill report shape. Goes through spark.sql (the
+  // R2 raw-SQL parity path); recursion is driver-sequential per step, so
+  // the scalable twin for plain series is fn_generate_series — recursion
+  // earns its place when each step depends on the previous one.
+  private val recursiveCteSql =
+    """WITH RECURSIVE spine(d) AS (
+      |  SELECT TIMESTAMP '1995-01-02'
+      |  UNION ALL
+      |  SELECT d + INTERVAL 7 DAY FROM spine WHERE d < TIMESTAMP '1995-12-24')
+      |SELECT spine.d, COUNT(o_orderkey) AS n
+      |FROM spine LEFT JOIN orders ON date_trunc('week', o_orderdate) = spine.d
+      |GROUP BY spine.d ORDER BY spine.d""".stripMargin
+  private val recursiveCte = Op("recursive_cte", recursiveCteSql) { (s, d) =>
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(recursiveCteSql)
+  }
+
   val ops: Seq[Op] = Seq(
-    Op("agg_group", aggGroupSql)(aggGroup),
+    Op("agg_group", aggGroupSql)(aggGroup), recursiveCte,
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     joinCross, joinTheta, joinAsof, joinRangeBucketed, joinNullsafe,
