@@ -357,6 +357,27 @@ object Relational {
     segA(s, d).except(segB(s, d)).orderBy("c_custkey")
   }
 
+  // Name-based union across drifting schemas: batches with different
+  // column SETS union by column NAME, missing columns NULL-fill — the
+  // append-side twin of scan_schema_evolution's read-side merge. Spark's
+  // positional union would silently mis-align here.
+  private val setUnionByname = Op("set_union_byname",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey <= 500
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderpriority FROM orders
+      |  WHERE o_orderkey BETWEEN 501 AND 1000
+      |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+    val a = o.filter(col("o_orderkey") <= 500)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val b = o.filter(col("o_orderkey").between(501, 1000))
+      .select("o_orderkey", "o_orderpriority")
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys MATCH each
   // other instead of dropping out — the semantics merge/upsert pipelines
   // need when the business key is nullable. EqualNullSafe is hashable, so
@@ -403,6 +424,6 @@ object Relational {
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     joinCross, joinTheta, joinAsof, joinRangeBucketed, joinNullsafe,
     sortMulti, limitTopk, limitOffset, topkPerGroup,
-    setUnion, setIntersect, setExcept,
+    setUnion, setIntersect, setExcept, setUnionByname,
   )
 }
