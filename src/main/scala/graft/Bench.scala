@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is reported with `"failed"` status and a -1 timing,
   * and the process exits nonzero — a regression can't hide in a plausible
   * total.
+  *
+  * Each query is measured best-of-2: one-shot timings on a shared box showed
+  * 2–6× run-to-run spread (scheduler/contention noise large enough to hide a
+  * real 2× regression or flag a phantom one); the min of two runs tracks the
+  * plan's actual cost. Ops with side effects (sink_*) are drop-in rerunnable:
+  * they overwrite their own scratch, so run 2 measures the same work.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,14 +37,19 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          return -1.0
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once()
+      // best-of-2: a failure on either run fails the query
+      val best = if (first < 0) first else { val second = once(); if (second < 0) second else math.min(first, second) }
+      (name, best, best >= 0)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

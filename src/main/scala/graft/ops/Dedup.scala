@@ -165,6 +165,11 @@ object Dedup {
       // round's cache entry is recompute-free.
       val lblSum = next.agg(sum(col("lbl").cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
+      // a decimal overflow under non-ANSI mode would NULL the sum; two NULL
+      // rounds would then satisfy prevSum.contains(lblSum) and declare a
+      // FALSE convergence — fail loudly instead (unreachable at any
+      // realistic label magnitude, but the guard is free)
+      require(lblSum != null, "dedup_cluster: label-sum overflowed DECIMAL(38,0)")
       if (next ne prop) prop.unpersist()
       labels.unpersist()
       labels = next

@@ -289,9 +289,11 @@ object Functions {
     t(s, d, "events").createOrReplaceTempView("events")
     s.sql(
       // coalesce: on INVALID json try_parse_json is null and the bare
-      // comparison would yield NULL where DuckDB's json_valid says false
+      // comparison would yield NULL where DuckDB's json_valid says false.
+      // try_parse_json in k_int too: a malformed props row must yield a
+      // NULL field, not kill the job (the op's whole error-tolerance story).
       """SELECT event_id,
-        |  variant_get(parse_json(props), '$.k', 'int') AS k_int,
+        |  variant_get(try_parse_json(props), '$.k', 'int') AS k_int,
         |  props IS NOT NULL
         |    AND coalesce(is_variant_null(try_parse_json(props)) = false, false) AS is_json
         |FROM events ORDER BY event_id""".stripMargin)
@@ -305,7 +307,7 @@ object Functions {
     """SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
       |                              TIMESTAMP '1995-03-01', INTERVAL 1 DAY)) AS d
       |ORDER BY d""".stripMargin) { (s, d) =>
-    t(s, d, "orders").sparkSession.range(1)
+    s.range(1)
       .select(explode(sequence(
         lit("1995-01-01").cast("timestamp"),
         lit("1995-03-01").cast("timestamp"),

@@ -158,8 +158,11 @@ object Llm {
   // decimal one (elements quantized at 1e-7, dim 64), so a 1e-3 margin
   // can't lose a qualifying pair — results stay bit-exact while the Decimal
   // work drops from O(n²) to O(|candidates|).
-  // At 100 TB the candidate set must come from LSH banding instead of the
-  // n² prefilter — that path is dedup_minhash / the banded ANN op.
+  // ROLE AT SCALE: this op is the per-bucket VERIFICATION KERNEL — its
+  // declared contract (ALL pairs with cos >= thr) is inherently quadratic,
+  // so at 100 TB it runs only inside candidate buckets produced by banding.
+  // dedup_embed_banded below is the whole-corpus scale path: identical
+  // verification, candidates from sign-sketch LSH bands instead of n².
   // --------------------------------------------------------------------
   private val dedupEmbed = Op("dedup_embed",
     s"""WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings),
@@ -178,6 +181,70 @@ object Llm {
     val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
       col("r7").as("rb"), col("dn").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
+      .filter(dot(s)(col("ra"), col("rb")) / (col("na") * col("nb")) >= 0.4 - 1e-3)
+      .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= 0.4)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------------
+  // dedup_embed_banded — embedding near-dup detection, the 100 TB shape:
+  // candidates come from sign-sketch LSH BANDS (4 bands × 4 sign bits over
+  // fixed components; docs colliding in ≥1 band are candidates), then the
+  // exact-decimal cosine verifies cos >= 0.4 — the same banded plan as
+  // dedup_minhash/_simhash, applied to embeddings. The CONTRACT is
+  // band-recall (collide-in-a-band AND cos >= thr), so the oracle reproduces
+  // it exactly and the plan needs no all-pairs join: the only shuffles are
+  // the (band, hash) equi-join and the pair distinct. At scale: m bits/band
+  // shrink buckets geometrically (random pairs collide per band at 2^-m,
+  // near-dups at agreement^m), and candidate verification stays the
+  // dedup_embed kernel — double prefilter, decimal decide.
+  // --------------------------------------------------------------------
+  private val EBands = 4
+  private val EBandBits = 4 // band b reads components 16b+1 .. 16b+4
+
+  private def ebandHash(e: Column, b: Int): Column =
+    (0 until EBandBits).map { i =>
+      when(element_at(e, 16 * b + i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  // b stays a column on the oracle side (DuckDB indexes with expressions)
+  private val ebandHashSql: String =
+    (0 until EBandBits).map { i =>
+      s"CASE WHEN embedding[16*b + ${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+
+  private val dedupEmbedBanded = Op("dedup_embed_banded",
+    s"""WITH bands AS (
+       |  SELECT vec_id, embedding, b, $ebandHashSql AS bh
+       |  FROM embeddings, (SELECT unnest(range(0, $EBands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       |    a.embedding AS ea, c.embedding AS eb
+       |  FROM bands a JOIN bands c
+       |    ON a.b = c.b AND a.bh = c.bh AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS cos_sim
+       |FROM cand
+       |WHERE ${cosineSql("ea", "eb")} >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // exchange: parallelism for the sketch work + materialization barrier so
+    // r7/dn are computed once per vector, not re-inlined per band row
+    val e = exchange(t(s, d, "embeddings").select(
+        col("vec_id"), col("embedding"), rounded7(col("embedding")).as("r7")))
+      .withColumn("dn", sqrt(dot(s)(col("r7"), col("r7"))))
+    val bands = e.select(col("vec_id"), col("embedding"), col("r7"), col("dn"),
+        explode(array((0 until EBands).map(b =>
+          struct(lit(b).as("b"), ebandHash(col("embedding"), b).as("bh"))): _*)).as("band"))
+      .select(col("vec_id"), col("embedding"), col("r7"), col("dn"),
+        col("band.b").as("b"), col("band.bh").as("bh"))
+    val a = bands.select(col("b"), col("bh"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("r7").as("ra"), col("dn").as("na"))
+    val c = bands.select(col("b"), col("bh"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("r7").as("rb"), col("dn").as("nb"))
+    val cand = a.join(c, Seq("b", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ea", "eb", "ra", "rb", "na", "nb").distinct()
+    cand
       .filter(dot(s)(col("ra"), col("rb")) / (col("na") * col("nb")) >= 0.4 - 1e-3)
       .withColumn("cos_sim", cosine(col("ea"), col("eb")))
       .filter(col("cos_sim") >= 0.4)
@@ -460,6 +527,6 @@ object Llm {
   }
 
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
-    multimodalCols, simSearchBucketed, simSearchIvf, multimodalDecode,
-    embedNormalize, vecQuantize)
+    dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
+    multimodalDecode, embedNormalize, vecQuantize)
 }

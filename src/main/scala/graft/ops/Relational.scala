@@ -314,6 +314,28 @@ object Relational {
       .offset(100).limit(50)
   }
 
+  // Keyset pagination — the scale twin of limit_offset: the client passes
+  // the last row of the previous page (price, key) and the next page is a
+  // pushed RANGE PREDICATE + top-k, not a global sort that materializes and
+  // skips `offset` rows. OFFSET n at 100 TB still sorts/skips n rows on the
+  // driver path; keyset stays O(page) per page at any depth, the predicate
+  // reaches the parquet scan (PushedFilters), and row-group/page statistics
+  // prune unread data. The descending (price, key) order makes "after
+  // (P, K)" ≡ price < P OR (price = P AND key > K).
+  private val KeysetLastPrice = 400000.0
+  private val KeysetLastKey = 0L
+  private val limitKeyset = Op("limit_keyset",
+    s"""SELECT o_orderkey, o_totalprice FROM orders
+       |WHERE o_totalprice < $KeysetLastPrice
+       |   OR (o_totalprice = $KeysetLastPrice AND o_orderkey > $KeysetLastKey)
+       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin) { (s, d) =>
+    t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      .filter(col("o_totalprice") < KeysetLastPrice
+        || (col("o_totalprice") === KeysetLastPrice && col("o_orderkey") > KeysetLastKey))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(50)
+  }
+
   private val topkPerGroup = Op("topk_per_group",
     """SELECT * FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -423,7 +445,7 @@ object Relational {
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     joinCross, joinTheta, joinAsof, joinRangeBucketed, joinNullsafe,
-    sortMulti, limitTopk, limitOffset, topkPerGroup,
+    sortMulti, limitTopk, limitOffset, limitKeyset, topkPerGroup,
     setUnion, setIntersect, setExcept, setUnionByname,
   )
 }

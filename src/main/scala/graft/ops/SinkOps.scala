@@ -137,7 +137,11 @@ object SinkOps {
   // the same directory instead of leaking one copy per invocation, while
   // the PID component keeps concurrent JVMs (a Bench racing a Verify) from
   // deleting each other's in-flight data. Disk cost is bounded at one copy
-  // per process lifetime.
+  // per process lifetime. INTRA-JVM assumption: op builds are sequential
+  // (Verify/Bench/Explain all iterate serially; ScalaTest runs suites in one
+  // thread here) — two concurrent builds of the SAME op inside one JVM would
+  // delete each other's in-flight writes; add an invocation counter suffix
+  // if parallel op builds ever become a thing.
   private def freshScratch(sub: String): String = {
     val pid = java.lang.ProcessHandle.current().pid()
     val root = java.nio.file.Paths.get(

@@ -26,7 +26,18 @@ package object ops {
     *     re-inlining an expensive sketch expression into EVERY downstream
     *     reference (e.g. once per LSH band). An exchange materializes the
     *     computed columns so each sketch is evaluated exactly once per row.
+    *
+    * Partition count: the session's `spark.sql.shuffle.partitions` — the
+    * same width every other shuffle in the plan uses, so a harness (or a
+    * 1000-executor deployment) that pins shuffle width governs this
+    * exchange too, rather than the repartition fighting it with the local
+    * core count.
     */
-  def exchange(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def exchange(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val n = s.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption) // non-numeric (e.g. "auto") → core-count fallback
+      .getOrElse(s.sparkContext.defaultParallelism)
+    df.repartition(n)
+  }
 }

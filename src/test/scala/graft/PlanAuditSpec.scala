@@ -41,11 +41,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup ops contain no cartesian product") {
-    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram").foreach { name =>
-      withClue(name) {
-        planOf(name) should not include "CartesianProduct"
+    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "dedup_embed_banded")
+      .foreach { name =>
+        withClue(name) {
+          val plan = planOf(name)
+          plan should not include "CartesianProduct"
+          plan should not include "BroadcastNestedLoopJoin"
+        }
       }
-    }
+  }
+
+  test("limit_keyset pushes the range predicate and avoids the global sort+skip") {
+    val plan = planOf("limit_keyset")
+    plan should include("TakeOrderedAndProject")
+    // the keyset predicate must reach the parquet scan as an Or filter —
+    // the whole point vs limit_offset's sort-then-skip
+    plan should include("PushedFilters: [Or(")
   }
 
   test("operators keep UDFs off the hot path (vec_dot excepted by design)") {
