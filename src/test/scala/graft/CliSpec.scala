@@ -1,0 +1,91 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+import org.apache.spark.sql.functions._
+
+/** Scripted-stdin walk of the interactive console front-end — the
+  * reference's actual UX (prompt loops, pickers, transform dialogs,
+  * reference: src/etl/ETLProcess.java:29-53,77-140,313-386) driven
+  * end-to-end, including the re-prompt validation (R17, :98-102,133-137)
+  * and the PK-mapping hard error (:336-342).
+  */
+class CliSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def runCli(lines: String*): (org.apache.spark.sql.DataFrame, String) = {
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    val df = Cli.run(spark, dir, lines.iterator, out)
+    (df, buf.toString("UTF-8"))
+  }
+
+  test("full dialog: pick table with re-prompt, map, uppercase, keyed upsert") {
+    val (df, console) = runCli(
+      "2",                      // source: pick a table
+      "nope",                   // invalid → re-prompt (R17)
+      "customer",               // valid source table
+      "c_custkey, c_name, bogus", // bogus filtered, two valid survive
+      "no_such_table",          // invalid destination → re-prompt (R17)
+      "customer",               // valid destination
+      "c_custkey",              // map c_custkey → c_custkey (PK)
+      "c_name",                 // map c_name → c_name
+      "5",                      // c_custkey: no transform
+      "2",                      // c_name: uppercase
+      "c_name",                 // ordering column for last-writer-wins
+    )
+    // re-prompt messages surfaced for both pickers
+    console should include("Table 'nope' does not exist.")
+    console should include("Table 'no_such_table' does not exist.")
+    console should include("Primary keys: c_custkey")
+    // every key collides, so the upsert replaces all 150 rows with the
+    // transformed incoming rows — count unchanged, names uppercased
+    val rows = df.orderBy("c_custkey").collect()
+    rows.length shouldBe 150
+    all(rows.map(_.getString(1))) should startWith("CUSTOMER#")
+  }
+
+  test("unmapped primary key is a hard error, not a silent skip") {
+    val e = intercept[IllegalArgumentException] {
+      runCli(
+        "2", "customer", "c_custkey, c_name",
+        "customer",
+        "",       // skip c_custkey — the PK!
+        "c_name", // map only c_name
+        // dialog dies at mapColumns before transforms are requested
+      )
+    }
+    e.getMessage should include("c_custkey")
+  }
+
+  test("raw-SQL source path feeds the same mapping/load pipeline (R2)") {
+    val (df, _) = runCli(
+      "1",                                             // source: raw SQL
+      "SELECT r_regionkey, r_name FROM region",        // executed by Spark SQL
+      "region",                                        // destination
+      "r_regionkey", "r_name",                         // identity mapping
+      "5", "1",                                        // none, lowercase
+      "r_regionkey",                                   // ordering column
+    )
+    val names = df.select("r_name").collect().map(_.getString(0)).toSet
+    names should contain("africa") // lowercased by the transform
+    df.count() shouldBe 5
+  }
+
+  test("unknown destination column warns and skips; junk menu input re-prompts") {
+    val (df, console) = runCli(
+      "x",      // junk menu input → re-prompt
+      "2", "region", "r_regionkey, r_name",
+      "region",
+      "r_regionkey",
+      "r_wrong", // unknown destination col → warn + skip... but then PK ok
+      "5",       // r_regionkey: no transform
+      "r_regionkey",
+    )
+    console should include("Not a number.")
+    console should include("Destination column 'r_wrong' does not exist. Skipping.")
+    df.columns.toSeq shouldBe Seq("r_regionkey")
+    df.count() shouldBe 5
+  }
+}

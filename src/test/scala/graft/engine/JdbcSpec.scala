@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Live-JDBC integration tests against EMBEDDED Derby (ships in
+  * /opt/spark/jars — no network, no server). The reference's entire runtime
+  * surface is JDBC (reference: src/etl/ETLProcess.java:66-75 connect,
+  * :163-164 query, :208-282 batched load); these tests drive the real
+  * `Sources.jdbcTable` / `jdbcQuery` / `jdbcAppend` code paths against a
+  * live database, not just their option wiring.
+  *
+  * Identifier note: Spark's JDBC writer creates columns with QUOTED names
+  * (DerbyDialect.quoteIdentifier), so raw pass-through SQL must quote
+  * column references — unquoted identifiers uppercase in Derby and would
+  * not resolve.
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  // keep derby.log (and any on-disk db) out of the repo working dir
+  System.setProperty("derby.system.home",
+    java.nio.file.Files.createTempDirectory("graft_derby").toString)
+
+  private val cfg = Sources.JdbcConfig(
+    url = "jdbc:derby:memory:graftdb;create=true", user = "app", password = "app")
+
+  private def people = Seq(
+    (1L, "alice", 10.5), (2L, "bob", 20.25), (3L, "carol", 30.0), (4L, "dave", 0.75))
+    .toDF("id", "name", "v")
+
+  test("jdbcAppend creates the table and jdbcTable reads it back (R1/R16)") {
+    Sources.jdbcAppend(people, cfg, "people_rt")
+    val back = Sources.jdbcTable(spark, cfg, "people_rt")
+    back.schema.fieldNames.toSeq shouldBe Seq("id", "name", "v")
+    rowSet(back) shouldBe rowSet(people)
+  }
+
+  test("jdbcAppend appends on reload — the reference's repeated batch-load semantics") {
+    // batchSize=2 forces multiple executeBatch round trips per task,
+    // mirroring the reference's MAX_BATCH_SIZE flushes (ETLProcess.java:263-267)
+    Sources.jdbcAppend(people, cfg, "people_app", batchSize = 2)
+    Sources.jdbcAppend(people, cfg, "people_app", batchSize = 2)
+    Sources.jdbcTable(spark, cfg, "people_app").count() shouldBe 8
+  }
+
+  test("jdbcQuery pushes raw SQL to the database verbatim (R2)") {
+    Sources.jdbcAppend(people, cfg, "people_q")
+    val q = Sources.jdbcQuery(spark, cfg,
+      """SELECT "id", "v" FROM people_q WHERE "v" > 10""")
+    rowSet(q) shouldBe Set(Seq(1L, 10.5), Seq(2L, 20.25), Seq(3L, 30.0))
+  }
+
+  test("partitionColumn turns the serial cursor into parallel range scans") {
+    Sources.jdbcAppend(people, cfg, "people_part")
+    val part = Sources.jdbcTable(spark, cfg, "people_part",
+      partitionColumn = Some("id"), lowerBound = 1, upperBound = 5, numPartitions = 2)
+    // the scale contract: N partitions = N independent range queries
+    part.rdd.getNumPartitions shouldBe 2
+    rowSet(part) shouldBe rowSet(people)
+  }
+
+  test("filters on a jdbc read push down into the database scan") {
+    Sources.jdbcAppend(people, cfg, "people_push")
+    val read = Sources.jdbcTable(spark, cfg, "people_push").filter(col("v") > 10)
+    // pushed to the DB: the predicate appears in PushedFilters, and only
+    // matching rows cross the wire
+    read.queryExecution.executedPlan.toString should include("GreaterThan(v,10.0)")
+    read.count() shouldBe 3
+  }
+}

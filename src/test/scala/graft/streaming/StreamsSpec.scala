@@ -11,11 +11,17 @@ import graft.SparkSpec
   * windows aggregate correctly, watermark advancement closes sessions,
   * dedup-within-watermark drops replays.
   */
+/** Top-level (not spec-private): a private inner case class is invisible to
+  * Janino, so the Encoder's codegen'd projection fails to compile and every
+  * MemoryStream.addData falls back to the interpreted path with a WARN. */
+case class StreamsSpecEv(event_id: Long, user_id: Long, event_type: String,
+    ts: Timestamp, value: Double, props: String)
+
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class Ev(event_id: Long, user_id: Long, event_type: String,
-      ts: Timestamp, value: Double, props: String)
+  private type Ev = StreamsSpecEv
+  private val Ev = StreamsSpecEv
 
   private def ev(id: Long, user: Long, tpe: String, t: String, v: Double) =
     Ev(id, user, tpe, Timestamp.valueOf(t), v, "{}")
@@ -120,6 +126,78 @@ class StreamsSpec extends SparkSpec {
       val out = spark.table("t_ij").collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
       out.toSet shouldBe Set((20L, 10L, 540000L), (20L, 11L, 60000L))
+    } finally q.stop()
+  }
+
+  test("left-outer interval join withholds unmatched purchases until the watermark proves no click can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.intervalJoin(clicks.toDF(), purchases.toDF(),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("t_ij_left")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 5 purchases at 10:00 and NO click for user 5 ever arrives;
+      // a user-9 click initializes the click-side watermark
+      clicks.addData(Seq(ev(90, 9, "click", "2024-01-01 10:00:00", 1.0)))
+      purchases.addData(Seq(ev(30, 5, "purchase", "2024-01-01 10:00:00", 5.0)))
+      q.processAllAvailable()
+      // the NULL-click row must NOT be emitted yet: the watermark (09:50)
+      // hasn't proven that no qualifying click can still arrive
+      spark.table("t_ij_left").collect()
+        .filter(_.getLong(0) == 30L) shouldBe empty
+      // advance BOTH sides far past purchase-ts + window (the join watermark
+      // is the min over inputs); the new watermark takes effect in the batch
+      // AFTER the one that observed the late events — hence two rounds
+      clicks.addData(Seq(ev(91, 9, "click", "2024-01-01 13:00:00", 1.0)))
+      purchases.addData(Seq(ev(31, 9, "purchase", "2024-01-01 13:00:00", 1.0)))
+      q.processAllAvailable()
+      clicks.addData(Seq(ev(92, 9, "click", "2024-01-01 13:01:00", 1.0)))
+      purchases.addData(Seq(ev(32, 9, "purchase", "2024-01-01 13:01:00", 1.0)))
+      q.processAllAvailable()
+      // now the unmatched purchase emits exactly once, with NULL click
+      val unmatched = spark.table("t_ij_left").collect()
+        .filter(_.getLong(0) == 30L)
+      unmatched.length shouldBe 1
+      unmatched.head.isNullAt(1) shouldBe true // click_id
+      unmatched.head.isNullAt(3) shouldBe true // delay_ms
+    } finally q.stop()
+  }
+
+  test("interval-join state expires at watermark + window (bounded state on unbounded streams)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.intervalJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("t_ij_state")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long =
+      Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).sum
+    try {
+      // 6 clicks + 1 purchase buffered at ~10:00
+      clicks.addData((1L to 6L).map(i =>
+        ev(100 + i, i, "click", "2024-01-01 10:00:00", 1.0)))
+      purchases.addData(Seq(ev(40, 1, "purchase", "2024-01-01 10:05:00", 5.0)))
+      q.processAllAvailable()
+      val before = stateRows
+      before should be >= 7L
+      // advance both watermarks past 10:0x + window; eviction happens in the
+      // batch AFTER the watermark-advancing one (watermark is computed from
+      // the previous batch's max event time)
+      clicks.addData(Seq(ev(190, 9, "click", "2024-01-01 13:00:00", 1.0)))
+      purchases.addData(Seq(ev(41, 9, "purchase", "2024-01-01 13:00:00", 1.0)))
+      q.processAllAvailable()
+      clicks.addData(Seq(ev(191, 9, "click", "2024-01-01 13:01:00", 1.0)))
+      purchases.addData(Seq(ev(42, 9, "purchase", "2024-01-01 13:01:00", 1.0)))
+      q.processAllAvailable()
+      // every ~10:00 row must be gone; only the 4 recent advancing events
+      // may remain buffered. If the watermark bounds were dropped from the
+      // join, state would only ever GROW and this assertion fails.
+      val after = stateRows
+      after should be < before
+      after should be <= 4L
     } finally q.stop()
   }
 
