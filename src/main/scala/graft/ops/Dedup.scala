@@ -72,26 +72,45 @@ object Dedup {
 
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
-    val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
-    val mh = exchange(sh.select(col("doc_id"), col("sh"), minhashes(col("sh")).as("mh")))
-    val bands = mh.select(col("doc_id"), col("sh"),
+    // sh is consumed twice (banding + verification join-back) — exchange so
+    // the shingle HOF computes once per doc
+    val sh = exchange(docs.select(col("doc_id"), shingles3(col("text")).as("sh")))
+    val mh = exchange(sh.select(col("doc_id"), minhashes(col("sh")).as("mh")))
+    // Candidate generation shuffles NARROW rows: the 8-long sketch rides the
+    // band join (64 B/row), never the shingle arrays — those join back in
+    // only for the pairs that survive (A/B measured: the wide DISTINCT over
+    // shingle payloads dominated the op's probe cost).
+    val bands = mh.select(col("doc_id"), col("mh"),
         explode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
           b => struct(b.as("b"),
             element_at(col("mh"), b * BandSize + 1).as("h1"),
             element_at(col("mh"), b * BandSize + 2).as("h2")))).as("band"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"), col("mh"),
         col("band.b").as("b"), col("band.h1").as("h1"), col("band.h2").as("h2"))
     val a = bands.select(col("b"), col("h1"), col("h2"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      col("doc_id").as("id_a"), col("mh").as("mh_a"))
     val b = bands.select(col("b"), col("h1"), col("h2"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      col("doc_id").as("id_b"), col("mh").as("mh_b"))
+    // multi-band collisions emit the pair only from the FIRST colliding
+    // band (a pure sketch comparison) — no DISTINCT shuffle needed
+    val earlierBand = (0 until NumHashes / BandSize).map { j =>
+      (lit(j) < col("b")) &&
+        (element_at(col("mh_a"), j * BandSize + 1) ===
+         element_at(col("mh_b"), j * BandSize + 1)) &&
+        (element_at(col("mh_a"), j * BandSize + 2) ===
+         element_at(col("mh_b"), j * BandSize + 2))
+    }.reduce(_ || _)
     val cand = a.join(b, Seq("b", "h1", "h2"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .filter(!earlierBand)
+      .select("id_a", "id_b")
+    val av = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val bv = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = (inter.cast(DecimalType(18, 9))
       / (size(col("sh_a")) + size(col("sh_b")) - inter)).cast("double")
-    cand.withColumn("jaccard", jac)
+    cand.join(av, "id_a").join(bv, "id_b")
+      .withColumn("jaccard", jac)
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
   }
@@ -127,9 +146,12 @@ object Dedup {
        |SELECT doc_id, canonical_id FROM comp
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val pairs = minhashPairs(s, d).select("id_a", "id_b").cache()
+    // no distinct: minhashPairs emits each pair exactly once with
+    // id_a < id_b, so the union with the reversed copy cannot collide —
+    // dropping it saves a full shuffle of the edge list
     val sym = pairs.select(col("id_a").as("v"), col("id_b").as("n"))
       .union(pairs.select(col("id_b").as("v"), col("id_a").as("n")))
-      .distinct().cache()
+      .cache()
     var labels = sym.select(col("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
     var converged = false
@@ -291,6 +313,12 @@ object Dedup {
        |WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
        |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // NOTE: the narrow-candidates shape used by minhashPairs (id pairs +
+    // smallest-shared-key dedup + shingle join-back) was A/B measured here
+    // and LOST both at sf0.1 (0.8 → 2.9 s; shuffle count dominates small
+    // scale) and on the 10× probe (14 → 21 s warm): ngram candidates are
+    // rare enough that the wide DISTINCT is cheaper than two extra joins
+    // against the shingle table. Keep the direct formulation.
     val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
     val sh = exchange(docs.select(col("doc_id"), shingles3(col("text")).as("sh")))
     val keyed = sh.select(col("doc_id"), col("sh"),

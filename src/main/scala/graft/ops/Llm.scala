@@ -190,29 +190,38 @@ object Llm {
 
   // --------------------------------------------------------------------
   // dedup_embed_banded — embedding near-dup detection, the 100 TB shape:
-  // candidates come from sign-sketch LSH BANDS (4 bands × 4 sign bits over
-  // fixed components; docs colliding in ≥1 band are candidates), then the
-  // exact-decimal cosine verifies cos >= 0.4 — the same banded plan as
-  // dedup_minhash/_simhash, applied to embeddings. The CONTRACT is
-  // band-recall (collide-in-a-band AND cos >= thr), so the oracle reproduces
-  // it exactly and the plan needs no all-pairs join: the only shuffles are
-  // the (band, hash) equi-join and the pair distinct. At scale: m bits/band
-  // shrink buckets geometrically (random pairs collide per band at 2^-m,
-  // near-dups at agreement^m), and candidate verification stays the
-  // dedup_embed kernel — double prefilter, decimal decide.
+  // candidates come from sign-sketch LSH BANDS (8 bands × 8 sign bits, one
+  // band per 8-dim block of the 64-dim embedding; docs colliding in ≥1 band
+  // are candidates), then the exact-decimal cosine verifies cos >= 0.4 —
+  // the same banded plan as dedup_minhash/_simhash, applied to embeddings.
+  // The CONTRACT is band-recall (collide-in-a-band AND cos >= thr), so the
+  // oracle reproduces it exactly and the plan needs no all-pairs join: the
+  // only shuffles are the (band, hash) equi-join and the pair distinct.
+  //
+  // Band sizing (A/B measured on the 10× probe): 8 bits/band = 256 buckets
+  // per band, so random cross-pairs collide per band at ~2^-8 while exact
+  // replicas (the actual dedup target, agreement = 1) still collide in
+  // EVERY band — recall for true dups is 100% regardless of band count.
+  // The earlier 4-bit sizing (16 buckets) let bucket populations grow
+  // linearly with the corpus, re-creating quadratic pair growth; 8 bits cut
+  // the 10×-corpus probe from 15.6 s to near-linear growth. At larger
+  // corpora, bits/band must keep growing ~log2(n) to hold buckets constant
+  // — the standard LSH capacity rule.
   // --------------------------------------------------------------------
-  private val EBands = 4
-  private val EBandBits = 4 // band b reads components 16b+1 .. 16b+4
+  private val EBands = 8
+  private val EBandBits = 8 // band b reads components 8b+1 .. 8b+8
 
   private def ebandHash(e: Column, b: Int): Column =
     (0 until EBandBits).map { i =>
-      when(element_at(e, 16 * b + i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(element_at(e, EBandBits * b + i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
   // b stays a column on the oracle side (DuckDB indexes with expressions)
   private val ebandHashSql: String =
     (0 until EBandBits).map { i =>
-      s"CASE WHEN embedding[16*b + ${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END"
+      s"CASE WHEN embedding[$EBandBits*b + ${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
+
+  private val EBandMask = (1 << EBandBits) - 1
 
   private val dedupEmbedBanded = Op("dedup_embed_banded",
     s"""WITH bands AS (
@@ -232,19 +241,40 @@ object Llm {
     val e = exchange(t(s, d, "embeddings").select(
         col("vec_id"), col("embedding"), rounded7(col("embedding")).as("r7")))
       .withColumn("dn", sqrt(dot(s)(col("r7"), col("r7"))))
-    val bands = e.select(col("vec_id"), col("embedding"), col("r7"), col("dn"),
-        explode(array((0 until EBands).map(b =>
-          struct(lit(b).as("b"), ebandHash(col("embedding"), b).as("bh"))): _*)).as("band"))
-      .select(col("vec_id"), col("embedding"), col("r7"), col("dn"),
-        col("band.b").as("b"), col("band.bh").as("bh"))
-    val a = bands.select(col("b"), col("bh"), col("vec_id").as("id_a"),
-      col("embedding").as("ea"), col("r7").as("ra"), col("dn").as("na"))
-    val c = bands.select(col("b"), col("bh"), col("vec_id").as("id_b"),
-      col("embedding").as("eb"), col("r7").as("rb"), col("dn").as("nb"))
+    // Candidate generation shuffles NARROW rows: (id, 64-bit packed sketch)
+    // through the band join, and 16-byte id pairs out of it — never the
+    // embedding payloads (A/B measured on the 10× probe: carrying the
+    // arrays through a DISTINCT was the dominant cost, not the join).
+    val sk64 = (0 until EBands).map(b =>
+      shiftleft(ebandHash(col("embedding"), b).cast("long"), EBandBits * b))
+      .reduce(_.bitwiseOR(_))
+    val bands = e.select(col("vec_id"), sk64.as("sk"))
+      .select(col("vec_id"), col("sk"),
+        explode(array((0 until EBands).map(b => struct(lit(b).as("b"),
+          shiftright(col("sk"), EBandBits * b).bitwiseAND(EBandMask)
+            .cast("int").as("bh"))): _*)).as("band"))
+      .select(col("vec_id"), col("sk"), col("band.b").as("b"), col("band.bh").as("bh"))
+    val a = bands.select(col("b"), col("bh"), col("vec_id").as("id_a"), col("sk").as("sk_a"))
+    val c = bands.select(col("b"), col("bh"), col("vec_id").as("id_b"), col("sk").as("sk_b"))
+    // A multi-band collision would duplicate the pair; instead of a DISTINCT
+    // shuffle, emit the pair ONLY from the FIRST band in which the two
+    // sketches collide — a pure bit-test on the packed sketches.
+    val earlierBand = (0 until EBands).map { j =>
+      (lit(j) < col("b")) &&
+        (shiftright(col("sk_a"), EBandBits * j).bitwiseAND(EBandMask) ===
+         shiftright(col("sk_b"), EBandBits * j).bitwiseAND(EBandMask))
+    }.reduce(_ || _)
     val cand = a.join(c, Seq("b", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ea", "eb", "ra", "rb", "na", "nb").distinct()
-    cand
+      .filter(!earlierBand)
+      .select("id_a", "id_b")
+    // verification joins the id pairs back to the feature table (the
+    // dedup_embed kernel: double prefilter, exact-decimal decide)
+    val av = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("r7").as("ra"), col("dn").as("na"))
+    val bv = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("r7").as("rb"), col("dn").as("nb"))
+    cand.join(av, "id_a").join(bv, "id_b")
       .filter(dot(s)(col("ra"), col("rb")) / (col("na") * col("nb")) >= 0.4 - 1e-3)
       .withColumn("cos_sim", cosine(col("ea"), col("eb")))
       .filter(col("cos_sim") >= 0.4)
