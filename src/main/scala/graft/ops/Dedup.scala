@@ -124,11 +124,10 @@ object Dedup {
   // --------------------------------------------------------------------
   // dedup_cluster — connected components over the verified near-dup pair
   // graph: every doc in a dup cluster mapped to the cluster's minimum
-  // doc_id (the canonical survivor). Label propagation to fixpoint: each
-  // round is one join + min-aggregate (all shuffles on the vertex key);
-  // iterations = graph diameter, and near-dup clusters are shallow (pairs
-  // share a common source doc), so a handful of rounds closes 100 TB-scale
-  // graphs too — the driver loop holds only a convergence flag, never data.
+  // doc_id (the canonical survivor). The graph kernel lives in
+  // engine/Graph.scala (min-label propagation + pointer jumping, O(log d)
+  // rounds, label-sum convergence — directly unit-tested there on a deep
+  // chain graph); this op feeds it the verified minhash pair list.
   // Oracle: DuckDB recursive CTE transitive closure (cluster sizes are
   // small, so closure blowup is bounded).
   // --------------------------------------------------------------------
@@ -145,70 +144,8 @@ object Dedup {
        |  FROM reach GROUP BY v)
        |SELECT doc_id, canonical_id FROM comp
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = minhashPairs(s, d).select("id_a", "id_b").cache()
-    // no distinct: minhashPairs emits each pair exactly once with
-    // id_a < id_b, so the union with the reversed copy cannot collide —
-    // dropping it saves a full shuffle of the edge list
-    val sym = pairs.select(col("id_a").as("v"), col("id_b").as("n"))
-      .union(pairs.select(col("id_b").as("v"), col("id_a").as("n")))
-      .cache()
-    var labels = sym.select(col("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
-    var converged = false
-    var rounds = 0
-    var prevSum: Option[java.math.BigDecimal] = None
-    val MaxRounds = 25 // with pointer-jumping: covers diameter ~2^25
-    while (!converged && rounds < MaxRounds) {
-      // candidate label per vertex: min over neighbours' current labels
-      val nbrMin = sym.join(labels.withColumnRenamed("v", "n"), "n")
-        .groupBy("v").agg(min(col("lbl")).as("cand"))
-      // cached: the pointer-jump below self-joins prop on two DIFFERENT
-      // keys (v and lbl), so without the cache the neighbor-min aggregate
-      // subtree would execute twice per round (no exchange reuse applies)
-      val prop = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
-        .cache()
-      // pointer-jump: also adopt the label OF the current label — halves
-      // the remaining diameter each round, so convergence is O(log d)
-      // rather than O(d) and the round cap is principled, not hopeful.
-      // Near-dup clusters are almost always shallow, so the first rounds
-      // skip the extra self-join and usually converge without it.
-      val next = (if (rounds < 2) prop
-        else prop
-          .join(prop.select(col("v").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-          .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
-        .cache()
-      // Convergence check WITHOUT a join against the previous round: min-
-      // propagation only ever DECREASES a vertex's label, so the exact
-      // decimal sum of labels is strictly decreasing until fixpoint and
-      // equal-sum ⟺ no label changed. One cheap aggregate per round — the
-      // same job also materializes every partition of `next` into the cache
-      // (the aggregate consumes it completely), so dropping the previous
-      // round's cache entry is recompute-free.
-      val lblSum = next.agg(sum(col("lbl").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)
-      // a decimal overflow under non-ANSI mode would NULL the sum; two NULL
-      // rounds would then satisfy prevSum.contains(lblSum) and declare a
-      // FALSE convergence — fail loudly instead (unreachable at any
-      // realistic label magnitude, but the guard is free)
-      require(lblSum != null, "dedup_cluster: label-sum overflowed DECIMAL(38,0)")
-      if (next ne prop) prop.unpersist()
-      labels.unpersist()
-      labels = next
-      converged = prevSum.contains(lblSum)
-      prevSum = Some(lblSum)
-      rounds += 1
-    }
-    // an unconverged result would silently split clusters — fail loudly
-    require(converged, s"dedup_cluster: not converged after $MaxRounds rounds")
-    // hand the result off via localCheckpoint (lineage truncated, blocks
-    // freed on GC) so the loop's cache entry can be released now — without
-    // this every invocation leaks one cached plan for the context lifetime
-    val result = labels.localCheckpoint(true)
-    labels.unpersist()
-    pairs.unpersist()
-    sym.unpersist()
-    result.select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
+    graft.engine.Graph.connectedComponents(minhashPairs(s, d))
+      .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
       .orderBy("doc_id")
   }
 
