@@ -218,8 +218,16 @@ object Dedup {
       .select(col("doc_id"), col("sim"), col("band.b").as("b"), col("band.bh").as("bh"))
     val a = bands.select(col("b"), col("bh"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
     val b = bands.select(col("b"), col("bh"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    // multi-band collisions emit the pair only from the FIRST band in which
+    // the two simhashes collide — a bit-test on values already in the row
+    // replaces the candidate DISTINCT shuffle
+    val earlierBand = (0 until SimBands).map { j =>
+      (lit(j) < col("b")) &&
+        (shiftright(col("sim_a"), j * BandBits).bitwiseAND((1 << BandBits) - 1) ===
+         shiftright(col("sim_b"), j * BandBits).bitwiseAND((1 << BandBits) - 1))
+    }.reduce(_ || _)
     val cand = a.join(b, Seq("b", "bh")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .filter(!earlierBand)
     cand.withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= 6)
       .select("id_a", "id_b", "hamming")
@@ -250,12 +258,13 @@ object Dedup {
        |WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
        |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    // NOTE: the narrow-candidates shape used by minhashPairs (id pairs +
-    // smallest-shared-key dedup + shingle join-back) was A/B measured here
-    // and LOST both at sf0.1 (0.8 → 2.9 s; shuffle count dominates small
-    // scale) and on the 10× probe (14 → 21 s warm): ngram candidates are
-    // rare enough that the wide DISTINCT is cheaper than two extra joins
-    // against the shingle table. Keep the direct formulation.
+    // NOTE (A/B measured on the 10× probe, twice): both alternative shapes
+    // LOST here and the plain wide DISTINCT stays. (a) narrow id-pairs +
+    // shingle join-back: 14 → 21 s warm at probe, 0.8 → 2.9 s at sf0.1 —
+    // candidates too rare to amortize two extra joins; (b) hybrid
+    // smallest-shared-key filter instead of the DISTINCT (payload kept in
+    // the band join): 14 → 37 s warm — the jaccard/filter work runs on the
+    // pre-dedup multi-key rows, where the DISTINCT collapsed them first.
     val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
     val sh = exchange(docs.select(col("doc_id"), shingles3(col("text")).as("sh")))
     val keyed = sh.select(col("doc_id"), col("sh"),
