@@ -44,6 +44,14 @@ object Graph {
       .cache()
     var labels = sym.select(col("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
+    // an empty edge list must yield an empty result, not a crash: the first
+    // round's label sum over zero rows is NULL, which would trip the
+    // overflow guard below (a corpus with no near-dup pairs is a perfectly
+    // normal input, not an error)
+    if (labels.isEmpty) {
+      edges.unpersist(); sym.unpersist()
+      return labels
+    }
     var converged = false
     var rounds = 0
     var prevSum: Option[java.math.BigDecimal] = None

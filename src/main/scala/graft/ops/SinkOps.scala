@@ -162,10 +162,15 @@ object SinkOps {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val path = freshScratch("sink_partitioned") + "/orders"
-    graft.engine.Sources.writePartitioned(
-      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
-      path, Seq("o_orderstatus"))
-    s.read.parquet(path)
+    val slice = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    graft.engine.Sources.writePartitioned(slice, path, Seq("o_orderstatus"))
+    // explicit schema on the read-back: a partitioned write of ZERO rows
+    // creates no partition directories, and schema inference over an empty
+    // layout fails — an empty source partition is a normal input, and the
+    // schema is known here anyway (inference is also a needless listing
+    // pass at scale)
+    s.read.schema(slice.schema).parquet(path)
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       .orderBy("o_orderkey")

@@ -43,4 +43,10 @@ class GraphSpec extends SparkSpec {
     val got = components(Seq((7L, 8L)))
     got.keySet shouldBe Set(7L, 8L)
   }
+
+  test("an empty edge list yields an empty result, not a crash") {
+    // regression: the label-sum convergence aggregate is NULL over zero
+    // rows, which used to trip the overflow guard on round 1
+    components(Seq.empty) shouldBe Map.empty
+  }
 }
