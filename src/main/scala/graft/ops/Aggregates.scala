@@ -312,9 +312,9 @@ object Aggregates {
   private val aggStats = Op("agg_stats",
     """SELECT l_returnflag, n,
       |  sxd / n AS mean_qty,
-      |  sqrt((sxxd - sxd * sxd / n) / (n - 1)) AS std_qty,
+      |  sqrt((sxxd - sxd * sxd / n) / nullif(n - 1, 0)) AS std_qty,
       |  (n * sxyd - sxd * syd)
-      |    / (sqrt(n * sxxd - sxd * sxd) * sqrt(n * syyd - syd * syd)) AS corr_qty_price
+      |    / nullif(sqrt(n * sxxd - sxd * sxd) * sqrt(n * syyd - syd * syd), 0) AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag, COUNT(*) AS n,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxd,
@@ -332,13 +332,18 @@ object Aggregates {
         sum(dx * dx).cast("double").as("sxxd"),
         sum(dy * dy).cast("double").as("syyd"),
         sum(dx * dy).cast("double").as("sxyd"))
+    // nullif guards: a 1-member group has (n-1)=0 and a constant-valued
+    // group has zero variance — under ANSI mode the bare division THROWS
+    // instead of yielding the statistically-correct NULL, and a single
+    // degenerate group must not kill a 100 TB aggregation job
     sums.select(col("l_returnflag"), col("n"),
         (col("sxd") / col("n")).as("mean_qty"),
-        sqrt((col("sxxd") - col("sxd") * col("sxd") / col("n")) / (col("n") - 1))
+        sqrt((col("sxxd") - col("sxd") * col("sxd") / col("n"))
+            / nullif(col("n") - 1, lit(0)))
           .as("std_qty"),
         ((col("n") * col("sxyd") - col("sxd") * col("syd"))
-          / (sqrt(col("n") * col("sxxd") - col("sxd") * col("sxd"))
-            * sqrt(col("n") * col("syyd") - col("syd") * col("syd"))))
+          / nullif(sqrt(col("n") * col("sxxd") - col("sxd") * col("sxd"))
+            * sqrt(col("n") * col("syyd") - col("syd") * col("syd")), lit(0.0)))
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
