@@ -56,6 +56,8 @@ object Cli {
     io.out.println("=== SOURCE CONFIGURATION ===")
     io.out.println("1. Enter a SQL query")
     io.out.println("2. Pick a source table")
+    // any value other than 1 falls through to the table picker — reference
+    // parity (ETLProcess.java:82-89 does `if (opcion == 1) ... else ...`)
     if (io.readInt("Option: ") == 1) {
       // raw SQL pass-through (R2, reference :84-86): Spark SQL executes it
       Catalog.sql(spark, dir, io.readLine("SQL> "))
@@ -84,11 +86,16 @@ object Cli {
     io.out.println(s"Source columns: ${source.columns.mkString(", ")}")
     io.out.println(s"Destination columns: ${destCols.mkString(", ")}")
     if (pks.nonEmpty) io.out.println(s"Primary keys: ${pks.mkString(", ")}")
+    val used = scala.collection.mutable.Set[String]()
     source.columns.toSeq.flatMap { c =>
       val d = io.readLine(s"Destination column for '$c' (empty to skip): ")
-      if (destCols.contains(d)) Some(c -> d)
+      if (destCols.contains(d) && !used(d)) { used += d; Some(c -> d) }
       else {
-        if (d.nonEmpty) io.out.println(s"Destination column '$d' does not exist. Skipping.")
+        // a doubly-mapped destination would produce two same-named columns
+        // and die later in an ambiguous-reference analysis error — warn and
+        // skip here, like every other invalid input in the dialog
+        if (used(d)) io.out.println(s"Destination column '$d' is already mapped. Skipping.")
+        else if (d.nonEmpty) io.out.println(s"Destination column '$d' does not exist. Skipping.")
         None
       }
     }

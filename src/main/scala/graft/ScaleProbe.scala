@@ -24,8 +24,13 @@ object ScaleProbe {
   private val Shift = 10000000L
 
   private def amplify(spark: SparkSession, base: String, out: String): Unit = {
-    val done = new java.io.File(s"$out/_AMPLIFIED")
-    if (done.exists()) return
+    // the marker records WHAT produced the data: rerunning against a
+    // different base (or Copies factor) must re-amplify, not silently time
+    // ops on stale data labeled with the new base
+    val stamp = s"base=$base copies=$Copies shift=$Shift"
+    val done = java.nio.file.Paths.get(out, "_AMPLIFIED")
+    if (java.nio.file.Files.exists(done)
+        && java.nio.file.Files.readString(done).trim == stamp) return
     new java.io.File(out).mkdirs()
     def write(name: String, idCol: Option[String]): Unit = {
       val src = Tables(spark, base, name)
@@ -42,7 +47,7 @@ object ScaleProbe {
     write("events", Some("event_id"))
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach(write(_, None))
-    done.createNewFile()
+    java.nio.file.Files.writeString(done, stamp)
   }
 
   def main(args: Array[String]): Unit = {

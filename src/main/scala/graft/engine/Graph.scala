@@ -47,15 +47,17 @@ object Graph {
     // an empty edge list must yield an empty result, not a crash: the first
     // round's label sum over zero rows is NULL, which would trip the
     // overflow guard below (a corpus with no near-dup pairs is a perfectly
-    // normal input, not an error)
-    if (labels.isEmpty) {
+    // normal input, not an error). Checked on the cached EDGES (no edges ⟺
+    // no vertices) so the probe job doesn't run the vertex-distinct
+    // aggregate that round 0 recomputes anyway.
+    if (edges.isEmpty) {
       edges.unpersist(); sym.unpersist()
       return labels
     }
     var converged = false
     var rounds = 0
     var prevSum: Option[java.math.BigDecimal] = None
-    while (!converged && rounds < maxRounds) {
+    try while (!converged && rounds < maxRounds) {
       // candidate label per vertex: min over neighbours' current labels
       val nbrMin = sym.join(labels.withColumnRenamed("v", "n"), "n")
         .groupBy("v").agg(min(col("lbl")).as("cand"))
@@ -92,11 +94,15 @@ object Graph {
       converged = prevSum.contains(lblSum)
       prevSum = Some(lblSum)
       rounds += 1
+    } finally {
+      // also on the failure paths (non-convergence, overflow guard): a
+      // long-lived session must not accumulate leaked cache blocks from
+      // failed invocations
+      edges.unpersist()
+      sym.unpersist()
     }
     // an unconverged result would silently split components — fail loudly
     require(converged, s"connectedComponents: not converged after $maxRounds rounds")
-    edges.unpersist()
-    sym.unpersist()
     labels
   }
 }

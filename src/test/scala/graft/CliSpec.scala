@@ -73,6 +73,21 @@ class CliSpec extends SparkSpec {
     df.count() shouldBe 5
   }
 
+  test("a doubly-mapped destination column warns and skips (no ambiguous select)") {
+    val (df, console) = runCli(
+      "2", "nation", "n_nationkey, n_name, n_regionkey",
+      "nation",
+      "n_nationkey", // PK mapped
+      "n_name",      // n_name → n_name
+      "n_name",      // n_regionkey → n_name AGAIN → warn + skip
+      "5", "5",      // transforms for the two mapped columns
+      "n_nationkey",
+    )
+    console should include("Destination column 'n_name' is already mapped. Skipping.")
+    df.columns.toSeq shouldBe Seq("n_nationkey", "n_name")
+    df.count() shouldBe 25
+  }
+
   test("unknown destination column warns and skips; junk menu input re-prompts") {
     val (df, console) = runCli(
       "x",      // junk menu input → re-prompt
