@@ -17,6 +17,14 @@ import graft.ops.Text.{h60, h60Sql, words}
   * At 100 TB the bucket join is the only shuffle and its key cardinality
   * (band × hash) keeps buckets tiny unless texts really collide.
   *
+  * ORDERING DISCIPLINE AT SCALE: run exact dedup (dedup_exact / the
+  * curation_pipeline nhash window) BEFORE any banded near-dup op. A
+  * boilerplate mega-group of k identical texts defeats every banding
+  * scheme by construction — not as a plan defect but because the declared
+  * OUTPUT (all verified pairs) contains the k²/2 clique; collapsing
+  * identical texts first (one keyed window on a fixed-width hash) is what
+  * keeps the near-dup pair volume proportional to genuine near-misses.
+  *
   * Hashing is md5-derived (see [[Text.h60]]) so Spark and the DuckDB oracle
   * agree bit-for-bit, and results don't depend on JVM seeds or partitioning.
   */
