@@ -248,42 +248,50 @@ object Dedup {
   // blocking scheme); docs sharing a key get exact Jaccard >= 0.3.
   // --------------------------------------------------------------------
   private val NgramKeys = 5
+  // Verification runs on the 60-bit HASHED shingle sets (the same sorted
+  // hash array the blocking keys already slice), not the shingle strings:
+  // the Jaccard value is identical modulo md5 collisions, both engines
+  // hash identically (so they agree bit-for-bit even on a collision), and
+  // the candidate join carries ~8-byte longs instead of shingle strings —
+  // the standard shingle-fingerprint formulation.
   private val dedupNgram = Op("dedup_ngram",
-    s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    list_sort(list_transform($shingles3Sql, s -> ${h60Sql("s")})) AS hs
+       |  FROM documents),
        |keyed AS (
-       |  SELECT doc_id, sh,
-       |    unnest(list_slice(list_sort(list_transform(sh, s -> ${h60Sql("s")})),
-       |                      1, $NgramKeys)) AS k
-       |  FROM sh),
+       |  SELECT doc_id, hs, unnest(list_slice(hs, 1, $NgramKeys)) AS k
+       |  FROM hs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    a.sh AS sh_a, b.sh AS sh_b
+       |    a.hs AS hs_a, b.hs AS hs_b
        |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b,
-       |  CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
-       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) AS jaccard
+       |  CAST(CAST(len(list_intersect(hs_a, hs_b)) AS DECIMAL(18,9))
+       |       / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) AS DOUBLE) AS jaccard
        |FROM cand
-       |WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
-       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.3
+       |WHERE CAST(CAST(len(list_intersect(hs_a, hs_b)) AS DECIMAL(18,9))
+       |       / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) AS DOUBLE) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    // NOTE (A/B measured on the 10× probe, twice): both alternative shapes
+    // NOTE (A/B measured on the 10× probe, twice): two alternative shapes
     // LOST here and the plain wide DISTINCT stays. (a) narrow id-pairs +
-    // shingle join-back: 14 → 21 s warm at probe, 0.8 → 2.9 s at sf0.1 —
+    // join-back: 14 → 21 s warm at probe, 0.8 → 2.9 s at sf0.1 —
     // candidates too rare to amortize two extra joins; (b) hybrid
     // smallest-shared-key filter instead of the DISTINCT (payload kept in
     // the band join): 14 → 37 s warm — the jaccard/filter work runs on the
     // pre-dedup multi-key rows, where the DISTINCT collapsed them first.
     val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
-    val sh = exchange(docs.select(col("doc_id"), shingles3(col("text")).as("sh")))
-    val keyed = sh.select(col("doc_id"), col("sh"),
-      explode(slice(array_sort(transform(col("sh"), s => h60(s))), 1, NgramKeys)).as("k"))
-    val a = keyed.select(col("k"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = keyed.select(col("k"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val hs = exchange(docs.select(col("doc_id"),
+      array_sort(transform(shingles3(col("text")), s => h60(s))).as("hs")))
+    val keyed = hs.select(col("doc_id"), col("hs"),
+      explode(slice(col("hs"), 1, NgramKeys)).as("k"))
+    val a = keyed.select(col("k"), col("doc_id").as("id_a"), col("hs").as("hs_a"))
+    val b = keyed.select(col("k"), col("doc_id").as("id_b"), col("hs").as("hs_b"))
     val cand = a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .select("id_a", "id_b", "hs_a", "hs_b").distinct()
+    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
     val jac = (inter.cast(DecimalType(18, 9))
-      / (size(col("sh_a")) + size(col("sh_b")) - inter)).cast("double")
+      / (size(col("hs_a")) + size(col("hs_b")) - inter)).cast("double")
     cand.withColumn("jaccard", jac)
       .filter(col("jaccard") >= 0.3)
       .select("id_a", "id_b", "jaccard")
