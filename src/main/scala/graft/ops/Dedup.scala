@@ -59,24 +59,27 @@ object Dedup {
        |      i -> list_min(list_transform(sh, s -> ${h60Sql("concat(CAST(i AS VARCHAR), ':', s)")})))""".stripMargin
 
   /** Verified minhash near-dup pairs (id_a < id_b, jaccard ≥ 0.5), no
-    * ordering — shared by dedup_minhash and the clustering op. */
+    * ordering — shared by dedup_minhash and the clustering op. Verification
+    * Jaccard runs on the 60-bit HASHED shingle sets (same value modulo md5
+    * collisions, and both engines hash identically — see dedup_ngram). */
   private[ops] val minhashPairsSql: String =
     s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
-       |mh AS (SELECT doc_id, sh, $minhashesSql AS mh FROM sh),
+       |hsv AS (SELECT doc_id, list_sort(list_transform(sh, s -> ${h60Sql("s")})) AS hs
+       |        FROM sh),
+       |mh AS (SELECT doc_id, $minhashesSql AS mh FROM sh),
        |bands AS (
-       |  SELECT doc_id, sh, b, mh[2*b+1] AS h1, mh[2*b+2] AS h2
+       |  SELECT doc_id, b, mh[2*b+1] AS h1, mh[2*b+2] AS h2
        |  FROM mh, (SELECT unnest(range(0, ${NumHashes / BandSize})) AS b)),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    a.sh AS sh_a, b.sh AS sh_b
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.b = b.b AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b,
-       |  CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
-       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) AS jaccard
-       |FROM cand
-       |WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,9))
-       |       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS DOUBLE) >= 0.5""".stripMargin
+       |  CAST(CAST(len(list_intersect(ha.hs, hb.hs)) AS DECIMAL(18,9))
+       |       / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS DOUBLE) AS jaccard
+       |FROM cand JOIN hsv ha ON ha.doc_id = id_a JOIN hsv hb ON hb.doc_id = id_b
+       |WHERE CAST(CAST(len(list_intersect(ha.hs, hb.hs)) AS DECIMAL(18,9))
+       |       / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS DOUBLE) >= 0.5""".stripMargin
 
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
@@ -112,11 +115,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(!earlierBand)
       .select("id_a", "id_b")
-    val av = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val bv = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    // hashed shingle sets for the verification join-back (longs, not
+    // shingle strings — same Jaccard modulo md5 collisions, cheaper to
+    // shuffle and intersect; both engines hash identically)
+    val hsv = sh.select(col("doc_id"),
+      array_sort(transform(col("sh"), s => h60(s))).as("hs"))
+    val av = hsv.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
+    val bv = hsv.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
+    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
     val jac = (inter.cast(DecimalType(18, 9))
-      / (size(col("sh_a")) + size(col("sh_b")) - inter)).cast("double")
+      / (size(col("hs_a")) + size(col("hs_b")) - inter)).cast("double")
     cand.join(av, "id_a").join(bv, "id_b")
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= 0.5)
