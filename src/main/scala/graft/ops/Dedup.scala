@@ -44,19 +44,42 @@ object Dedup {
 
   // --------------------------------------------------------------------
   // dedup_minhash — 8 minhashes over 3-word shingles, banded 4×2: candidate
-  // pairs share a band (both minhashes equal); verified by exact shingle
-  // Jaccard >= 0.5.
+  // pairs share a band (both minhashes equal); verified by Jaccard >= 0.5
+  // over the hashed shingle sets.
+  //
+  // Hash family: Kirsch–Mitzenmacher double hashing — g_i(s) = (h1(s) +
+  // i·h2(s)) mod 2^60, where h1/h2 are the two 60-bit halves of ONE md5
+  // digest per shingle. One digest feeds all 8 hash functions AND the
+  // verification hash-set (h1 is exactly h60), vs 8 md5 calls per shingle
+  // for independent salted hashes — the sketch stage is md5-bound, so this
+  // is a direct ~4× cut of its dominant cost, with the published guarantee
+  // that double hashing preserves LSH-family behavior. No i·h2 overflow:
+  // h1 + 7·h2 < 2^60 + 2^63·0.9 < 2^63.
   // --------------------------------------------------------------------
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 hashes
+  private val H60Mask = (1L << 60) - 1
 
-  private def minhashes(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      i => array_min(transform(sh, s => h60(concat(i.cast("string"), lit(":"), s)))))
+  /** Per shingle: both 60-bit halves of its single md5 digest. */
+  private def hhalves(sh: Column): Column = transform(sh, s => {
+    val d = md5(s)
+    struct(
+      conv(substring(d, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(d, 16, 15), 16, 10).cast("long").as("h2"))
+  })
+  private val hhalvesSql =
+    """list_transform(sh, s -> {
+      |        'h1': CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT),
+      |        'h2': CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT)})""".stripMargin
+
+  private def minhashes(hh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+      array_min(transform(hh, p =>
+        (p.getField("h1") + i * p.getField("h2")).bitwiseAND(H60Mask))))
 
   private val minhashesSql =
     s"""list_transform(range(0, $NumHashes),
-       |      i -> list_min(list_transform(sh, s -> ${h60Sql("concat(CAST(i AS VARCHAR), ':', s)")})))""".stripMargin
+       |      i -> list_min(list_transform(hh, p -> (p.h1 + i * p.h2) & $H60Mask)))""".stripMargin
 
   /** Verified minhash near-dup pairs (id_a < id_b, jaccard ≥ 0.5), no
     * ordering — shared by dedup_minhash and the clustering op. Verification
@@ -64,9 +87,10 @@ object Dedup {
     * collisions, and both engines hash identically — see dedup_ngram). */
   private[ops] val minhashPairsSql: String =
     s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
-       |hsv AS (SELECT doc_id, list_sort(list_transform(sh, s -> ${h60Sql("s")})) AS hs
-       |        FROM sh),
-       |mh AS (SELECT doc_id, $minhashesSql AS mh FROM sh),
+       |hhv AS (SELECT doc_id, $hhalvesSql AS hh FROM sh),
+       |hsv AS (SELECT doc_id, list_sort(list_transform(hh, p -> p.h1)) AS hs
+       |        FROM hhv),
+       |mh AS (SELECT doc_id, $minhashesSql AS mh FROM hhv),
        |bands AS (
        |  SELECT doc_id, b, mh[2*b+1] AS h1, mh[2*b+2] AS h2
        |  FROM mh, (SELECT unnest(range(0, ${NumHashes / BandSize})) AS b)),
@@ -83,10 +107,11 @@ object Dedup {
 
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
-    // sh is consumed twice (banding + verification join-back) — exchange so
-    // the shingle HOF computes once per doc
-    val sh = exchange(docs.select(col("doc_id"), shingles3(col("text")).as("sh")))
-    val mh = exchange(sh.select(col("doc_id"), minhashes(col("sh")).as("mh")))
+    // hh is consumed by BOTH the sketch build and the verification
+    // join-back sides — exchange so the md5 digests compute once per doc
+    val hh = exchange(docs.select(col("doc_id"),
+      hhalves(shingles3(col("text"))).as("hh")))
+    val mh = exchange(hh.select(col("doc_id"), minhashes(col("hh")).as("mh")))
     // Candidate generation shuffles NARROW rows: the 8-long sketch rides the
     // band join (64 B/row), never the shingle arrays — those join back in
     // only for the pairs that survive (A/B measured: the wide DISTINCT over
@@ -117,9 +142,9 @@ object Dedup {
       .select("id_a", "id_b")
     // hashed shingle sets for the verification join-back (longs, not
     // shingle strings — same Jaccard modulo md5 collisions, cheaper to
-    // shuffle and intersect; both engines hash identically)
-    val hsv = sh.select(col("doc_id"),
-      array_sort(transform(col("sh"), s => h60(s))).as("hs"))
+    // shuffle and intersect; both engines hash identically). h1 IS h60.
+    val hsv = hh.select(col("doc_id"),
+      array_sort(transform(col("hh"), p => p.getField("h1"))).as("hs"))
     val av = hsv.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
     val bv = hsv.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
     val inter = size(array_intersect(col("hs_a"), col("hs_b")))
