@@ -124,8 +124,11 @@ object Functions {
         col("vec_id"),
         size(col("embedding")).as("dim"),
         // float results widen to double on BOTH sides (exact) so the compare
-        // sees identical float64 bits instead of engine-specific float32 repr
-        element_at(col("embedding"), 1).cast("double").as("first_v"),
+        // sees identical float64 bits instead of engine-specific float32 repr.
+        // try_element_at: DuckDB list indexing yields NULL out-of-bounds,
+        // ANSI element_at THROWS — the try_ form matches the oracle and
+        // keeps a malformed (short/empty) array from killing the job
+        try_element_at(col("embedding"), lit(1)).cast("double").as("first_v"),
         aggregate(
           transform(col("embedding"), x => x.cast(DecimalType(20, 7))),
           lit(0).cast(DecimalType(30, 7)),

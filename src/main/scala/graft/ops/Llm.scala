@@ -42,6 +42,17 @@ object Llm {
   private def rounded7(c: Column): Column =
     transform(c, x => round(x.cast("double"), 7))
 
+  /** The embedding dimensionality every vector op's contract assumes
+    * (fixed-position sketches, range(1,65) oracle folds). A malformed
+    * vector (wrong length) is DROPPED at the scan instead of throwing out
+    * of a fixed-index access mid-job — one bad row must not kill a 100 TB
+    * run, and silently scoring a short vector would be worse. The oracle
+    * carries the identical `len(embedding) = 64` predicate. */
+  private val Dim = 64
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").filter(size(col("embedding")) === Dim)
+  private val embSql = s"(SELECT * FROM embeddings WHERE len(embedding) = 64)"
+
   /** Dot product for the prefilter inner loop: the custom codegen'd
     * Catalyst expression [[graft.expressions.VecDot]] (a primitive loop in
     * whole-stage codegen — no UDF boxing, no interpreted HOFs). Registered
@@ -124,12 +135,12 @@ object Llm {
     dot(s)(r, rq) / (sqrt(dot(s)(r, r)) * sqrt(dot(s)(rq, rq)))
 
   private val simSearch = Op("sim_search",
-    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    s"""WITH q AS (SELECT embedding AS qv FROM $embSql WHERE vec_id = 0)
        |SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos_sim
-       |FROM embeddings, q
+       |FROM $embSql, q
        |WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-    val e = t(s, d, "embeddings")
+    val e = vecs(s, d)
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), rounded7(col("embedding")).as("rq")))
     val shortlist = e.filter(col("vec_id") =!= 0)
@@ -165,15 +176,15 @@ object Llm {
   // verification, candidates from sign-sketch LSH bands instead of n².
   // --------------------------------------------------------------------
   private val dedupEmbed = Op("dedup_embed",
-    s"""WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings),
-       |b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings)
+    s"""WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM $embSql),
+       |b AS (SELECT vec_id AS id_b, embedding AS eb FROM $embSql)
        |SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS cos_sim
        |FROM a JOIN b ON id_a < id_b
        |WHERE ${cosineSql("ea", "eb")} >= 0.4
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     // exchange: spreads the streamed side of the pair join across cores (a
     // single-file scan is one task) and materializes r7/dn once per vector.
-    val e = exchange(t(s, d, "embeddings").select(
+    val e = exchange(vecs(s, d).select(
       col("vec_id"), col("embedding"), rounded7(col("embedding")).as("r7")))
     val withNorm = e.withColumn("dn", sqrt(dot(s)(col("r7"), col("r7"))))
     val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
@@ -226,7 +237,7 @@ object Llm {
   private val dedupEmbedBanded = Op("dedup_embed_banded",
     s"""WITH bands AS (
        |  SELECT vec_id, embedding, b, $ebandHashSql AS bh
-       |  FROM embeddings, (SELECT unnest(range(0, $EBands)) AS b)),
+       |  FROM $embSql, (SELECT unnest(range(0, $EBands)) AS b)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
        |    a.embedding AS ea, c.embedding AS eb
@@ -238,7 +249,7 @@ object Llm {
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     // exchange: parallelism for the sketch work + materialization barrier so
     // r7/dn are computed once per vector, not re-inlined per band row
-    val e = exchange(t(s, d, "embeddings").select(
+    val e = exchange(vecs(s, d).select(
         col("vec_id"), col("embedding"), rounded7(col("embedding")).as("r7")))
       .withColumn("dn", sqrt(dot(s)(col("r7"), col("r7"))))
     // Candidate generation shuffles NARROW rows: (id, 64-bit packed sketch)
@@ -332,13 +343,13 @@ object Llm {
 
   private val simSearchBucketed = Op("sim_search_bucketed",
     s"""WITH s AS (SELECT vec_id, label, embedding, ${sketchSql("embedding")} AS sk
-       |           FROM embeddings),
+       |           FROM $embSql),
        |q AS (SELECT embedding AS qv, sk AS qsk FROM s WHERE vec_id = 0)
        |SELECT vec_id, label, ${cosineSql("embedding", "qv")} AS cos_sim
        |FROM s, q
        |WHERE vec_id <> 0 AND bit_count(xor(CAST(sk AS BIGINT), CAST(qsk AS BIGINT))) <= 1
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-    val e = t(s, d, "embeddings")
+    val e = vecs(s, d)
       .select(col("vec_id"), col("label"), col("embedding"), sketch(col("embedding")).as("sk"))
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), rounded7(col("embedding")).as("rq"), col("sk").as("qsk")))
@@ -379,7 +390,7 @@ object Llm {
        |  SELECT cid, cv FROM (
        |    SELECT vec_id AS cid, embedding AS cv,
        |      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-       |    FROM embeddings)
+       |    FROM $embSql)
        |  ORDER BY h, cid LIMIT $NumCentroids),
        |asg AS (
        |  SELECT vec_id, label, embedding, cid FROM (
@@ -388,9 +399,9 @@ object Llm {
        |            FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)
        |       / sqrt(CAST((SELECT SUM(${d97("c.cv[i]")} * ${d97("c.cv[i]")})
        |            FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)) AS ccos
-       |    FROM embeddings e, cen c)
+       |    FROM $embSql e, cen c)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |q AS (SELECT embedding AS qv FROM $embSql WHERE vec_id = 0),
        |probes AS (
        |  SELECT cid FROM (SELECT c.cid, ${cosineSql("c.cv", "q.qv")} AS pcos FROM cen c, q)
        |  QUALIFY row_number() OVER (ORDER BY pcos DESC, cid) <= $NumProbes)
@@ -404,7 +415,7 @@ object Llm {
     // the pairwise work is a single decimal fold + two mults
     def pairCos(a: Column, b: Column, an: Column, bn: Column): Column =
       fold(zip_with(dec(a), dec(b), (x, y) => x * y)).cast("double") / (an * bn)
-    val e = t(s, d, "embeddings")
+    val e = vecs(s, d)
     // exchange: materializes the rounded array so projection collapse can't
     // re-inline it into every one of the 8 pair rows
     val eN = exchange(e.select(col("vec_id"), col("label"), col("embedding"),
@@ -510,9 +521,9 @@ object Llm {
        |    sqrt(CAST((SELECT SUM(${d97("embedding[i]")} * ${d97("embedding[i]")})
        |          FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)) AS l2_norm,
        |    ${d97("embedding[1]")} AS e0
-       |  FROM embeddings)
+       |  FROM $embSql)
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    t(s, d, "embeddings")
+    vecs(s, d)
       .select(col("vec_id"),
         sqrt(sqNorm(col("embedding"))).as("l2_norm"),
         element_at(col("embedding"), 1).cast(DecimalType(9, 7)).as("e0"))
