@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text.{h60, h60Sql, words}
+
+/** Corpus audit & assembly operators — the curation stages AROUND the
+  * filter/dedup core (BASELINE mandate, training-data pipeline):
+  * train/eval decontamination, token-budget sequence packing, intra-doc
+  * repetition scoring, and per-column data profiling.
+  *
+  * Same portability discipline as Text/Pipeline: every hash is md5-derived
+  * (engine-identical), every ratio is an IEEE-double division of exact
+  * ints, every query ends in a total ORDER BY — so Spark and the DuckDB
+  * oracle agree bit-for-bit at any partitioning.
+  */
+object Audit {
+
+  // --------------------------------------------------------------------
+  // decontaminate — train/eval contamination check (the n-gram-overlap
+  // decontamination every LLM training run needs): treat one source as
+  // the held-out benchmark, hash its 5-word shingles into a reference
+  // set, and flag every training doc that shares ANY shingle with it.
+  //
+  // Scale shape: the benchmark set is small by construction (eval suites
+  // are MBs, the corpus is TBs) — its distinct shingle hashes are
+  // BROADCAST, so the 100 TB training side is ONE scan with a map-side
+  // semi-join probe; the only shuffle is the distinct on contaminated
+  // doc ids (already narrowed to 8-byte ids). The same plan at n=13
+  // (the published decontamination shingle width) is a constant swap.
+  // --------------------------------------------------------------------
+  private val BenchSource = "src0"
+  private val DecontN = 5
+
+  private val decontaminate = Op("decontaminate", {
+    val shingle = s"array_to_string(list_slice(w, i+1, i+$DecontN), ' ')"
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+       |           FROM documents WHERE text IS NOT NULL),
+       |sh AS (SELECT doc_id, source,
+       |         unnest(list_transform(range(0, greatest(len(w) - ${DecontN - 1}, 1)),
+       |                i -> ${h60Sql(shingle)})) AS h
+       |       FROM t),
+       |bad AS (SELECT DISTINCT doc_id FROM sh
+       |        WHERE source <> '$BenchSource'
+       |          AND h IN (SELECT h FROM sh WHERE source = '$BenchSource'))
+       |SELECT d.doc_id, d.source,
+       |  d.doc_id IN (SELECT doc_id FROM bad) AS contaminated
+       |FROM documents d WHERE d.source <> '$BenchSource'
+       |ORDER BY d.doc_id""".stripMargin
+  }) { (s, d) =>
+    val docs = t(s, d, "documents")
+    // null-text docs produce no shingles on either engine (Spark would
+    // hash concat_ws's "" where DuckDB yields NULL — excluding them keeps
+    // the engines symmetric; they still appear in the verdict, clean)
+    val sh = exchange(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), words(col("text")).as("w")))
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("w")) - (DecontN - 1), lit(1)) - 1),
+          i => h60(concat_ws(" ", slice(col("w"), i + 1, lit(DecontN)))))).as("h"))
+    val bench = sh.filter(col("source") === BenchSource).select("h").distinct()
+    val bad = sh.filter(col("source") =!= BenchSource)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("source") =!= BenchSource)
+      .select("doc_id", "source")
+      .join(bad.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // pack_sequences — token-budget packing: assemble docs into training
+  // batches of ≤ Budget tokens by running greedy accumulation along a
+  // deterministic order. The packing stream is PER SOURCE (the shard
+  // key), so at 100 TB each shard packs independently — one window
+  // shuffle on the shard key, no global sort, and adding shards scales
+  // the parallelism. batch_id = tokens-before-this-doc ÷ budget, the
+  // streaming formulation that needs only a running sum (no recursion).
+  // --------------------------------------------------------------------
+  private val PackBudget = 512
+
+  private val packSequences = Op("pack_sequences",
+    s"""SELECT doc_id, source, n_tok,
+       |  CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                         ROWS UNBOUNDED PRECEDING) - n_tok)
+       |       // $PackBudget AS BIGINT) AS batch_id
+       |FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+       |      FROM documents WHERE text IS NOT NULL)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("batch_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / PackBudget))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // repetition_filter — intra-doc repetition scoring (the Gopher-style
+  // "fraction of duplicate n-grams" quality rule): a doc whose bigrams
+  // repeat heavily is boilerplate/spam. dup_ratio = 1 − distinct/total
+  // bigrams, computed with array HOFs per row — pure scan-stage work, no
+  // shuffle except the final ORDER BY; rides to 100 TB as a map pass.
+  // --------------------------------------------------------------------
+  // 0.1 splits the fixture corpus (both verdict branches are exercised by
+  // the oracle compare); production Gopher rules run 0.2–0.6 by n-gram width
+  private val RepThreshold = 0.1
+
+  private val repetitionFilter = Op("repetition_filter", {
+    val grams = """list_transform(range(0, greatest(len(w) - 1, 1)),
+                  |                i -> array_to_string(list_slice(w, i+1, i+2), ' '))"""
+      .stripMargin
+    s"""SELECT doc_id, n_gram, n_uniq,
+       |  CAST(n_gram - n_uniq AS DOUBLE) / n_gram AS dup_ratio,
+       |  CAST(n_gram - n_uniq AS DOUBLE) / n_gram <= $RepThreshold AS keep
+       |FROM (
+       |  SELECT doc_id, len(g) AS n_gram, len(list_distinct(g)) AS n_uniq
+       |  FROM (SELECT doc_id, $grams AS g
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |              FROM documents WHERE text IS NOT NULL)))
+       |ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val g = transform(
+      sequence(lit(0), greatest(size(col("w")) - 1, lit(1)) - 1),
+      i => concat_ws(" ", slice(col("w"), i + 1, lit(2))))
+    val dupRatio = (col("n_gram") - col("n_uniq")).cast("double") / col("n_gram")
+    t(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), g.as("g"))
+      .select(col("doc_id"), size(col("g")).as("n_gram"),
+        size(array_distinct(col("g"))).as("n_uniq"))
+      .select(col("doc_id"), col("n_gram"), col("n_uniq"),
+        dupRatio.as("dup_ratio"), (dupRatio <= RepThreshold).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // profile_stats — per-column data profiling (the audit a pipeline runs
+  // before trusting a new corpus drop): null count, distinct count,
+  // min/max per column, one row per column. Spark computes ALL columns'
+  // metrics in ONE aggregate pass (Catalyst plans the multi-distinct via
+  // Expand — still a single scan) and unpivots with stack(); the oracle
+  // is the equivalent UNION-ALL-of-aggregates. At 100 TB swap the exact
+  // count(DISTINCT) for approx_count_distinct — the shape is otherwise
+  // already the one-pass profile you want; exact here because the oracle
+  // must reproduce it.
+  // --------------------------------------------------------------------
+  private val ProfileCols = Seq("doc_id", "lang", "n_chars", "source")
+
+  private val profileStats = Op("profile_stats",
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS col,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS mn,
+         |  CAST(max($c) AS VARCHAR) AS mx
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col")) { (s, d) =>
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        countDistinct(col(c)).as(s"${c}_d"),
+        min(col(c)).cast("string").as(s"${c}_mn"),
+        max(col(c)).cast("string").as(s"${c}_mx"))
+    }
+    val stackExpr = ProfileCols.map { c =>
+      s"'$c', n_rows - ${c}_n, ${c}_d, ${c}_mn, ${c}_mx"
+    }.mkString(s"stack(${ProfileCols.size}, ", ", ", ")")
+    t(s, d, "documents")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"$stackExpr AS (col, n_nulls, n_distinct, mn, mx)")
+      .orderBy("col")
+  }
+
+  val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
+    profileStats)
+}

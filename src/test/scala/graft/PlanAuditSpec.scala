@@ -120,6 +120,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate broadcasts the benchmark shingle set (map-side probe, no cartesian)") {
+    val plan = planOf("decontaminate")
+    // the eval set is small by construction — the 100 TB training scan
+    // must probe it map-side, not shuffle itself against it
+    "BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan) should not be empty
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("profile_stats computes all columns' distincts in one scan (Expand, not one pass per column)") {
+    val plan = planOf("profile_stats")
+    plan should include("Expand")
+    "Scan parquet".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("repetition_filter is scan-stage narrow work (no shuffle before the final sort)") {
+    val plan = planOf("repetition_filter")
+    // one exchange only: the deterministic ORDER BY's range partitioning
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("sink_bucketed: bucket layout replaces the aggregation shuffle") {
     val plan = SparkEntry.queries("sink_bucketed")(spark, dir)
       .queryExecution.executedPlan.toString
