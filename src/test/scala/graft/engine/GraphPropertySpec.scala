@@ -49,4 +49,31 @@ class GraphPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("connectedComponentsStar equals union-find on 15 seeded random graphs") {
+    // the A/B candidate kernel must be just as correct as the production
+    // one, or its timing comparison is meaningless
+    val rng = new Random(0xBEEF)
+    (1 to 15).foreach { trial =>
+      val n = 5 + rng.nextInt(26)
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rng.nextDouble() < 0.12
+      } yield (a.toLong, b.toLong)).toSeq
+      val expected = unionFind(n, edges)
+      val got = Graph.connectedComponentsStar(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial (n=$n, ${edges.size} edges): ") {
+        got shouldBe expected
+      }
+    }
+  }
+
+  test("connectedComponentsStar converges on a 400-deep chain under the cap") {
+    val chain = (0L until 400L).map(i => (i, i + 1))
+    val got = Graph.connectedComponentsStar(chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.size shouldBe 401
+    all(got.values) shouldBe 0L
+  }
 }
