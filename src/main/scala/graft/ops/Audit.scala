@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.Text.{h60, h60Sql, words}
 
@@ -177,6 +178,42 @@ object Audit {
       .orderBy("col")
   }
 
+  // --------------------------------------------------------------------
+  // outlier_filter — group-relative tail gate over a numeric column (the
+  // sanity pass a pipeline runs on numeric features/prices before
+  // training): flag rows above their group's 99.5th percentile. The
+  // robust (quantile) form rather than mean±kσ — the fixture columns are
+  // uniform, where a 3σ z-gate provably never fires (max |z| = √3), and
+  // at deployment quantile gates don't let the outliers themselves drag
+  // the threshold the way moments do. Percentile parity with DuckDB via
+  // the decimal→double cast proven by agg_percentile.
+  // Scale shape: per-group exact percentile (3 groups → tiny aggregate)
+  // BROADCAST back over the scan — two passes, no wide shuffle; at
+  // 100 TB swap exact percentile for the mergeable approx_percentile
+  // sketch (the agg_percentile/_approx pairing).
+  // --------------------------------------------------------------------
+  private val outlierFilter = Op("outlier_filter",
+    """WITH thr AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.995) AS p995
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+      |  l.l_extendedprice, thr.p995
+      |FROM lineitem l JOIN thr ON l.l_returnflag = thr.l_returnflag
+      |WHERE l.l_extendedprice > thr.p995
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, d) =>
+    val price = col("l_extendedprice").cast(DecimalType(18, 2)).cast("double")
+    val li = t(s, d, "lineitem")
+    val thr = li.groupBy("l_returnflag")
+      .agg(percentile(price, lit(0.995)).as("p995"))
+    li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .join(broadcast(thr), "l_returnflag")
+      .filter(col("l_extendedprice") > col("p995"))
+      .select("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice", "p995")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
-    profileStats)
+    profileStats, outlierFilter)
 }

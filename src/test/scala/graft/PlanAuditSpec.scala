@@ -142,6 +142,12 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("outlier_filter broadcasts the per-group thresholds back over the scan") {
+    val plan = planOf("outlier_filter")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("sink_bucketed: bucket layout replaces the aggregation shuffle") {
     val plan = SparkEntry.queries("sink_bucketed")(spark, dir)
       .queryExecution.executedPlan.toString
