@@ -331,5 +331,44 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  val ops: Seq[Op] = Seq(dedupMinhash, dedupSimhash, dedupNgram, dedupCluster)
+  // --------------------------------------------------------------------
+  // dedup_fuzzy — blocked fuzzy matching (classic entity resolution, the
+  // record-linkage flavor of dedup): candidate pairs come from an
+  // equi-join on a cheap BLOCKING key (here a name prefix), and only
+  // collisions pay the exact edit-distance verification — the same
+  // bucket-then-verify shape as the text dedups, applied to short
+  // identity-ish strings. Levenshtein is a standard definition, so Spark
+  // and DuckDB agree exactly.
+  //
+  // At 100 TB the blocking key bounds the candidate volume (pairs grow
+  // with Σ block² — pick keys from domain knowledge: name prefix,
+  // phonetic code, zip). A hot block is the salting case: split it on a
+  // second key (suffix hash) before the self-join.
+  // --------------------------------------------------------------------
+  private val FuzzyBlockLen = 16
+  private val FuzzyMaxDist = 1
+
+  private val dedupFuzzy = Op("dedup_fuzzy",
+    s"""WITH c AS (SELECT c_custkey, lower(c_name) AS n FROM customer),
+       |b AS (SELECT c_custkey, n, substr(n, 1, $FuzzyBlockLen) AS blk FROM c)
+       |SELECT a.c_custkey AS id_a, b2.c_custkey AS id_b,
+       |  CAST(levenshtein(a.n, b2.n) AS INTEGER) AS dist
+       |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey
+       |WHERE levenshtein(a.n, b2.n) <= $FuzzyMaxDist
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), lower(col("c_name")).as("n"))
+      .withColumn("blk", substring(col("n"), 1, FuzzyBlockLen))
+    val a = c.select(col("c_custkey").as("id_a"), col("n").as("n_a"), col("blk"))
+    val b = c.select(col("c_custkey").as("id_b"), col("n").as("n_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("n_a"), col("n_b")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
+  val ops: Seq[Op] = Seq(dedupMinhash, dedupSimhash, dedupNgram, dedupCluster,
+    dedupFuzzy)
 }

@@ -41,7 +41,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup ops contain no cartesian product") {
-    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "dedup_embed_banded")
+    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "dedup_embed_banded",
+        "dedup_fuzzy")
       .foreach { name =>
         withClue(name) {
           val plan = planOf(name)
