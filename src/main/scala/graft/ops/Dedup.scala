@@ -359,7 +359,11 @@ object Dedup {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), lower(col("c_name")).as("n"))
       .withColumn("blk", substring(col("n"), 1, FuzzyBlockLen))
-    val a = c.select(col("c_custkey").as("id_a"), col("n").as("n_a"), col("blk"))
+    // exchange the probe side: the broadcast-join condition carries the
+    // levenshtein verification, and a single-file scan would run ALL of it
+    // in one task (A/B at 10× probe, warm: 6.1 s → 1.0 s)
+    val a = exchange(c)
+      .select(col("c_custkey").as("id_a"), col("n").as("n_a"), col("blk"))
     val b = c.select(col("c_custkey").as("id_b"), col("n").as("n_b"), col("blk"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
