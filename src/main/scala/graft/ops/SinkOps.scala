@@ -312,7 +312,79 @@ object SinkOps {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // --------------------------------------------------------------------
+  // sink_scd2 — slowly-changing-dimension type-2 merge: the history-
+  // keeping extension of the reference's last-writer upsert (R14). A
+  // matched key whose tracked attribute CHANGED closes the open row
+  // (valid_to = batch date) and inserts a new current version; an
+  // identical incoming row is a no-op (no spurious versions); a brand-new
+  // key inserts as current. One distributed plan: a single keyed join
+  // decides changed/unchanged/new, unions assemble the three row classes
+  // — no per-row lookups, no driver state, and every shuffle hashes on
+  // the merge key (AQE reuses the exchange across the branches).
+  // --------------------------------------------------------------------
+  private val Scd2From = "2020-01-01"
+  private val Scd2Batch = "2024-06-01"
+
+  private val sinkScd2 = Op("sink_scd2",
+    s"""WITH ex AS (
+       |  SELECT c_custkey, c_acctbal, DATE '$Scd2From' AS valid_from,
+       |         CAST(NULL AS DATE) AS valid_to
+       |  FROM customer WHERE c_custkey <= 500),
+       |inc AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+       |  FROM customer WHERE c_custkey BETWEEN 400 AND 600),
+       |chg AS (
+       |  SELECT i.c_custkey FROM inc i JOIN ex e ON i.c_custkey = e.c_custkey
+       |  WHERE i.c_acctbal <> e.c_acctbal),
+       |new_keys AS (
+       |  SELECT i.c_custkey FROM inc i
+       |  WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.c_custkey = i.c_custkey))
+       |SELECT * FROM (
+       |  SELECT c_custkey, c_acctbal, valid_from,
+       |    CASE WHEN c_custkey IN (SELECT c_custkey FROM chg)
+       |         THEN DATE '$Scd2Batch' ELSE valid_to END AS valid_to
+       |  FROM ex
+       |  UNION ALL
+       |  SELECT c_custkey, c_acctbal, DATE '$Scd2Batch', CAST(NULL AS DATE)
+       |  FROM inc
+       |  WHERE c_custkey IN (SELECT c_custkey FROM chg)
+       |     OR c_custkey IN (SELECT c_custkey FROM new_keys)
+       |) ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val ex = c.filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"), col("c_acctbal"),
+        to_date(lit(Scd2From)).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+    val inc = c.filter(col("c_custkey").between(400, 600))
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+    // one keyed join classifies every incoming row: changed / identical /
+    // brand-new; the existing side reuses the same classification to
+    // close rows
+    val chg = inc.as("i")
+      .join(ex.as("e"), Seq("c_custkey"))
+      .filter(col("i.c_acctbal") =!= col("e.c_acctbal"))
+      .select("c_custkey")
+    val newKeys = inc.join(ex, Seq("c_custkey"), "left_anti")
+      .select("c_custkey")
+    val closedOrOpen = ex
+      .join(chg.withColumn("chg", lit(true)), Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"), col("valid_from"),
+        when(col("chg"), to_date(lit(Scd2Batch)))
+          .otherwise(col("valid_to")).as("valid_to"))
+    val inserted = inc
+      .join(chg.unionByName(newKeys).distinct(), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_acctbal"),
+        to_date(lit(Scd2Batch)).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+    closedOrOpen.unionByName(inserted)
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
     sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson,
-    scanSchemaEvolution, sinkZorder)
+    scanSchemaEvolution, sinkZorder, sinkScd2)
 }
