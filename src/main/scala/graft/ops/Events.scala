@@ -248,6 +248,48 @@ object Events {
       .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_first)
   }
 
+  // --------------------------------------------------------------------
+  // event_sequences — journey mining, the discovery twin of event_funnel:
+  // instead of checking a KNOWN signup→click→purchase path, surface the
+  // most common observed paths (each user's first 5 events in time order,
+  // joined into a path string, counted across users). One user-keyed
+  // window shuffle + one path aggregate; the top-k is
+  // TakeOrderedAndProject, so only k×partitions rows reach the driver at
+  // any scale. Ties in ts break on event_id; null-ts events are excluded
+  // on BOTH engines (Spark sorts NULLS FIRST, DuckDB NULLS LAST — the
+  // filter keeps the engines symmetric).
+  // --------------------------------------------------------------------
+  private val SeqLen = 5
+
+  private val eventSequences = Op("event_sequences",
+    s"""WITH r AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events WHERE ts IS NOT NULL),
+       |p AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM r WHERE rn <= $SeqLen GROUP BY user_id)
+       |SELECT path, COUNT(*) AS n_users FROM p
+       |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, d, "events")
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= SeqLen)
+      .groupBy("user_id")
+      // collect_list has no intra-task order guarantee — sort the (rn,
+      // type) structs, then project the types back out
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(20)
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental,
-    funnel, retention, intervalJoin, intervalJoinLeft)
+    funnel, retention, intervalJoin, intervalJoinLeft, eventSequences)
 }
