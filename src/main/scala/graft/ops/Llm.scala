@@ -567,7 +567,91 @@ object Llm {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------------
+  // search_rrf — hybrid retrieval (the RAG-stack shape): a keyword
+  // shortlist and a vector shortlist, fused by reciprocal-rank fusion.
+  // Rank-based fusion is what makes hybrid search EXACTLY reproducible —
+  // the fused score is a function of integer ranks, not of mixing two
+  // incomparable score scales.
+  //
+  // Scale shape: each modality produces a top-100 shortlist via
+  // TakeOrderedAndProject (per-partition heaps — no global sort), the
+  // rank windows then run over ≤100 rows, and the fusion is a full-outer
+  // join of two 100-row sets. The vector shortlist reuses sim_search's
+  // double-prefilter→decimal-rescore refinement. Docs outside a
+  // shortlist contribute 0 for that modality — the standard shortlist
+  // RRF every production hybrid-search system runs (ranking the ENTIRE
+  // corpus per modality would be a global sort for ranks 101+ that can
+  // never reach the fused top-10 here: 2/160 > 1/61 + 1/∞ is false only
+  // deep in the shortlists).
+  // --------------------------------------------------------------------
+  private val RrfK = 60
+  private val RrfShortlist = 100
+  private val QueryTerms = Seq("table", "scan", "join")
+
+  private val searchRrf = Op("search_rrf", {
+    val kwTerms = QueryTerms.map { term =>
+      s"(length(text) - length(replace(text, '$term', ''))) // length('$term')"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT d.doc_id, d.text, e.embedding
+       |  FROM documents d JOIN $embSql e ON e.vec_id = d.doc_id
+       |  WHERE d.doc_id <> 0 AND d.text IS NOT NULL),
+       |q AS (SELECT embedding AS qv FROM $embSql WHERE vec_id = 0),
+       |kws AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS INTEGER) AS r_kw
+       |  FROM (SELECT doc_id, $kwTerms AS kw_score FROM base)
+       |  QUALIFY r_kw <= $RrfShortlist),
+       |vecs AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS r_vec
+       |  FROM (SELECT doc_id, ${cosineSql("embedding", "qv")} AS cos_sim FROM base, q)
+       |  QUALIFY r_vec <= $RrfShortlist)
+       |SELECT COALESCE(kws.doc_id, vecs.doc_id) AS doc_id, r_kw, r_vec,
+       |  COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_kw), 0)
+       |    + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_vec), 0) AS rrf
+       |FROM kws FULL JOIN vecs ON kws.doc_id = vecs.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "documents")
+      .filter(col("doc_id") =!= 0 && col("text").isNotNull)
+      .join(vecs(s, d).withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select("doc_id", "text", "embedding")
+    val q = broadcast(vecs(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), rounded7(col("embedding")).as("rq")))
+    // keyword side: portable occurrence counts (the lang_id formulation)
+    val kwScore = QueryTerms.map { term =>
+      (length(col("text")) - length(replace(col("text"), lit(term), lit("")))) / term.length
+    }.reduce(_ + _).cast("long")
+    val kwShort = base.select(col("doc_id"), kwScore.as("kw_score"))
+      .orderBy(col("kw_score").desc, col("doc_id").asc)
+      .limit(RrfShortlist)
+      .withColumn("r_kw", row_number()
+        .over(Window.orderBy(col("kw_score").desc, col("doc_id").asc)))
+      .select("doc_id", "r_kw")
+    // vector side: sim_search's double prefilter → exact decimal rescore,
+    // then ranks within the decimal-ordered shortlist
+    val vecShort = base
+      .select(col("doc_id"), col("embedding"), rounded7(col("embedding")).as("r7"))
+      .crossJoin(q)
+      .withColumn("dcos", doubleCos(s)(col("r7"), col("rq")))
+      .orderBy(col("dcos").desc, col("doc_id").asc)
+      .limit(2 * RrfShortlist)
+      .select(col("doc_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+      .limit(RrfShortlist)
+      .withColumn("r_vec", row_number()
+        .over(Window.orderBy(col("cos_sim").desc, col("doc_id").asc)))
+      .select("doc_id", "r_vec")
+    kwShort.join(vecShort, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_kw"), col("r_vec"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("r_kw")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
     dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
-    multimodalDecode, embedNormalize, vecQuantize)
+    multimodalDecode, embedNormalize, vecQuantize, searchRrf)
 }
