@@ -95,6 +95,54 @@ class AuditSpec extends SparkSpec {
     flagged.length.toDouble / total should be < 0.02
   }
 
+  test("sink_scd2: exactly one open row per key, no spurious versions, history closed at the batch date") {
+    val rows = SparkEntry.queries("sink_scd2")(spark, dir).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    // every key has exactly ONE current (valid_to IS NULL) row
+    byKey.foreach { case (k, rs) =>
+      withClue(s"key $k: ") { rs.count(_.isNullAt(3)) shouldBe 1 }
+    }
+    // an identical incoming row must NOT create a version: odd keys in
+    // 401..499 arrive unchanged → single open row, no history
+    byKey.filter { case (k, _) => k >= 401 && k <= 499 && k % 2 == 1 }
+      .foreach { case (k, rs) =>
+        withClue(s"unchanged key $k: ") { rs.length shouldBe 1 }
+      }
+    // a changed key (even, 400..500) has exactly its closed original +
+    // the new current version, closed AT the batch date
+    byKey.filter { case (k, _) => k >= 400 && k <= 500 && k % 2 == 0 }
+      .foreach { case (k, rs) =>
+        withClue(s"changed key $k: ") {
+          rs.length shouldBe 2
+          rs.filter(!_.isNullAt(3)).map(_.getDate(3).toString) shouldBe Array("2024-06-01")
+        }
+      }
+    // brand-new keys (501..600) insert as current only
+    byKey.filter { case (k, _) => k >= 501 && k <= 600 }.foreach { case (k, rs) =>
+      withClue(s"new key $k: ") {
+        rs.length shouldBe 1
+        rs.head.isNullAt(3) shouldBe true
+        rs.head.getDate(2).toString shouldBe "2024-06-01"
+      }
+    }
+  }
+
+  test("search_rrf: fused scores decompose into the shortlist rank terms") {
+    val rows = SparkEntry.queries("search_rrf")(spark, dir).collect()
+    rows should have length 10
+    rows.foreach { r =>
+      val rKw = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rVec = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      // a fused row exists only via at least one shortlist membership
+      (rKw.isDefined || rVec.isDefined) shouldBe true
+      val expected = rKw.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rVec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      r.getDouble(3) shouldBe expected
+      rKw.foreach(_ should be >= 1)
+      rVec.foreach(_ should be >= 1)
+    }
+  }
+
   test("profile_stats: counts are consistent with the source table") {
     val rows = SparkEntry.queries("profile_stats")(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
