@@ -214,6 +214,56 @@ object Audit {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // --------------------------------------------------------------------
+  // gap_detect — integrity audit over an expected-dense key: report every
+  // run of missing ids (gap start / end / width). NOT one global window —
+  // ids are range-bucketed, gaps inside a bucket come from a
+  // bucket-partitioned lag window (embarrassingly parallel), and gaps
+  // that SPAN buckets come from a second lag over the per-bucket min/max
+  // aggregate (one row per bucket — driver-scale tiny). The union is
+  // exactly the global gap list, with no single-partition window at any
+  // data size. Audited column: DISTINCT l_orderkey — the fixture's
+  // lineitem covers only ~98% of the orderkey range, so the audit
+  // surfaces the real "orders with no lineitems" runs.
+  // --------------------------------------------------------------------
+  private val GapBucket = 1000
+
+  private val gapDetect = Op("gap_detect",
+    s"""WITH ids AS (SELECT DISTINCT l_orderkey AS id, l_orderkey // $GapBucket AS bkt
+       |             FROM lineitem),
+       |inner_gaps AS (
+       |  SELECT prev_id + 1 AS gap_start, id - 1 AS gap_end
+       |  FROM (SELECT id, lag(id) OVER (PARTITION BY bkt ORDER BY id) AS prev_id
+       |        FROM ids)
+       |  WHERE prev_id IS NOT NULL AND id - prev_id > 1),
+       |bounds AS (SELECT bkt, min(id) AS mn, max(id) AS mx FROM ids GROUP BY bkt),
+       |cross_gaps AS (
+       |  SELECT prev_mx + 1 AS gap_start, mn - 1 AS gap_end
+       |  FROM (SELECT mn, lag(mx) OVER (ORDER BY bkt) AS prev_mx FROM bounds)
+       |  WHERE prev_mx IS NOT NULL AND mn - prev_mx > 1)
+       |SELECT gap_start, gap_end, gap_end - gap_start + 1 AS n_missing
+       |FROM (SELECT * FROM inner_gaps UNION ALL SELECT * FROM cross_gaps)
+       |ORDER BY gap_start""".stripMargin) { (s, d) =>
+    val ids = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("id"),
+        floor(col("l_orderkey") / GapBucket).as("bkt"))
+      .distinct()
+    val wIn = Window.partitionBy("bkt").orderBy("id")
+    val innerGaps = ids
+      .withColumn("prev_id", lag("id", 1).over(wIn))
+      .filter(col("prev_id").isNotNull && col("id") - col("prev_id") > 1)
+      .select((col("prev_id") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+    val bounds = ids.groupBy("bkt").agg(min("id").as("mn"), max("id").as("mx"))
+    val crossGaps = bounds
+      .withColumn("prev_mx", lag("mx", 1).over(Window.orderBy("bkt")))
+      .filter(col("prev_mx").isNotNull && col("mn") - col("prev_mx") > 1)
+      .select((col("prev_mx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
+    innerGaps.unionByName(crossGaps)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("n_missing"))
+      .orderBy("gap_start")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
-    profileStats, outlierFilter)
+    profileStats, outlierFilter, gapDetect)
 }
