@@ -373,6 +373,61 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // --------------------------------------------------------------------
+  // dedup_substring — char-level repeated-run audit (the substring-dedup
+  // family: exact character runs duplicated ACROSS documents, which
+  // word-shingle sketches miss when the run crosses word boundaries or
+  // sits inside otherwise-distinct docs). Strided 30-char windows are
+  // hashed (8-byte shuffle keys, never the text), one hash aggregate
+  // finds runs appearing in ≥2 distinct docs, and a join-back counts each
+  // doc's duplicated windows. Every doc appears in the verdict. At 100 TB
+  // this is two keyed shuffles on fixed-width hashes; stride trades
+  // recall for volume (stride=1 is the exact published form).
+  // --------------------------------------------------------------------
+  private val RunLen = 30
+  private val RunStride = 10
+
+  private val dedupSubstring = Op("dedup_substring", {
+    val h = h60Sql(s"substr(text, CAST(i AS INTEGER)*$RunStride+1, $RunLen)")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      range(0, greatest((length(text) - $RunLen) // $RunStride + 1, 0)),
+       |      i -> $h)) AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |dup AS (
+       |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_dup_runs
+       |  FROM g JOIN dup USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_dup_runs, 0) AS n_dup_runs,
+       |  COALESCE(p.n_dup_runs, 0) > 0 AS flagged
+       |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }) { (s, d) =>
+    val len = length(col("text"))
+    val nWin = floor((len - RunLen) / RunStride).cast("long") + 1
+    val runs = exchange(t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(
+        when(len >= RunLen, transform(sequence(lit(0L), nWin - 1),
+          i => h60(col("text").substr((i * RunStride + 1).cast("int"), lit(RunLen)))))
+          .otherwise(array())).as("h"))
+    val dup = runs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val perDoc = runs.join(dup, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_runs"))
+    t(s, d, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_runs"), lit(0L)).as("n_dup_runs"))
+      .withColumn("flagged", col("n_dup_runs") > 0)
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(dedupMinhash, dedupSimhash, dedupNgram, dedupCluster,
-    dedupFuzzy)
+    dedupFuzzy, dedupSubstring)
 }
