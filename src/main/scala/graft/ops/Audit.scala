@@ -10,7 +10,8 @@ import graft.ops.Text.{h60, h60Sql, words}
 /** Corpus audit & assembly operators — the curation stages AROUND the
   * filter/dedup core (BASELINE mandate, training-data pipeline):
   * train/eval decontamination, token-budget sequence packing, intra-doc
-  * repetition scoring, and per-column data profiling.
+  * repetition scoring, per-column data profiling, group-relative outlier
+  * gating, and missing-id gap detection.
   *
   * Same portability discipline as Text/Pipeline: every hash is md5-derived
   * (engine-identical), every ratio is an IEEE-double division of exact
