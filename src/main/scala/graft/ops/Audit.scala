@@ -265,6 +265,100 @@ object Audit {
       .orderBy("gap_start")
   }
 
+  // --------------------------------------------------------------------
+  // anomaly_mad — robust z-score anomaly detection over a DERIVED metric
+  // (orders per customer — the fixture's raw columns are uniform, where
+  // moment/quantile tail gates are degenerate; count-per-entity is the
+  // Poisson-shaped signal a bot/fraud/ingest-skew audit actually watches).
+  // Median + MAD instead of mean + σ: the robust pair, so the anomalies
+  // themselves cannot drag the threshold. rz = (n − median)/(1.4826·MAD),
+  // flag |rz| > 3 (1.4826 scales MAD to σ under normality).
+  // Scale shape: the metric is one keyed aggregate; median and MAD are two
+  // GLOBAL one-row aggregates broadcast back over it — no wide shuffle
+  // beyond the count itself. At 100 TB swap exact percentile for the
+  // mergeable approx_percentile sketch (the agg_percentile/_approx
+  // pairing); the two-pass median-then-MAD structure is unchanged.
+  // --------------------------------------------------------------------
+  private val MadK = 3.0
+  private val MadScale = 1.4826
+
+  private val anomalyMad = Op("anomaly_mad",
+    s"""WITH cnt AS (SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n_orders
+       |             FROM orders GROUP BY o_custkey),
+       |med AS (SELECT quantile_cont(n_orders, 0.5) AS med FROM cnt),
+       |dev AS (SELECT o_custkey, n_orders, med, abs(n_orders - med) AS ad
+       |        FROM cnt, med),
+       |mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+       |SELECT o_custkey, n_orders, med, mad,
+       |  (n_orders - med) / ($MadScale * mad) AS rz
+       |FROM dev, mad
+       |WHERE ad > ($MadK * $MadScale) * mad
+       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val cnt = t(s, d, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).cast("double").as("n_orders"))
+    val med = cnt.agg(percentile(col("n_orders"), lit(0.5)).as("med"))
+    val dev = cnt.crossJoin(broadcast(med))
+      .withColumn("ad", abs(col("n_orders") - col("med")))
+    val mad = dev.agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("ad") > lit(MadK * MadScale) * col("mad"))
+      .select(col("o_custkey"), col("n_orders"), col("med"), col("mad"),
+        ((col("n_orders") - col("med")) / (lit(MadScale) * col("mad"))).as("rz"))
+      .orderBy("o_custkey")
+  }
+
+  // --------------------------------------------------------------------
+  // snapshot_diff — CDC-style table diff: classify every key across two
+  // snapshots of a dimension as added / removed / changed (identical rows
+  // are not emitted — at 100 TB the diff output is proportional to the
+  // CHANGE volume, not the table). The snapshots here are derived from
+  // `customer` by deterministic salted-hash predicates (old is missing
+  // the to-be-added keys; new drops the removed keys and bumps acctbal on
+  // the changed ones) so both engines reconstruct identical inputs; at
+  // deployment they are yesterday's and today's loads of the same table.
+  // Plan shape: ONE full-outer sort-merge join on the PK — both snapshots
+  // hash-partition on the key, no broadcast (snapshots are same-sized by
+  // definition), null-side tests classify. This is the merge/diff kernel
+  // behind upsert auditing and SCD2 change capture (sink_scd2).
+  // --------------------------------------------------------------------
+  private val snapshotDiff = Op("snapshot_diff", {
+    def h(salt: String) =
+      s"CAST(concat('0x', substr(md5(concat('$salt', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+    s"""WITH old AS (
+       |  SELECT c_custkey, c_acctbal FROM customer WHERE ${h("add:")} % 13 <> 0),
+       |new AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN ${h("upd:")} % 11 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+       |  FROM customer WHERE ${h("del:")} % 17 <> 0)
+       |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+       |       WHEN n.c_custkey IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS status,
+       |  o.c_acctbal AS old_bal, n.c_acctbal AS new_bal
+       |FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+       |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       |   OR o.c_acctbal <> n.c_acctbal
+       |ORDER BY c_custkey""".stripMargin
+  }) { (s, d) =>
+    def h(salt: String) = h60(concat(lit(salt), col("c_custkey").cast("string")))
+    val cust = t(s, d, "customer")
+    val old = cust.filter(h("add:") % 13 =!= 0).select("c_custkey", "c_acctbal")
+    val nw = cust.filter(h("del:") % 17 =!= 0)
+      .select(col("c_custkey"),
+        when(h("upd:") % 11 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+    old.as("o").join(nw.as("n"), col("o.c_custkey") === col("n.c_custkey"), "full_outer")
+      .filter(col("o.c_custkey").isNull || col("n.c_custkey").isNull ||
+        col("o.c_acctbal") =!= col("n.c_acctbal"))
+      .select(
+        coalesce(col("o.c_custkey"), col("n.c_custkey")).as("c_custkey"),
+        when(col("o.c_custkey").isNull, "added")
+          .when(col("n.c_custkey").isNull, "removed")
+          .otherwise("changed").as("status"),
+        col("o.c_acctbal").as("old_bal"), col("n.c_acctbal").as("new_bal"))
+      .orderBy("c_custkey")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
-    profileStats, outlierFilter, gapDetect)
+    profileStats, outlierFilter, gapDetect, anomalyMad, snapshotDiff)
 }

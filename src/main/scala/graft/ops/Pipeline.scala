@@ -172,6 +172,32 @@ object Pipeline {
   }
 
   // --------------------------------------------------------------------
+  // dataset_split — leak-proof train/val/test assignment (80/10/10): the
+  // split is a pure function of the document KEY (salted md5, engine-
+  // portable), never of row order, sampling, or randomness — so re-runs,
+  // engine swaps, and incremental corpus drops can NEVER move a doc
+  // across the split boundary (the train/eval leak a pipeline must
+  // structurally prevent; pair with `decontaminate` for content-level
+  // leaks). Pure scan-stage map work — the assignment costs nothing at
+  // 100 TB and composes with any downstream filter as a free predicate.
+  // --------------------------------------------------------------------
+  private val datasetSplit = Op("dataset_split",
+    """SELECT doc_id,
+      |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10 AS b
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val b = h60(concat(lit("split:"), col("doc_id").cast("string"))) % 10
+    t(s, d, "documents")
+      .select(col("doc_id"), b.as("b"))
+      .select(col("doc_id"),
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
   // curation_pipeline — the whole corpus-preparation flow composed as ONE
   // lazy plan: normalize → length-filter → exact-dedup on the normalized
   // hash → deterministic 50% sample → chunk accounting. This is the
@@ -214,5 +240,5 @@ object Pipeline {
   }
 
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
-    samplePerGroup, curationPipeline)
+    samplePerGroup, datasetSplit, curationPipeline)
 }

@@ -256,6 +256,39 @@ object Text {
       .limit(50)
   }
 
+  // --------------------------------------------------------------------
+  // vocab_topk — corpus vocabulary with term AND document frequency, top
+  // 100: the table behind tokenizer vocab selection and idf weighting
+  // (text_ngram_freq is the collocation twin; this one adds df, the
+  // distinct-doc count a BM25/idf computation needs). One generator per
+  // doc, then ONE hash aggregate keyed on the word computing both counts
+  // — df needs no count(DISTINCT) shuffle because each word is emitted
+  // once per doc via the per-row array_distinct (scan-stage, narrow).
+  // Map-side combine + TakeOrderedAndProject: at 100 TB only |vocab| rows
+  // shuffle and only k×partitions rows reach the driver.
+  // --------------------------------------------------------------------
+  private val vocabTopk = Op("vocab_topk",
+    """WITH tf AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w, 0 AS in_df
+      |  FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT unnest(list_distinct(string_split(text, ' '))) AS w, 1 AS in_df
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT w, count(*) FILTER (in_df = 0) AS n, count(*) FILTER (in_df = 1) AS df
+      |FROM tf GROUP BY w
+      |ORDER BY n DESC, w LIMIT 100""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents").filter(col("text").isNotNull)
+    val tf = docs.select(explode(words(col("text"))).as("w"), lit(0).as("in_df"))
+    val df = docs.select(explode(array_distinct(words(col("text")))).as("w"),
+      lit(1).as("in_df"))
+    tf.unionByName(df)
+      .groupBy("w")
+      .agg(count(when(col("in_df") === 0, 1)).as("n"),
+        count(when(col("in_df") === 1, 1)).as("df"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(100)
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
-    textNormalize, ngramFreq)
+    textNormalize, ngramFreq, vocabTopk)
 }
