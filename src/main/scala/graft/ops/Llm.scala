@@ -651,7 +651,79 @@ object Llm {
       .limit(10)
   }
 
+  // --------------------------------------------------------------------
+  // knn_join_bucketed — the BATCH ANN join (sim_search answers one query;
+  // this answers a query SET in one plan — the shape of embedding-based
+  // retrieval/labeling over a whole dataset): for each of a fixed query
+  // set, the top-k cosine neighbors among all other vectors that collide
+  // in the query's sign-sketch bucket or any hamming-1 neighbor bucket
+  // (the sim_search_bucketed multiprobe, turned into a join).
+  //
+  // Plan shape, inside-out: the query side is tiny by construction →
+  // probes (4 rows per query) BROADCAST, so candidate generation is one
+  // map-side hash join over the corpus scan — the corpus never shuffles
+  // to find its candidates. Candidates then shuffle ONCE, keyed by qid,
+  // as NARROW rows (ids + a codegen'd double prefilter score — never the
+  // embedding payloads; the dedup_embed_banded discipline), a per-query
+  // window keeps the double top-50, and only that shortlist joins back to
+  // the feature table for the exact-decimal rescore to top-3 (sim_search's
+  // RefineK margin argument, 50 vs 3). At 100 TB: more sketch bits hold
+  // bucket populations constant (the LSH capacity rule), per-query
+  // candidate volume is bounded by bucket size, and the qid shuffle is
+  // proportional to candidates, not corpus.
+  // --------------------------------------------------------------------
+  private val KnnQueries = 20 // query set: vec_id < 20 (fixed at every sf)
+  private val KnnK = 3
+  private val KnnRefine = 50
+
+  private val knnJoinBucketed = Op("knn_join_bucketed",
+    s"""WITH s AS (SELECT vec_id, embedding, ${sketchSql("embedding")} AS sk
+       |           FROM $embSql),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, sk AS qsk
+       |      FROM s WHERE vec_id < $KnnQueries),
+       |cand AS (
+       |  SELECT q.qid, s.vec_id, ${cosineSql("s.embedding", "q.qv")} AS cos_sim
+       |  FROM s JOIN q
+       |    ON s.vec_id <> q.qid
+       |   AND bit_count(xor(CAST(s.sk AS BIGINT), CAST(q.qsk AS BIGINT))) <= 1)
+       |SELECT qid, vec_id, cos_sim, rank FROM (
+       |  SELECT qid, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM cand)
+       |WHERE rank <= $KnnK
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    // exchange: parallelism + materialization barrier so sk/r7 are computed
+    // once per vector (the sketch-ops discipline)
+    val e = exchange(vecs(s, d).select(col("vec_id"), col("embedding"),
+      sketch(col("embedding")).as("sk"), rounded7(col("embedding")).as("r7")))
+    val probes = broadcast(
+      e.filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("qid"), col("sk").as("qsk"), col("r7").as("rq"))
+        .select(col("qid"), col("rq"),
+          explode(array(Seq(0, 1, 2, 4).map(f =>
+            col("qsk").bitwiseXOR(lit(f))): _*)).as("psk")))
+    val cand = e.join(probes, col("sk") === col("psk") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        doubleCos(s)(col("r7"), col("rq")).as("dcos"))
+    val wPre = Window.partitionBy("qid").orderBy(col("dcos").desc, col("vec_id").asc)
+    val shortlist = cand
+      .withColumn("__rn", row_number().over(wPre)).filter(col("__rn") <= KnnRefine)
+      .select("qid", "vec_id")
+    // ids join back to the feature table for the exact-decimal decide
+    val qv = e.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cv = e.select(col("vec_id"), col("embedding").as("ce"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    shortlist.join(broadcast(qv), "qid").join(cv, "vec_id")
+      .withColumn("cos_sim", cosine(col("ce"), col("qe")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= KnnK)
+      .select("qid", "vec_id", "cos_sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
     dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
-    multimodalDecode, embedNormalize, vecQuantize, searchRrf)
+    multimodalDecode, embedNormalize, vecQuantize, searchRrf, knnJoinBucketed)
 }

@@ -221,6 +221,36 @@ object SinkOps {
   // aggregate/join on that key (a join partner either broadcasts,
   // shuffles to match the buckets, or is bucketed the same way).
   // --------------------------------------------------------------------
+  // --------------------------------------------------------------------
+  // sink_compact — small-file compaction: write a deliberately fragmented
+  // layout (64 files), then rewrite it into target-size files with
+  // coalesce — the shuffle-FREE rewrite (task merging, no exchange) that
+  // fixes the small-file problem every streaming/incremental sink
+  // accumulates. The output file count derives from the MEASURED input
+  // bytes at a 128 MB target, so the identical code compacts a 100 TB
+  // table into proportionally many files; when the layout must also stay
+  // sorted/clustered, compaction becomes repartitionByRange (paying one
+  // exchange — sink_zorder's concern, deliberately not this op's).
+  // --------------------------------------------------------------------
+  private val CompactTargetBytes = 128L * 1024 * 1024
+
+  private val sinkCompact = Op("sink_compact",
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = freshScratch("sink_compact")
+    val small = root + "/small"
+    val compact = root + "/compact"
+    val docs = t(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+    docs.repartition(64).write.parquet(small)
+    val p = new org.apache.hadoop.fs.Path(small)
+    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+    s.read.schema(docs.schema).parquet(small)
+      .coalesce(nFiles).write.parquet(compact)
+    s.read.schema(docs.schema).parquet(compact).orderBy("doc_id")
+  }
+
   private val sinkBucketed = Op("sink_bucketed",
     """SELECT o_custkey, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -386,5 +416,5 @@ object SinkOps {
 
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
     sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson,
-    scanSchemaEvolution, sinkZorder, sinkScd2)
+    scanSchemaEvolution, sinkZorder, sinkScd2, sinkCompact)
 }

@@ -42,7 +42,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup ops contain no cartesian product") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "dedup_embed_banded",
-        "dedup_fuzzy")
+        "dedup_fuzzy", "knn_join_bucketed")
       .foreach { name =>
         withClue(name) {
           val plan = planOf(name)

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Semantic properties of the dataset-assembly / diff / batch-ANN operators
+  * — invariants the DuckDB hash compare can't express (it proves engine
+  * agreement, not that the contract itself is right).
+  */
+class CurateSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("dataset_split: total, disjoint, and roughly 80/10/10") {
+    val split = SparkEntry.queries("dataset_split")(spark, dir)
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    split.count() shouldBe nDocs // every doc assigned exactly once
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySplit.keySet shouldBe Set("train", "val", "test")
+    // hash mod is uniform in distribution; loose bounds keep this stable
+    bySplit("train").toDouble / nDocs should (be >= 0.7 and be <= 0.9)
+    bySplit("val").toDouble / nDocs should (be >= 0.04 and be <= 0.16)
+    bySplit("test").toDouble / nDocs should (be >= 0.04 and be <= 0.16)
+  }
+
+  test("vocab_topk: df <= n, df >= 1, and n is non-increasing") {
+    val rows = SparkEntry.queries("vocab_topk")(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (n, df) = (r.getLong(1), r.getLong(2))
+      df should be >= 1L
+      df should be <= n // a word occurs at least once in each doc counted
+    }
+    rows.map(_.getLong(1)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => a should be >= b
+      case _         =>
+    }
+  }
+
+  test("anomaly_mad: flags exactly the rows beyond the recomputed threshold") {
+    val cnt = graft.Tables(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).cast("double").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side median/MAD recompute (the test oracle is independent of
+    // Spark's percentile implementation)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = median(cnt.values.toSeq)
+    val mad = median(cnt.values.map(v => math.abs(v - med)).toSeq)
+    val expect = cnt.filter { case (_, n) => math.abs(n - med) > 3.0 * 1.4826 * mad }
+    val got = SparkEntry.queries("anomaly_mad")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got shouldBe expect
+  }
+
+  test("snapshot_diff: statuses are disjoint, null-sides match, changes are +100") {
+    val rows = SparkEntry.queries("snapshot_diff")(spark, dir).collect()
+    rows should not be empty
+    rows.map(_.getLong(0)).distinct.length shouldBe rows.length // one verdict per key
+    val byStatus = rows.groupBy(_.getString(1))
+    byStatus.keySet shouldBe Set("added", "removed", "changed")
+    byStatus("added").foreach { r => r.isNullAt(2) shouldBe true; r.isNullAt(3) shouldBe false }
+    byStatus("removed").foreach { r => r.isNullAt(2) shouldBe false; r.isNullAt(3) shouldBe true }
+    byStatus("changed").foreach { r =>
+      r.getDouble(3) - r.getDouble(2) shouldBe 100.0 +- 1e-9
+    }
+  }
+
+  test("sink_compact: the rewrite actually reduces the file count") {
+    SparkEntry.queries("sink_compact")(spark, dir).count() should be > 0L
+    val pid = java.lang.ProcessHandle.current().pid()
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scratch_$pid", "sink_compact")
+    def parquetFiles(sub: String): Int =
+      java.nio.file.Files.list(root.resolve(sub)).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+    val (small, compact) = (parquetFiles("small"), parquetFiles("compact"))
+    small shouldBe 64 // the deliberately fragmented input layout
+    compact should be < small
+    compact shouldBe 1 // sf0.01 is far below one 128 MB target file
+  }
+
+  test("knn_join_bucketed: dense ranks, no self-match, probed-bucket membership") {
+    val rows = SparkEntry.queries("knn_join_bucketed")(spark, dir).collect()
+    rows should not be empty
+    // recompute the 3-bit sign sketch independently of the op's internals
+    val sk = graft.Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64)
+      .select(col("vec_id"),
+        (when(element_at(col("embedding"), 1) >= 0, 1).otherwise(0)
+          + when(element_at(col("embedding"), 22) >= 0, 2).otherwise(0)
+          + when(element_at(col("embedding"), 43) >= 0, 4).otherwise(0)).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      withClue(s"query $qid: ") {
+        rs.map(_.getInt(3)).sorted shouldBe (1 to rs.length) // dense ranks from 1
+        rs.length should be <= 3
+        rs.foreach { r =>
+          val nb = r.getLong(1)
+          nb should not be qid
+          Integer.bitCount(sk(nb) ^ sk(qid)) should be <= 1 // collides in a probe
+        }
+        // cos_sim non-increasing in rank order
+        rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq.sliding(2).foreach {
+          case Seq(a, b) => a should be >= b
+          case _         =>
+        }
+      }
+    }
+  }
+}
