@@ -44,6 +44,39 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------------
+  // agg_sketch_partial — PERSISTED mergeable sketches (the incremental-
+  // stats pattern agg_approx_distinct's inline sketch implies): build one
+  // HLL sketch per shard (source), then answer the global question by
+  // UNIONING the shard sketches — no second pass over the data. At 100 TB
+  // this is how corpus stats stay O(1): nightly per-partition sketches
+  // land in a stats table; any slice's distinct count is a union of its
+  // shards' sketches. Exact counts ride along ONLY for verification (the
+  // agg_approx_distinct convention): per-shard keys are disjoint here
+  // (each doc has one source), so the exact union count is the sum.
+  // --------------------------------------------------------------------
+  private val aggSketchPartial = Op("agg_sketch_partial",
+    """SELECT source AS scope, COUNT(DISTINCT doc_id) AS exact, true AS approx_ok
+      |FROM documents GROUP BY source
+      |UNION ALL
+      |SELECT '__all__' AS scope, COUNT(DISTINCT doc_id) AS exact, true AS approx_ok
+      |FROM documents
+      |ORDER BY scope""".stripMargin) { (s, d) =>
+    val per = t(s, d, "documents").groupBy("source")
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+        countDistinct(col("doc_id")).as("exact"))
+    val gate = (est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
+      abs(est - exact) <= exact * 0.05
+    val perOut = per.select(col("source").as("scope"), col("exact"),
+      gate(hll_sketch_estimate(col("sk")), col("exact")).as("approx_ok"))
+    val allOut = per
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
+        sum(col("exact")).as("exact"))
+      .select(lit("__all__").as("scope"), col("exact"),
+        gate(col("approx"), col("exact")).as("approx_ok"))
+    perOut.unionByName(allOut).orderBy("scope")
+  }
+
   private def gsetAggCols =
     Seq(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
   private val gsetAggSql =
@@ -457,7 +490,8 @@ object Aggregates {
 
   val ops: Seq[Op] = Seq(
     aggCustomUdaf, aggMinmaxBy, aggHistogram,
-    aggDistinct, aggApproxDistinct, aggRollup, aggCube, aggGsets, aggHaving,
+    aggDistinct, aggApproxDistinct, aggSketchPartial, aggRollup, aggCube,
+    aggGsets, aggHaving,
     aggPivot, aggPercentile, aggPercentileApprox, aggCollect, aggStats,
     aggMode, aggFiltered,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -428,6 +429,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // dedup_incremental — dedup a NEW BATCH against a historical hash index
+  // without rescanning the corpus (the production dedup shape: a 100 TB
+  // corpus is deduped once, then every nightly drop checks in against the
+  // persisted content-hash index — hash-only, tiny next to the text).
+  // Here the history/batch split is a deterministic salted-hash predicate
+  // over `documents` (~80/20) so both engines reconstruct identical
+  // inputs; at deployment the index is a stored table of digests.
+  //
+  // Plan shape: batch docs dedup within themselves (keyed window on the
+  // digest), then ONE left-anti join against the index — both shuffles
+  // key on the fixed-width digest, never the text. History contributes
+  // only its digest column; the oracle joins on raw text (equivalent
+  // modulo hash collisions — the dedup_exact convention).
+  // --------------------------------------------------------------------
+  private val dedupIncremental = Op("dedup_incremental", {
+    val hb =
+      "CAST(concat('0x', substr(md5(concat('hist:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 5"
+    s"""WITH sel AS (SELECT *, $hb AS hb FROM documents),
+       |hist AS (SELECT * FROM sel WHERE hb <> 0),
+       |bat AS (SELECT * FROM sel WHERE hb = 0),
+       |ded AS (SELECT * FROM bat
+       |        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+       |SELECT doc_id, lang, source, n_chars FROM ded d
+       |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = d.text)
+       |ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val hsel = h60(concat(lit("hist:"), col("doc_id").cast("string"))) % 5
+    val docs = t(s, d, "documents")
+    // the persisted artifact at scale: distinct digests of everything seen
+    val idx = docs.filter(hsel =!= 0)
+      .select(sha2(col("text"), 256).as("__h")).distinct()
+    val w = Window.partitionBy("__h").orderBy(col("doc_id").asc)
+    docs.filter(hsel === 0)
+      .withColumn("__h", sha2(col("text"), 256))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .join(idx, Seq("__h"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(dedupMinhash, dedupSimhash, dedupNgram, dedupCluster,
-    dedupFuzzy, dedupSubstring)
+    dedupFuzzy, dedupSubstring, dedupIncremental)
 }

@@ -84,6 +84,38 @@ class CurateSpec extends SparkSpec {
     compact shouldBe 1 // sf0.01 is far below one 128 MB target file
   }
 
+  test("dedup_incremental: no survivor matches history text, survivors are unique") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val hsel = pmod(
+      conv(substring(md5(concat(lit("hist:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(5))
+    val histTexts = docs.filter(hsel =!= 0).select("text")
+      .collect().map(_.getString(0)).toSet
+    val surv = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .collect()
+    surv should not be empty
+    val texts = surv.map(_.getAs[String]("text"))
+    texts.foreach(t => histTexts should not contain t)
+    texts.distinct.length shouldBe texts.length // batch-internal dedup held
+  }
+
+  test("agg_sketch_partial: union of shard sketches tracks the one-pass global sketch") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val viaUnion = docs.groupBy("source")
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .collect()(0).getLong(0)
+    val direct = docs.agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))))
+      .collect()(0).getLong(0)
+    // NOT bit-identical: the union gadget promotes sparse shard sketches
+    // differently than one accumulating sketch (measured 501 vs 500 on
+    // 500 keys) — the mergeability claim is statistical, not exact, which
+    // is why the op's contract gates at 5% vs exact instead of pinning
+    // the estimate
+    math.abs(viaUnion - direct).toDouble / direct should be <= 0.01
+  }
+
   test("knn_join_bucketed: dense ranks, no self-match, probed-bucket membership") {
     val rows = SparkEntry.queries("knn_join_bucketed")(spark, dir).collect()
     rows should not be empty
