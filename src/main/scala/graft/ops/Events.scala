@@ -290,6 +290,81 @@ object Events {
       .limit(20)
   }
 
+  // --------------------------------------------------------------------
+  // event_attribution — last-touch attribution: every purchase credited to
+  // the same user's most recent PRECEDING click (the marketing-analytics
+  // kernel behind conversion reporting). Not a join: an IGNORE-NULLS
+  // carry-forward window over the user's unified event stream propagates
+  // the last click id/ts to each following row — ONE shuffle on user_id,
+  // each event read once, versus the interval-join formulation that
+  // re-scans every click per purchase. Unattributed purchases (no prior
+  // click) stay in the result with NULL credit — the audit needs them.
+  // Total order inside a user: (ts, event_id) — event_id breaks ts ties
+  // identically on both engines.
+  // --------------------------------------------------------------------
+  private val attribution = Op("event_attribution",
+    """WITH u AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER w AS click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+      |      OVER w AS click_ts
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |  click_id, click_ts,
+      |  epoch_us(ts) - epoch_us(click_ts) AS delay_us
+      |FROM u WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(w).as("click_id"),
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+          .over(w).as("click_ts"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_id"), col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+      .orderBy("purchase_id")
+  }
+
+  // --------------------------------------------------------------------
+  // trend_detect — period-over-period movers: per-user weekly activity,
+  // delta vs the user's previous week, top 20 by absolute change (the
+  // "biggest movers" report behind engagement/anomaly dashboards). One
+  // keyed aggregate on (user, week), a lag window on the user key (the
+  // same shuffle key — AQE reuses the exchange), TakeOrderedAndProject
+  // top-k. abs(delta) ties broken by (user_id, wk) — total order.
+  // --------------------------------------------------------------------
+  private val trendDetect = Op("trend_detect",
+    """WITH wk AS (
+      |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT user_id, wk, n,
+      |        n - lag(n) OVER (PARTITION BY user_id ORDER BY wk) AS delta
+      |      FROM wk)
+      |SELECT user_id, CAST(wk AS TIMESTAMP) AS wk, n, delta
+      |FROM d WHERE delta IS NOT NULL
+      |ORDER BY abs(delta) DESC, user_id, wk LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("wk")
+    t(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("delta", col("n") - lag("n", 1).over(w))
+      .filter(col("delta").isNotNull)
+      .orderBy(abs(col("delta")).desc, col("user_id").asc, col("wk").asc)
+      .limit(20)
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental,
-    funnel, retention, intervalJoin, intervalJoinLeft, eventSequences)
+    funnel, retention, intervalJoin, intervalJoinLeft, eventSequences,
+    attribution, trendDetect)
 }

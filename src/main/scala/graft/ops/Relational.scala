@@ -440,6 +440,44 @@ object Relational {
     s.sql(recursiveCteSql)
   }
 
+  // Correlated EXISTS / NOT EXISTS through the SQL front door: Catalyst
+  // DECORRELATES both into semi/anti hash joins on the correlation key —
+  // the rewrite that makes per-row subqueries scale (a literal per-row
+  // execution would be O(n) subqueries). join_semi/join_anti pin the
+  // manual formulation; this pins that the SQL one plans identically
+  // (PlanAuditSpec: two hash joins, no nested loop).
+  private val subqueryExistsSql =
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity < 5)
+      |ORDER BY o_orderkey""".stripMargin
+  private val subqueryExists = Op("subquery_exists", subqueryExistsSql) { (s, d) =>
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(subqueryExistsSql)
+  }
+
+  // NOT IN over a NULLABLE probe column — the classic three-valued-logic
+  // trap (a NULL probe is neither in nor not-in → row dropped), which is
+  // exactly where NOT IN differs from NOT EXISTS/anti-join. Spark plans a
+  // null-aware anti join (broadcast; the build side must be visible in
+  // full to every probe row to decide NULL cases) — fine when the IN-list
+  // side is a bounded dim, and the reason a 100 TB pipeline should write
+  // NOT EXISTS when it means plain anti-join semantics.
+  private val subqueryInNullSql =
+    """SELECT c_custkey, c_nationkey FROM customer
+      |WHERE CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN NULL
+      |           ELSE c_nationkey END
+      |      NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+      |ORDER BY c_custkey""".stripMargin
+  private val subqueryInNull = Op("subquery_in_null", subqueryInNullSql) { (s, d) =>
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    t(s, d, "nation").createOrReplaceTempView("nation")
+    s.sql(subqueryInNullSql)
+  }
+
   val ops: Seq[Op] = Seq(
     Op("agg_group", aggGroupSql)(aggGroup), recursiveCte,
     scanParquet, scanProjected, filterPred,
@@ -447,5 +485,6 @@ object Relational {
     joinCross, joinTheta, joinAsof, joinRangeBucketed, joinNullsafe,
     sortMulti, limitTopk, limitOffset, limitKeyset, topkPerGroup,
     setUnion, setIntersect, setExcept, setUnionByname,
+    subqueryExists, subqueryInNull,
   )
 }

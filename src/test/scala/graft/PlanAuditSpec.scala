@@ -52,6 +52,30 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("subquery_exists decorrelates to semi+anti hash joins (no per-row subquery, no nested loop)") {
+    val plan = planOf("subquery_exists")
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("subquery_in_null plans a null-aware anti join against the broadcast dim") {
+    val plan = planOf("subquery_in_null")
+    plan should include("LeftAnti")
+    plan should not include "CartesianProduct"
+  }
+
+  test("event_attribution is one window pass — no join anywhere in the plan") {
+    val plan = planOf("event_attribution")
+    plan should include("Window")
+    plan should not include "Join"
+  }
+
+  test("trend_detect tops out in TakeOrderedAndProject (no global sort for top-20)") {
+    planOf("trend_detect") should include("TakeOrderedAndProject")
+  }
+
   test("limit_keyset pushes the range predicate and avoids the global sort+skip") {
     val plan = planOf("limit_keyset")
     plan should include("TakeOrderedAndProject")

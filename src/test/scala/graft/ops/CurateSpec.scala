@@ -116,6 +116,34 @@ class CurateSpec extends SparkSpec {
     math.abs(viaUnion - direct).toDouble / direct should be <= 0.01
   }
 
+  test("event_attribution: credited click is the user's most recent click before the purchase") {
+    val events = graft.Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "event_type", "ts")
+      .collect()
+    val clicksByUser = events.filter(_.getString(2) == "click")
+      .groupBy(_.getLong(1))
+      .view.mapValues(_.map(r => (r.getTimestamp(3), r.getLong(0))).sorted).toMap
+    val attributed = SparkEntry.queries("event_attribution")(spark, dir).collect()
+    attributed should not be empty
+    attributed.count(!_.isNullAt(3)) should be > 0
+    attributed.foreach { r =>
+      val (user, pts) = (r.getLong(1), r.getTimestamp(2))
+      if (r.isNullAt(3)) {
+        // no prior click may exist for this user
+        clicksByUser.getOrElse(user, Array.empty[(java.sql.Timestamp, Long)])
+          .count { case (cts, cid) =>
+            cts.before(pts) || (cts.equals(pts) && cid < r.getLong(0)) } shouldBe 0
+      } else {
+        // the credited click is the max prior (ts, event_id) for the user
+        val expected = clicksByUser(user)
+          .filter { case (cts, cid) =>
+            cts.before(pts) || (cts.equals(pts) && cid < r.getLong(0)) }.last
+        (r.getTimestamp(4), r.getLong(3)) shouldBe expected
+      }
+    }
+  }
+
   test("knn_join_bucketed: dense ranks, no self-match, probed-bucket membership") {
     val rows = SparkEntry.queries("knn_join_bucketed")(spark, dir).collect()
     rows should not be empty
