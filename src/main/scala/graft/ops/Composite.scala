@@ -153,5 +153,59 @@ object Composite {
       .orderBy("o_orderkey")
   }
 
-  val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted)
+  // --------------------------------------------------------------------
+  // join_scd2_lookup — the point-in-time dimension lookup (the read side
+  // of sink_scd2's history table): every fact row joins the dimension
+  // VERSION that was valid at the fact's timestamp. The versioned dim is
+  // derived deterministically from `customer` (a hash-selected third of
+  // customers have a +50 balance revision effective 1997-01-01) so both
+  // engines build identical inputs; at deployment it IS the SCD2 table.
+  //
+  // Plan shape: equi-join on the business key with the validity-range
+  // residual riding on it — per-key version counts are small by
+  // construction (a dim row changes a bounded number of times), so the
+  // residual never goes quadratic; the dim broadcasts while bounded and
+  // falls back to a custkey sort-merge join when it outgrows that. This
+  // is join_asof's semantics expressed against interval-closed history
+  // rows instead of event streams.
+  // --------------------------------------------------------------------
+  private val Scd2Cut = "1997-01-01"
+
+  private val joinScd2Lookup = Op("join_scd2_lookup", {
+    val h3 =
+      "CAST(concat('0x', substr(md5(concat('scd:', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 3"
+    s"""WITH dim AS (
+       |  SELECT c_custkey, c_acctbal AS bal,
+       |    TIMESTAMP '1900-01-01' AS valid_from,
+       |    CASE WHEN $h3 = 0 THEN TIMESTAMP '$Scd2Cut' END AS valid_to
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey, c_acctbal + 50.0, TIMESTAMP '$Scd2Cut', NULL
+       |  FROM customer WHERE $h3 = 0)
+       |SELECT o.o_orderkey, o.o_custkey, d.bal, d.valid_from
+       |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+       |WHERE o.o_orderdate >= d.valid_from
+       |  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+       |ORDER BY o.o_orderkey""".stripMargin
+  }) { (s, d) =>
+    import graft.ops.Text.h60
+    val cust = t(s, d, "customer")
+    val h3 = h60(concat(lit("scd:"), col("c_custkey").cast("string"))) % 3
+    val v1 = cust.select(col("c_custkey"), col("c_acctbal").as("bal"),
+      lit("1900-01-01").cast("timestamp").as("valid_from"),
+      when(h3 === 0, lit(Scd2Cut).cast("timestamp")).as("valid_to"))
+    val v2 = cust.filter(h3 === 0).select(col("c_custkey"),
+      (col("c_acctbal") + 50.0).as("bal"),
+      lit(Scd2Cut).cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"))
+    t(s, d, "orders")
+      .join(v1.unionByName(v2),
+        col("o_custkey") === col("c_custkey") &&
+          col("o_orderdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .select("o_orderkey", "o_custkey", "bal", "valid_from")
+      .orderBy("o_orderkey")
+  }
+
+  val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted, joinScd2Lookup)
 }

@@ -364,7 +364,46 @@ object Events {
       .limit(20)
   }
 
+  // --------------------------------------------------------------------
+  // sessionize — per-EVENT session-id assignment (stream_session's
+  // aggregate twin, kept because feature pipelines need the id ON each
+  // event, not the rolled-up session): a new session starts when the gap
+  // to the user's previous event reaches 30 min (the same gap rule as
+  // Spark's session_window), and the id is the running count of session
+  // starts. Two windows over the SAME (user_id, ts, event_id) order —
+  // one shuffle, the second window reuses the sort. Timestamps compare at
+  // µs on both engines (the ns-truncation discipline).
+  // --------------------------------------------------------------------
+  private val SessionGapUs = 30L * 60 * 1000000
+
+  private val sessionize = Op("sessionize",
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |      OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+      |         >= INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      |SELECT event_id, user_id, ts,
+      |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |FROM e ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ord = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(ord))
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= SessionGapUs, 1)
+          .otherwise(0))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        sum("is_new").over(cum).as("session_id"))
+      .orderBy("event_id")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental,
     funnel, retention, intervalJoin, intervalJoinLeft, eventSequences,
-    attribution, trendDetect)
+    attribution, trendDetect, sessionize)
 }

@@ -144,6 +144,64 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("sessionize agrees with stream_session: same per-user session counts") {
+    val perEvent = SparkEntry.queries("sessionize")(spark, dir)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("session_id").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggregated = SparkEntry.queries("stream_session")(spark, dir)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perEvent shouldBe aggregated // same 30-min gap rule, two formulations
+  }
+
+  test("sessionize: ids are dense and gaps split exactly at the 30-min rule") {
+    val rows = SparkEntry.queries("sessionize")(spark, dir)
+      .orderBy("user_id", "ts", "event_id").collect()
+    rows.groupBy(_.getLong(1)).foreach { case (_, es) =>
+      var prevTs: java.sql.Timestamp = null
+      var prevSid = 0L
+      es.foreach { r =>
+        val (ts, sid) = (r.getTimestamp(2), r.getLong(3))
+        if (prevTs == null) sid shouldBe 1L
+        else {
+          val gapUs = (ts.getTime - prevTs.getTime) * 1000 +
+            (ts.getNanos / 1000 - prevTs.getNanos / 1000) % 1000000
+          val expected = if (gapUs >= 30L * 60 * 1000000) prevSid + 1 else prevSid
+          sid shouldBe expected
+        }
+        prevTs = ts; prevSid = sid
+      }
+    }
+  }
+
+  test("join_scd2_lookup: every order matches exactly one dimension version, revised where expected") {
+    val orders = graft.Tables(spark, dir, "orders")
+    val looked = SparkEntry.queries("join_scd2_lookup")(spark, dir)
+    looked.count() shouldBe orders.count() // validity intervals partition the timeline
+    // changed customers' post-cut orders see the +50 revision
+    val cust = graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey"),
+        pmod(conv(substring(md5(concat(lit("scd:"), col("c_custkey").cast("string"))), 1, 15), 16, 10)
+          .cast("long"), lit(3)).as("h3"),
+        col("c_acctbal"))
+    val joined = looked
+      .join(orders.select("o_orderkey", "o_orderdate"), "o_orderkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .collect()
+    val cut = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    joined.foreach { r =>
+      val od = r.getAs[Any]("o_orderdate") match {
+        case t: java.sql.Timestamp      => t.toLocalDateTime
+        case t: java.time.LocalDateTime => t
+      }
+      val revised = r.getAs[Long]("h3") == 0 && !od.isBefore(cut)
+      val expected = if (revised) r.getAs[Double]("c_acctbal") + 50.0
+                     else r.getAs[Double]("c_acctbal")
+      r.getAs[Double]("bal") shouldBe expected
+    }
+  }
+
   test("knn_join_bucketed: dense ranks, no self-match, probed-bucket membership") {
     val rows = SparkEntry.queries("knn_join_bucketed")(spark, dir).collect()
     rows should not be empty
