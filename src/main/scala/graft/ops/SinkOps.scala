@@ -251,6 +251,51 @@ object SinkOps {
     s.read.schema(docs.schema).parquet(compact).orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // sink_delete_where — targeted deletion from a stored partitioned table
+  // (the GDPR/right-to-be-forgotten kernel): delete a key set that lives
+  // entirely inside ONE partition by rewriting ONLY that partition's
+  // files and leaving every other partition byte-untouched (CurateSpec
+  // pins the untouched file listing). Copy-on-write, made explicit:
+  // read the affected partition (PartitionFilters prune the rest), write
+  // the surviving rows to a scratch dir, then atomically swap it in via
+  // filesystem rename — the same rewrite-then-commit shape table formats
+  // (Delta/Iceberg) perform, without relying on Spark's unsafe
+  // read-from-overwritten-path. At 100 TB the rewrite cost is the
+  // affected partition's size, not the table's; a delete spread over all
+  // partitions degrades to a full rewrite, which is why deletion keys
+  // should align with the partition layout.
+  // --------------------------------------------------------------------
+  private val sinkDeleteWhere = Op("sink_delete_where",
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+      |WHERE NOT (o_orderstatus = 'F'
+      |  AND CAST(concat('0x', substr(md5(concat('del:', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 10 = 0)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import graft.ops.Text.h60
+    val root = freshScratch("sink_delete_where") + "/orders"
+    val slice = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    graft.engine.Sources.writePartitioned(slice, root, Seq("o_orderstatus"))
+    // rewrite ONLY the affected partition: scan just its directory (the
+    // partition predicate never touches the others' files)
+    val keep = !(h60(concat(lit("del:"), col("o_orderkey").cast("string"))) % 10 === 0)
+    val survivors = s.read.option("basePath", root).schema(slice.schema)
+      .parquet(s"$root/o_orderstatus=F")
+      .filter(keep)
+      .drop("o_orderstatus") // partition dirs don't carry the partition col
+    val staged = freshScratch("sink_delete_where_staged")
+    survivors.write.parquet(staged)
+    // commit: atomic directory swap
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(s"$root/o_orderstatus=F")
+    val fs = target.getFileSystem(conf)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), target)
+    s.read.schema(slice.schema).parquet(root)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   private val sinkBucketed = Op("sink_bucketed",
     """SELECT o_custkey, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -416,5 +461,5 @@ object SinkOps {
 
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
     sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson,
-    scanSchemaEvolution, sinkZorder, sinkScd2, sinkCompact)
+    scanSchemaEvolution, sinkZorder, sinkScd2, sinkCompact, sinkDeleteWhere)
 }

@@ -202,6 +202,26 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("sink_delete_where: only the affected partition is rewritten") {
+    SparkEntry.queries("sink_delete_where")(spark, dir).count() should be > 0L
+    val pid = java.lang.ProcessHandle.current().pid()
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_scratch_$pid", "sink_delete_where", "orders")
+    def mtimes(dir: java.nio.file.Path): Array[Long] =
+      java.nio.file.Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+    val parts = java.nio.file.Files.list(root).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => java.nio.file.Files.isDirectory(p))
+    val (hit, untouched) = parts.partition(_.getFileName.toString == "o_orderstatus=F")
+    hit should have length 1
+    untouched should not be empty
+    // the delete rewrote F strictly after the initial write of the others
+    untouched.flatMap(mtimes).max should be < mtimes(hit.head).min
+  }
+
   test("knn_join_bucketed: dense ranks, no self-match, probed-bucket membership") {
     val rows = SparkEntry.queries("knn_join_bucketed")(spark, dir).collect()
     rows should not be empty
