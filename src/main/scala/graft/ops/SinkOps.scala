@@ -276,21 +276,26 @@ object SinkOps {
     val slice = t(s, d, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     graft.engine.Sources.writePartitioned(slice, root, Seq("o_orderstatus"))
-    // rewrite ONLY the affected partition: scan just its directory (the
-    // partition predicate never touches the others' files)
-    val keep = !(h60(concat(lit("del:"), col("o_orderkey").cast("string"))) % 10 === 0)
-    val survivors = s.read.option("basePath", root).schema(slice.schema)
-      .parquet(s"$root/o_orderstatus=F")
-      .filter(keep)
-      .drop("o_orderstatus") // partition dirs don't carry the partition col
-    val staged = freshScratch("sink_delete_where_staged")
-    survivors.write.parquet(staged)
-    // commit: atomic directory swap
     val conf = s.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(s"$root/o_orderstatus=F")
     val fs = target.getFileSystem(conf)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), target)
+    // an EMPTY source writes no partition dirs at all — an absent affected
+    // partition means nothing to delete, and the rewrite must not assume
+    // the directory exists (one driver-side metadata probe, not a scan)
+    if (fs.exists(target)) {
+      // rewrite ONLY the affected partition: scan just its directory (the
+      // partition predicate never touches the others' files)
+      val keep = !(h60(concat(lit("del:"), col("o_orderkey").cast("string"))) % 10 === 0)
+      val survivors = s.read.option("basePath", root).schema(slice.schema)
+        .parquet(target.toString)
+        .filter(keep)
+        .drop("o_orderstatus") // partition dirs don't carry the partition col
+      val staged = freshScratch("sink_delete_where_staged")
+      survivors.write.parquet(staged)
+      // commit: atomic directory swap
+      fs.delete(target, true)
+      fs.rename(new org.apache.hadoop.fs.Path(staged), target)
+    }
     s.read.schema(slice.schema).parquet(root)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       .orderBy("o_orderkey")
