@@ -5,6 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+/** Typed row for the `typed_agg` Dataset[T] path — top-level so the
+  * case-class Encoder carries no outer reference. Option fields, not
+  * primitives: parquet columns are nullable, and a primitive Double in
+  * the case class would throw at deserialization on the first null row
+  * (caught by the all-null sweep) — the typed API makes nullability an
+  * explicit type, which is half its point. */
+case class LiTyped(l_returnflag: Option[String], l_quantity: Option[Double])
+
 /** Aggregation + window operators (SURVEY §2.B "Aggregations" / "Window
   * functions"). All aggregates are hash aggregates with map-side partial
   * combine; grouping-set variants expand the grouping keys once and reuse the
@@ -75,6 +83,47 @@ object Aggregates {
       .select(lit("__all__").as("scope"), col("exact"),
         gate(col("approx"), col("exact")).as("approx_ok"))
     perOut.unionByName(allOut).orderBy("scope")
+  }
+
+  // --------------------------------------------------------------------
+  // typed_agg — the typed Dataset[T] API path end-to-end: case-class
+  // Encoder → groupByKey on a field → two custom Aggregators (partial
+  // merge = map-side combine, same as untyped) → back to a DataFrame for
+  // the oracle. This is the surface for type-safety-critical logic;
+  // the honest tradeoff is a per-row (de)serialization bite vs the
+  // codegen'd untyped path, which is why the hot ops stay untyped and
+  // this op pins that the typed door WORKS, not that it's the default.
+  // Determinism: quantities are integral-valued doubles summed as longs.
+  // --------------------------------------------------------------------
+  private val typedAgg = Op("typed_agg",
+    """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    val qtySum = new Aggregator[LiTyped, Long, Long] {
+      def zero: Long = 0L
+      // null-skipping, same as SQL SUM
+      def reduce(b: Long, a: LiTyped): Long = b + a.l_quantity.map(_.toLong).getOrElse(0L)
+      def merge(x: Long, y: Long): Long = x + y
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    val rowCount = new Aggregator[LiTyped, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: LiTyped): Long = b + 1
+      def merge(x: Long, y: Long): Long = x + y
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    t(s, d, "lineitem").select("l_returnflag", "l_quantity").as[LiTyped]
+      .groupByKey(_.l_returnflag)
+      .agg(qtySum.toColumn.name("sum_qty"), rowCount.toColumn.name("n"))
+      .toDF("l_returnflag", "sum_qty", "n")
+      .orderBy("l_returnflag")
   }
 
   private def gsetAggCols =
@@ -490,8 +539,8 @@ object Aggregates {
 
   val ops: Seq[Op] = Seq(
     aggCustomUdaf, aggMinmaxBy, aggHistogram,
-    aggDistinct, aggApproxDistinct, aggSketchPartial, aggRollup, aggCube,
-    aggGsets, aggHaving,
+    aggDistinct, aggApproxDistinct, aggSketchPartial, typedAgg, aggRollup,
+    aggCube, aggGsets, aggHaving,
     aggPivot, aggPercentile, aggPercentileApprox, aggCollect, aggStats,
     aggMode, aggFiltered,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
