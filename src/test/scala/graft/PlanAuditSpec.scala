@@ -76,6 +76,20 @@ class PlanAuditSpec extends SparkSpec {
     planOf("trend_detect") should include("TakeOrderedAndProject")
   }
 
+  test("sessionize: both windows share one user-keyed sort (no second exchange before the final order)") {
+    val plan = planOf("sessionize")
+    // one hash exchange for the user windows + the final presentation sort's
+    // range exchange — a third would mean the windows stopped sharing
+    "Exchange".r.findAllIn(plan).size should be <= 2
+    plan should not include "Join"
+  }
+
+  test("join_scd2_lookup broadcasts the bounded versioned dim") {
+    val plan = planOf("join_scd2_lookup")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   test("limit_keyset pushes the range predicate and avoids the global sort+skip") {
     val plan = planOf("limit_keyset")
     plan should include("TakeOrderedAndProject")
