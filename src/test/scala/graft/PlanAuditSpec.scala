@@ -52,6 +52,10 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("knn_join_bucketed broadcasts the probe set (map-side candidate join)") {
+    planOf("knn_join_bucketed") should include("BroadcastHashJoin")
+  }
+
   test("subquery_exists decorrelates to semi+anti hash joins (no per-row subquery, no nested loop)") {
     val plan = planOf("subquery_exists")
     plan should include("LeftSemi")
