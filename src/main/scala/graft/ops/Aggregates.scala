@@ -102,14 +102,19 @@ object Aggregates {
     import s.implicits._
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.expressions.Aggregator
-    val qtySum = new Aggregator[LiTyped, Long, Long] {
-      def zero: Long = 0L
-      // null-skipping, same as SQL SUM
-      def reduce(b: Long, a: LiTyped): Long = b + a.l_quantity.map(_.toLong).getOrElse(0L)
-      def merge(x: Long, y: Long): Long = x + y
-      def finish(r: Long): Long = r
-      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
-      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    // SQL SUM semantics exactly: null-skipping, and NULL (not 0) for a
+    // group with no non-null values — the buffer carries a seen flag so
+    // the typed path can't diverge from the oracle on an all-null group
+    val qtySum = new Aggregator[LiTyped, (Long, Boolean), java.lang.Long] {
+      def zero: (Long, Boolean) = (0L, false)
+      def reduce(b: (Long, Boolean), a: LiTyped): (Long, Boolean) =
+        a.l_quantity.fold(b)(q => (b._1 + q.toLong, true))
+      def merge(x: (Long, Boolean), y: (Long, Boolean)): (Long, Boolean) =
+        (x._1 + y._1, x._2 || y._2)
+      def finish(r: (Long, Boolean)): java.lang.Long = if (r._2) r._1 else null
+      def bufferEncoder: Encoder[(Long, Boolean)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean)
+      def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
     }
     val rowCount = new Aggregator[LiTyped, Long, Long] {
       def zero: Long = 0L

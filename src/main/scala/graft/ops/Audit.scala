@@ -323,7 +323,7 @@ object Audit {
   // --------------------------------------------------------------------
   private val snapshotDiff = Op("snapshot_diff", {
     def h(salt: String) =
-      s"CAST(concat('0x', substr(md5(concat('$salt', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+      h60Sql(s"concat('$salt', CAST(c_custkey AS VARCHAR))")
     s"""WITH old AS (
        |  SELECT c_custkey, c_acctbal FROM customer WHERE ${h("add:")} % 13 <> 0),
        |new AS (

@@ -172,8 +172,7 @@ object Composite {
   private val Scd2Cut = "1997-01-01"
 
   private val joinScd2Lookup = Op("join_scd2_lookup", {
-    val h3 =
-      "CAST(concat('0x', substr(md5(concat('scd:', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 3"
+    val h3 = graft.ops.Text.h60Sql("concat('scd:', CAST(c_custkey AS VARCHAR))") + " % 3"
     s"""WITH dim AS (
        |  SELECT c_custkey, c_acctbal AS bal,
        |    TIMESTAMP '1900-01-01' AS valid_from,

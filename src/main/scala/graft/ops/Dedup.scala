@@ -445,8 +445,7 @@ object Dedup {
   // modulo hash collisions — the dedup_exact convention).
   // --------------------------------------------------------------------
   private val dedupIncremental = Op("dedup_incremental", {
-    val hb =
-      "CAST(concat('0x', substr(md5(concat('hist:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 5"
+    val hb = h60Sql("concat('hist:', CAST(doc_id AS VARCHAR))") + " % 5"
     s"""WITH sel AS (SELECT *, $hb AS hb FROM documents),
        |hist AS (SELECT * FROM sel WHERE hb <> 0),
        |bat AS (SELECT * FROM sel WHERE hb = 0),

@@ -715,7 +715,10 @@ object Llm {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cv = e.select(col("vec_id"), col("embedding").as("ce"))
     val wTop = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    shortlist.join(broadcast(qv), "qid").join(cv, "vec_id")
+    // the shortlist side is bounded (queries × RefineK rows) but the static
+    // planner can't see that through the window — broadcast it explicitly
+    // so the rescore join never shuffles the corpus by vec_id
+    broadcast(shortlist.join(broadcast(qv), "qid")).join(cv, "vec_id")
       .withColumn("cos_sim", cosine(col("ce"), col("qe")))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= KnnK)

@@ -182,12 +182,12 @@ object Pipeline {
   // 100 TB and composes with any downstream filter as a free predicate.
   // --------------------------------------------------------------------
   private val datasetSplit = Op("dataset_split",
-    """SELECT doc_id,
-      |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
-      |FROM (SELECT doc_id,
-      |        CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10 AS b
-      |      FROM documents)
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s"""SELECT doc_id,
+       |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |        ${h60Sql("concat('split:', CAST(doc_id AS VARCHAR))")} % 10 AS b
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val b = h60(concat(lit("split:"), col("doc_id").cast("string"))) % 10
     t(s, d, "documents")
       .select(col("doc_id"), b.as("b"))

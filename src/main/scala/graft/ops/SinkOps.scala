@@ -267,10 +267,10 @@ object SinkOps {
   // should align with the partition layout.
   // --------------------------------------------------------------------
   private val sinkDeleteWhere = Op("sink_delete_where",
-    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
-      |WHERE NOT (o_orderstatus = 'F'
-      |  AND CAST(concat('0x', substr(md5(concat('del:', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 10 = 0)
-      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+       |WHERE NOT (o_orderstatus = 'F'
+       |  AND ${graft.ops.Text.h60Sql("concat('del:', CAST(o_orderkey AS VARCHAR))")} % 10 = 0)
+       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     import graft.ops.Text.h60
     val root = freshScratch("sink_delete_where") + "/orders"
     val slice = t(s, d, "orders")
@@ -292,9 +292,12 @@ object SinkOps {
         .drop("o_orderstatus") // partition dirs don't carry the partition col
       val staged = freshScratch("sink_delete_where_staged")
       survivors.write.parquet(staged)
-      // commit: atomic directory swap
-      fs.delete(target, true)
-      fs.rename(new org.apache.hadoop.fs.Path(staged), target)
+      // commit: atomic directory swap — Hadoop FS signals most failures by
+      // RETURNING false, not throwing; an unchecked rename after a
+      // successful delete would silently drop the whole partition
+      require(fs.delete(target, true), s"delete-where commit: could not remove $target")
+      require(fs.rename(new org.apache.hadoop.fs.Path(staged), target),
+        s"delete-where commit: rename $staged -> $target failed; partition left deleted")
     }
     s.read.schema(slice.schema).parquet(root)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")

@@ -165,9 +165,11 @@ class CurateSpec extends SparkSpec {
         val (ts, sid) = (r.getTimestamp(2), r.getLong(3))
         if (prevTs == null) sid shouldBe 1L
         else {
-          val gapUs = (ts.getTime - prevTs.getTime) * 1000 +
-            (ts.getNanos / 1000 - prevTs.getNanos / 1000) % 1000000
-          val expected = if (gapUs >= 30L * 60 * 1000000) prevSid + 1 else prevSid
+          // exact epoch-µs: strip the fractional-second millis getTime()
+          // already carries before adding the full µs-of-second back
+          def us(t: java.sql.Timestamp): Long =
+            (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
+          val expected = if (us(ts) - us(prevTs) >= 30L * 60 * 1000000) prevSid + 1 else prevSid
           sid shouldBe expected
         }
         prevTs = ts; prevSid = sid
