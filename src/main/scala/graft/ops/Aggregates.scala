@@ -131,6 +131,51 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------------
+  // quantile_bin — feature discretization by quantile THRESHOLDS: per
+  // group, quartile boundaries of the metric (exact interpolated
+  // percentile — the decimal→double parity discipline agg_percentile
+  // pins), then every row maps to its bin with a CASE chain and the op
+  // emits per-(group, bin) populations with the boundaries. This is
+  // win_ntile's scale twin: ntile sorts EVERY row inside its group to
+  // hand out equal-count ranks, while threshold binning is one tiny
+  // aggregate broadcast back over a scan — no per-group sort, no window,
+  // and the same thresholds can discretize tomorrow's data (the property
+  // a trained feature pipeline needs). At 100 TB swap the exact
+  // percentile for approx_percentile (the established pairing).
+  // --------------------------------------------------------------------
+  private val quantileBin = Op("quantile_bin", {
+    val x = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)"
+    s"""WITH thr AS (
+       |  SELECT l_returnflag,
+       |    quantile_cont($x, 0.25) AS q1,
+       |    quantile_cont($x, 0.50) AS q2,
+       |    quantile_cont($x, 0.75) AS q3
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l.l_returnflag, CASE WHEN $x < t.q1 THEN 1 WHEN $x < t.q2 THEN 2
+       |         WHEN $x < t.q3 THEN 3 ELSE 4 END AS bin,
+       |  COUNT(*) AS n, t.q1, t.q2, t.q3
+       |FROM lineitem l JOIN thr t ON l.l_returnflag = t.l_returnflag
+       |GROUP BY l.l_returnflag, 2, t.q1, t.q2, t.q3
+       |ORDER BY 1, 2""".stripMargin
+  }) { (s, d) =>
+    val x = col("l_extendedprice").cast(DecimalType(18, 2)).cast("double")
+    val li = t(s, d, "lineitem")
+    val thr = li.groupBy("l_returnflag").agg(
+      percentile(x, lit(0.25)).as("q1"),
+      percentile(x, lit(0.50)).as("q2"),
+      percentile(x, lit(0.75)).as("q3"))
+    li.select(col("l_returnflag"), x.as("x"))
+      .join(broadcast(thr), "l_returnflag")
+      .withColumn("bin",
+        when(col("x") < col("q1"), 1).when(col("x") < col("q2"), 2)
+          .when(col("x") < col("q3"), 3).otherwise(4))
+      .groupBy("l_returnflag", "bin", "q1", "q2", "q3")
+      .agg(count(lit(1)).as("n"))
+      .select("l_returnflag", "bin", "n", "q1", "q2", "q3")
+      .orderBy("l_returnflag", "bin")
+  }
+
   private def gsetAggCols =
     Seq(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
   private val gsetAggSql =
@@ -546,7 +591,7 @@ object Aggregates {
     aggCustomUdaf, aggMinmaxBy, aggHistogram,
     aggDistinct, aggApproxDistinct, aggSketchPartial, typedAgg, aggRollup,
     aggCube, aggGsets, aggHaving,
-    aggPivot, aggPercentile, aggPercentileApprox, aggCollect, aggStats,
+    aggPivot, aggPercentile, aggPercentileApprox, quantileBin, aggCollect, aggStats,
     aggMode, aggFiltered,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
     subqueryScalar,

@@ -52,6 +52,12 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("quantile_bin discretizes with broadcast thresholds, never a per-group sort window") {
+    val plan = planOf("quantile_bin")
+    plan should include("BroadcastHashJoin")
+    plan should not include "Window" // the win_ntile formulation this op exists to avoid
+  }
+
   test("knn_join_bucketed broadcasts the probe set (map-side candidate join)") {
     planOf("knn_join_bucketed") should include("BroadcastHashJoin")
   }

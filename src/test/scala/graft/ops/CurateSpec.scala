@@ -224,6 +224,23 @@ class CurateSpec extends SparkSpec {
     untouched.flatMap(mtimes).max should be < mtimes(hit.head).min
   }
 
+  test("quantile_bin: four bins per group, populations balanced, boundaries ordered") {
+    val rows = SparkEntry.queries("quantile_bin")(spark, dir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (flag, bins) =>
+      withClue(s"group $flag: ") {
+        bins.map(_.getInt(1)).sorted shouldBe Array(1, 2, 3, 4)
+        val ns = bins.map(_.getLong(2))
+        val total = ns.sum.toDouble
+        // quartile thresholds must split the group ~evenly (2% slack for
+        // interpolation and ties)
+        ns.foreach(n => math.abs(n / total - 0.25) should be <= 0.02)
+        val r = bins.head
+        r.getDouble(3) should be < r.getDouble(4)
+        r.getDouble(4) should be < r.getDouble(5)
+      }
+    }
+  }
+
   test("knn_join_bucketed: dense ranks, no self-match, probed-bucket membership") {
     val rows = SparkEntry.queries("knn_join_bucketed")(spark, dir).collect()
     rows should not be empty
