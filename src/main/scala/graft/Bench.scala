@@ -56,6 +56,11 @@ object Bench {
     val failed = results.filterNot(_._3).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    // The total goes out FIRST on its own short line: the full line below
+    // carries the per-query map and can be cut by a truncated capture of
+    // this process's output, which in r6 made the artifact unparseable and
+    // lost the total. A line-by-line JSON scan always recovers this one.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

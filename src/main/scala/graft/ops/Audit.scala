@@ -292,16 +292,20 @@ object Audit {
        |SELECT o_custkey, n_orders, med, mad,
        |  (n_orders - med) / ($MadScale * mad) AS rz
        |FROM dev, mad
-       |WHERE ad > ($MadK * $MadScale) * mad
+       |WHERE mad > 0 AND ad > ($MadK * $MadScale) * mad
        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
     val cnt = t(s, d, "orders").groupBy("o_custkey")
       .agg(count(lit(1)).cast("double").as("n_orders"))
     val med = cnt.agg(percentile(col("n_orders"), lit(0.5)).as("med"))
     val dev = cnt.crossJoin(broadcast(med))
       .withColumn("ad", abs(col("n_orders") - col("med")))
+    // mad > 0 guard: integer count metrics routinely have MAD = 0 (half
+    // the entities exactly at the median), where every nonzero deviation
+    // would flag and rz would divide by zero — the detector emits nothing
+    // rather than everything in that degenerate regime.
     val mad = dev.agg(percentile(col("ad"), lit(0.5)).as("mad"))
     dev.crossJoin(broadcast(mad))
-      .filter(col("ad") > lit(MadK * MadScale) * col("mad"))
+      .filter(col("mad") > 0 && col("ad") > lit(MadK * MadScale) * col("mad"))
       .select(col("o_custkey"), col("n_orders"), col("med"), col("mad"),
         ((col("n_orders") - col("med")) / (lit(MadScale) * col("mad"))).as("rz"))
       .orderBy("o_custkey")
@@ -337,7 +341,7 @@ object Audit {
        |  o.c_acctbal AS old_bal, n.c_acctbal AS new_bal
        |FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
-       |   OR o.c_acctbal <> n.c_acctbal
+       |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
        |ORDER BY c_custkey""".stripMargin
   }) { (s, d) =>
     def h(salt: String) = h60(concat(lit(salt), col("c_custkey").cast("string")))
@@ -347,9 +351,12 @@ object Audit {
       .select(col("c_custkey"),
         when(h("upd:") % 11 === 0, col("c_acctbal") + 100.0)
           .otherwise(col("c_acctbal")).as("c_acctbal"))
+    // Null-safe change test (<=> / IS DISTINCT FROM): a key whose compared
+    // column went NULL→value or value→NULL must classify as 'changed', and
+    // NULL→NULL as unchanged — plain <> drops both under 3VL.
     old.as("o").join(nw.as("n"), col("o.c_custkey") === col("n.c_custkey"), "full_outer")
       .filter(col("o.c_custkey").isNull || col("n.c_custkey").isNull ||
-        col("o.c_acctbal") =!= col("n.c_acctbal"))
+        !(col("o.c_acctbal") <=> col("n.c_acctbal")))
       .select(
         coalesce(col("o.c_custkey"), col("n.c_custkey")).as("c_custkey"),
         when(col("o.c_custkey").isNull, "added")

@@ -241,6 +241,57 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("knn_join_bucketed: prefilter margin — exact top-3 always inside the dcos top-50") {
+    // The op keeps only the top-50 candidates by the rounded-double
+    // prefilter before the exact-decimal rescore; parity with the oracle
+    // (which ranks ALL candidates exactly) therefore rests on the exact
+    // top-K never falling outside that shortlist. Assert it explicitly,
+    // per query, with a full driver-side recompute over every candidate —
+    // the margin is a validated invariant, not a fixture accident.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val embs = graft.Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def sk(v: Array[Float]): Int = // sign bits of elements 1, 22, 43 (1-based)
+      Seq(0, 21, 42).zipWithIndex.map { case (i, b) =>
+        if (v(i) >= 0) 1 << b else 0
+      }.sum
+    // rounded-7 doubles (Spark round = HALF_UP), summed left-to-right —
+    // the VecDot prefilter arithmetic
+    def r7(v: Array[Float]): Array[Double] =
+      v.map(x => new JBD(x.toDouble).setScale(7, RoundingMode.HALF_UP).doubleValue)
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def dcos(a: Array[Double], b: Array[Double]): Double =
+      ddot(a, b) / (math.sqrt(ddot(a, a)) * math.sqrt(ddot(b, b)))
+    // exact path: decimal(9,7) elements, scale-14 products, exact sum
+    def dec7(v: Array[Float]): Array[JBD] =
+      v.map(x => new JBD(x.toDouble).setScale(7, RoundingMode.HALF_UP))
+    def bdot(a: Array[JBD], b: Array[JBD]): Double =
+      a.zip(b).map { case (x, y) => x.multiply(y) }
+        .foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+    def bcos(a: Array[JBD], b: Array[JBD]): Double =
+      bdot(a, b) / (math.sqrt(bdot(a, a)) * math.sqrt(bdot(b, b)))
+    val sketches = embs.map { case (id, v) => id -> sk(v) }.toMap
+    val rounded = embs.map { case (id, v) => id -> r7(v) }.toMap
+    val decs = embs.map { case (id, v) => id -> dec7(v) }.toMap
+    embs.map(_._1).filter(_ < 20).foreach { qid =>
+      val cands = embs.map(_._1).filter(id =>
+        id != qid && Integer.bitCount(sketches(id) ^ sketches(qid)) <= 1)
+      val pre50 = cands
+        .sortBy(id => (-dcos(rounded(id), rounded(qid)), id)).take(50).toSet
+      val exactTop3 = cands
+        .sortBy(id => (-bcos(decs(id), decs(qid)), id)).take(3)
+      withClue(s"query $qid (${cands.length} candidates): ") {
+        exactTop3.foreach(id => pre50 should contain(id))
+      }
+    }
+  }
+
   test("knn_join_bucketed: dense ranks, no self-match, probed-bucket membership") {
     val rows = SparkEntry.queries("knn_join_bucketed")(spark, dir).collect()
     rows should not be empty
