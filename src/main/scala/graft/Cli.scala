@@ -4,7 +4,7 @@ import java.io.PrintStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.engine.{Catalog, Etl, Transforms}
+import graft.engine.{Catalog, Etl, Sources, Transforms}
 
 /** Interactive console front-end — user-facing parity with the reference's
   * prompt-driven ETL flow (reference: src/etl/ETLProcess.java:29-53 main
@@ -161,14 +161,81 @@ object Cli {
     result
   }
 
+  /** JDBC-mode dialog — the reference's ACTUAL runtime shape: both ends are
+    * live database connections from config.properties (ETLProcess.java:13-26),
+    * discovery is `DatabaseMetaData` (:142-159 tables, :290-300 PKs), and the
+    * load is keyed upsert when the destination declares a PK, append
+    * otherwise (:198-206). Same mapping/transform dialogs as parquet mode —
+    * only the endpoints differ. */
+  def runJdbc(spark: SparkSession, src: Sources.JdbcConfig,
+      dst: Sources.JdbcConfig, input: Iterator[String],
+      out: PrintStream): DataFrame = {
+    val io = new Io(input, out)
+    out.println("=== SOURCE CONFIGURATION ===")
+    out.println("1. Enter a SQL query")
+    out.println("2. Pick a source table")
+    val source =
+      if (io.readInt("Option: ") == 1) {
+        // raw SQL pushed to the SOURCE database verbatim (R2, :84-86)
+        Sources.jdbcQuery(spark, src, io.readLine("SQL> "))
+      } else {
+        val tables = Sources.listJdbcTables(src)
+        out.println("Available tables:")
+        tables.foreach(t => out.println(s"- $t"))
+        val table = pickTable(io, tables, "source")
+        val full = Sources.jdbcTable(spark, src, table)
+        val cols = full.columns.toSeq
+        out.println(s"Columns in '$table':")
+        cols.foreach(c => out.println(s"- $c"))
+        val picked = io.readLine("Columns to export (comma-separated): ")
+          .split(",").map(_.trim).filter(cols.contains).toSeq
+        if (picked.isEmpty) throw new IllegalArgumentException("No valid columns selected.")
+        full.select(picked.map(org.apache.spark.sql.functions.col): _*)
+      }
+
+    out.println("=== DESTINATION CONFIGURATION ===")
+    val tables = Sources.listJdbcTables(dst)
+    out.println("Available tables:")
+    tables.foreach(t => out.println(s"- $t"))
+    val dest = pickTable(io, tables, "destination")
+    val destCols = Sources.jdbcTable(spark, dst, dest).columns.toSeq
+    val pks = Sources.jdbcPrimaryKeys(dst, dest)
+
+    val mapping = mapColumns(io, source, destCols, pks)
+    val etl = Etl(source).mapColumns(mapping, pks)
+    val transformed = etl.transform(askTransforms(io, mapping.map(_._2)))
+
+    if (pks.nonEmpty) {
+      @annotation.tailrec
+      def askOrder(): String = {
+        val c = io.readLine(s"Ordering column for last-writer-wins (${mapping.map(_._2).mkString(", ")}): ")
+        if (mapping.exists(_._2 == c)) c
+        else { out.println(s"'$c' is not a mapped column."); askOrder() }
+      }
+      Sources.jdbcUpsert(transformed.result, dst, dest, pks, askOrder())
+    } else Sources.jdbcAppend(transformed.result, dst, dest)
+    out.println(s"ETL complete. Loaded into '$dest'.")
+    Sources.jdbcTable(spark, dst, dest)
+  }
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = Graft.configure(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val result = run(spark, dir, scala.io.Source.stdin.getLines(), System.out)
+    // a .properties argument selects JDBC mode (the reference's entry
+    // point); anything else is a parquet data dir
+    val result = args.headOption match {
+      case Some(p) if p.endsWith(".properties") =>
+        val props = Sources.loadProperties(p)
+        runJdbc(spark, Sources.jdbcConfig(props, "origen"),
+          Sources.jdbcConfig(props, "destino"),
+          scala.io.Source.stdin.getLines(), System.out)
+      case other =>
+        run(spark, other.getOrElse("/root/testdata/sf0.001"),
+          scala.io.Source.stdin.getLines(), System.out)
+    }
     // materialize + show a sample, like the reference's completion report
     System.out.println(s"Rows: ${result.count()}")
     result.show(10, truncate = false)

@@ -20,6 +20,31 @@ object Sources {
     * per side) without any vendor specifics. */
   final case class JdbcConfig(url: String, user: String, password: String)
 
+  /** Load a `.properties` connection file — the reference's actual entry
+    * point (ETLProcess.java loadProperties + :13-26 reads `db.origen.*` /
+    * `db.destino.*`). File-path based rather than classpath so one build
+    * can point at any environment's config. */
+  def loadProperties(path: String): java.util.Properties = {
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(path)
+    try props.load(in) finally in.close()
+    props
+  }
+
+  /** One side's connection from the loaded properties: `db.<side>.url`,
+    * `db.<side>.user`, `db.<side>.password` (reference key names verbatim;
+    * sides are `origen` and `destino`). Missing keys are a hard error
+    * naming the key — the reference NPEs later at connect time. */
+  def jdbcConfig(props: java.util.Properties, side: String): JdbcConfig = {
+    def get(k: String): String = {
+      val v = props.getProperty(s"db.$side.$k")
+      if (v == null) throw new IllegalArgumentException(
+        s"config property 'db.$side.$k' is missing")
+      v
+    }
+    JdbcConfig(get("url"), get("user"), get("password"))
+  }
+
   /** Match the reference's MAX_BATCH_SIZE (ETLProcess.java:210). */
   val DefaultBatchSize = 1000
 
@@ -124,4 +149,120 @@ object Sources {
       .options(jdbcWriteOptions(cfg, table, batchSize))
       .mode(SaveMode.Append)
       .save()
+
+  /** One driver-side orchestration connection (DDL/MERGE only — the data
+    * itself always moves through the parallel batched writer). */
+  private def withConnection[A](cfg: JdbcConfig)(f: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try f(conn) finally conn.close()
+  }
+
+  /** Table list via `DatabaseMetaData.getTables` — the reference's source/
+    * destination pickers (ETLProcess.java:142-159). Names come back in the
+    * database's canonical case (Derby/SQL Server uppercase unquoted DDL). */
+  def listJdbcTables(cfg: JdbcConfig): Seq[String] =
+    withConnection(cfg) { conn =>
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (rs.next()) out += rs.getString("TABLE_NAME")
+      out.toSeq.sorted
+    }
+
+  /** Destination primary keys via `DatabaseMetaData.getPrimaryKeys` — the
+    * metadata call that decides upsert-vs-append in the reference
+    * (ETLProcess.java:198-206,290-300), in key-sequence order. */
+  def jdbcPrimaryKeys(cfg: JdbcConfig, table: String): Seq[String] =
+    withConnection(cfg) { conn =>
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, table)
+      val out = scala.collection.mutable.ArrayBuffer[(Short, String)]()
+      while (rs.next()) out += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME")
+      out.sortBy(_._1).map(_._2).toSeq
+    }
+
+  /** The set-based merge statement (ANSI `MERGE`, which Derby and SQL
+    * Server both speak) — the reference's intent code `construirMergeSQL`
+    * (ETLProcess.java:429-526) and the semantic twin of its live per-row
+    * UPDATE-then-INSERT upsert (:388-427). Column identifiers are quoted
+    * because Spark's JDBC writer creates case-preserved quoted columns;
+    * table names stay as passed (unquoted DDL canonicalizes them). Pure,
+    * so the statement shape is unit-testable without a database. */
+  private[engine] def mergeSql(table: String, stage: String,
+      cols: Seq[String], keys: Seq[String]): String = {
+    def q(c: String) = "\"" + c + "\""
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val nonKeys = cols.filterNot(keys.contains)
+    val update =
+      if (nonKeys.isEmpty) ""
+      else nonKeys.map(c => s"${q(c)} = s.${q(c)}")
+        .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
+    val insert = s" WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})" +
+      s" VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+    s"MERGE INTO $table t USING $stage s ON $on$update$insert"
+  }
+
+  /** Keyed upsert THROUGH JDBC (R13 end-to-end): the reference's per-row
+    * `construirUpsertSQL` loop (ETLProcess.java:388-427) becomes
+    * stage-then-merge — the batch lands in a stage table via the parallel
+    * batched writer, then ONE set-based `MERGE` applies it, so the
+    * destination round-trips once per batch instead of once per row.
+    *
+    * Batch semantics match [[Sinks.upsert]]: last-writer-wins per key,
+    * ordered by `orderCol` with a deterministic all-columns tiebreak
+    * (a distributed batch has no arrival order; SURVEY §7.4) — MERGE
+    * requires it anyway (duplicate source keys are an ANSI cardinality
+    * error). Creates the destination on first load (append path), like
+    * the writer itself would. */
+  def jdbcUpsert(df: DataFrame, cfg: JdbcConfig, table: String,
+      keys: Seq[String], orderCol: String,
+      batchSize: Int = DefaultBatchSize): Unit = {
+    require(keys.nonEmpty, "jdbcUpsert: keys must be non-empty")
+    val tiebreak = df.columns.toSeq
+      .filterNot(c => c == orderCol || keys.contains(c))
+      .map(org.apache.spark.sql.functions.col(_).desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy(org.apache.spark.sql.functions.col(orderCol).desc +: tiebreak: _*)
+    val lastWriter = df
+      .withColumn("__graft_rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("__graft_rn") === 1)
+      .drop("__graft_rn")
+    val targetCols = withConnection(cfg) { conn =>
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, "%")
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      try { while (rs.next()) out += rs.getString("COLUMN_NAME") } finally rs.close()
+      out.toSeq
+    }
+    if (targetCols.isEmpty) jdbcAppend(lastWriter, cfg, table, batchSize)
+    else {
+      // orderCol may be batch-only metadata (e.g. an ingest sequence): keep
+      // it only when the destination carries the column (Sinks.upsert rule)
+      val cols =
+        if (targetCols.contains(orderCol)) df.columns.toSeq
+        else df.columns.toSeq.filterNot(_ == orderCol)
+      val stage = table + "_graft_stage"
+      def q(c: String) = "\"" + c + "\""
+      withConnection(cfg) { conn =>
+        val st = conn.createStatement()
+        try {
+          // the stage mirrors the DESTINATION's column types (not the
+          // writer's default mappings), so the merge never crosses a
+          // vendor type boundary — the standard staging discipline
+          try st.executeUpdate(s"DROP TABLE $stage") catch { case _: java.sql.SQLException => }
+          st.executeUpdate(s"CREATE TABLE $stage AS SELECT " +
+            cols.map(q).mkString(", ") + s" FROM $table WITH NO DATA")
+        } finally st.close()
+      }
+      jdbcAppend(
+        lastWriter.select(cols.map(org.apache.spark.sql.functions.col): _*),
+        cfg, stage, batchSize)
+      withConnection(cfg) { conn =>
+        val st = conn.createStatement()
+        try {
+          st.executeUpdate(mergeSql(table, stage, cols, keys))
+          st.executeUpdate(s"DROP TABLE $stage")
+        } finally st.close()
+      }
+    }
+  }
 }

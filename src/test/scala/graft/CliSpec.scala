@@ -88,6 +88,75 @@ class CliSpec extends SparkSpec {
     df.count() shouldBe 25
   }
 
+  test("JDBC mode: properties file drives the full dialog against live Derby") {
+    import graft.engine.Sources
+    import spark.implicits._
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft_derby_cli").toString)
+    // the reference's config.properties shape, verbatim key names
+    // (ETLProcess.java:13-26): one side per connection
+    val url = "jdbc:derby:memory:clidb;create=true"
+    val propFile = java.nio.file.Files.createTempFile("graft_cli", ".properties")
+    java.nio.file.Files.write(propFile,
+      s"""db.origen.url=$url
+         |db.origen.user=app
+         |db.origen.password=app
+         |db.destino.url=$url
+         |db.destino.user=app
+         |db.destino.password=app
+         |""".stripMargin.getBytes("UTF-8"))
+    val props = Sources.loadProperties(propFile.toString)
+    val src = Sources.jdbcConfig(props, "origen")
+    val dst = Sources.jdbcConfig(props, "destino")
+    // source table via the engine's own writer; destination via raw DDL so
+    // it carries a REAL primary key for metadata-driven upsert selection
+    Sources.jdbcAppend(Seq(
+      (1L, "alice", 10.5), (2L, "bob", 20.25), (3L, "carol", 30.0), (4L, "dave", 0.75))
+      .toDF("id", "name", "v"), src, "src_people")
+    val conn = java.sql.DriverManager.getConnection(dst.url, dst.user, dst.password)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE dst_people ("id" BIGINT NOT NULL PRIMARY KEY,
+          |"name" VARCHAR(64), "v" DOUBLE)""".stripMargin.replace("\n", " "))
+      st.executeUpdate("""INSERT INTO dst_people VALUES (1, 'seed', 1.0)""")
+      st.close()
+    } finally conn.close()
+
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    val df = Cli.runJdbc(spark, src, dst, Iterator(
+      "2",            // source: pick a table
+      "SRC_PEOPLE",   // canonical (uppercased) name from metadata
+      "id, name, v",  // export all three
+      "DST_PEOPLE",   // destination
+      "id", "name", "v", // identity mapping
+      "5", "2", "5",  // transforms: none, uppercase, none
+      "v",            // ordering column for last-writer-wins
+    ), out)
+    val console = buf.toString("UTF-8")
+    console should include("Primary keys: id") // found via getPrimaryKeys
+    // id=1 updated (seed replaced), 2-4 inserted, names uppercased
+    df.count() shouldBe 4
+    df.orderBy("id").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("ALICE", "BOB", "CAROL", "DAVE")
+    // rerunning the identical dialog is idempotent (MERGE semantics)
+    val df2 = Cli.runJdbc(spark, src, dst, Iterator(
+      "2", "SRC_PEOPLE", "id, name, v", "DST_PEOPLE",
+      "id", "name", "v", "5", "2", "5", "v",
+    ), new PrintStream(new ByteArrayOutputStream(), true, "UTF-8"))
+    rowSet(df2) shouldBe rowSet(df)
+  }
+
+  test("jdbcConfig: a missing property is a hard error naming the key") {
+    import graft.engine.Sources
+    val props = new java.util.Properties()
+    props.setProperty("db.origen.url", "jdbc:derby:memory:x")
+    props.setProperty("db.origen.user", "app")
+    val e = intercept[IllegalArgumentException](Sources.jdbcConfig(props, "origen"))
+    e.getMessage should include("db.origen.password")
+  }
+
   test("unknown destination column warns and skips; junk menu input re-prompts") {
     val (df, console) = runCli(
       "x",      // junk menu input → re-prompt
