@@ -31,11 +31,29 @@ object Graph {
     *              appear once with `id_a < id_b` (duplicates are tolerated
     *              — they only widen the neighbour join, never change the
     *              min-aggregate result)
+    * @param fixedRounds run exactly ⌈log₂(#vertices)⌉+2 jump rounds with NO
+    *              per-round convergence aggregate — one job per round
+    *              instead of two, the only driver round-trip being one
+    *              upfront vertex count. Pointer jumping at least doubles
+    *              every vertex's label reach per round, so the bound covers
+    *              any diameter ≤ #vertices (property-tested against
+    *              union-find including a 400-deep chain); the trade is
+    *              running the full bound even when the graph converges in 3
+    *              rounds. A/B measured (CcBench, warm): on the REAL
+    *              near-dup graphs this LOSES — 5.2 s vs 2.5 s at sf0.1
+    *              (477 vertices → 11 budgeted rounds vs ~5 adaptive),
+    *              19.9 s vs 4.5 s on the 10× probe (50 k vertices → 18
+    *              rounds) — early stopping beats the saved aggregate
+    *              whenever the graph is shallower than its vertex count.
+    *              Choose fixed only for genuinely diameter-deep graphs
+    *              (where both modes run ~log₂(d) rounds and this one
+    *              halves the jobs per round); the default stays adaptive.
     * @return one row per vertex: (`v`, `lbl`) with `lbl` = the component's
     *         minimum vertex id; backed by a localCheckpoint, so the loop's
     *         caches are already released when this returns
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
+      fixedRounds: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b")).cache()
     // no distinct: with unique a<b input the union with the reversed copy
     // cannot collide — skipping it saves a full edge-list shuffle
@@ -54,10 +72,17 @@ object Graph {
       edges.unpersist(); sym.unpersist()
       return labels
     }
+    // fixed mode: one count job up front buys out the per-round aggregate
+    val totalRounds =
+      if (!fixedRounds) maxRounds
+      else {
+        val n = labels.count()
+        (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 2
+      }
     var converged = false
     var rounds = 0
     var prevSum: Option[java.math.BigDecimal] = None
-    try while (!converged && rounds < maxRounds) {
+    try while (!converged && rounds < totalRounds) {
       // candidate label per vertex: min over neighbours' current labels
       val nbrMin = sym.join(labels.withColumnRenamed("v", "n"), "n")
         .groupBy("v").agg(min(col("lbl")).as("cand"))
@@ -69,8 +94,10 @@ object Graph {
         .cache()
       // pointer-jump from round 2 on: near-dup clusters are almost always
       // shallow, so the first rounds skip the extra self-join and usually
-      // converge without it; deep graphs get the O(log d) halving
-      val next = if (rounds < 2) prop
+      // converge without it; deep graphs get the O(log d) halving. Fixed
+      // mode jumps from round 0 — its round budget is exactly the doubling
+      // bound, so every round must double.
+      val next = if (rounds < 2 && !fixedRounds) prop
         else prop
           .join(prop.select(col("v").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
           .select(col("v"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
@@ -82,17 +109,19 @@ object Graph {
       // the plan to a leaf, keeping per-round planning O(1); superseded
       // checkpoint blocks are released by the ContextCleaner on GC.
       val checkpointed = next.localCheckpoint(true)
-      val lblSum = checkpointed.agg(sum(col("lbl").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)
-      // a decimal overflow under non-ANSI mode would NULL the sum; two NULL
-      // rounds would then satisfy prevSum.contains(lblSum) and declare a
-      // FALSE convergence — fail loudly instead (unreachable at any
-      // realistic label magnitude, but the guard is free)
-      require(lblSum != null, "connectedComponents: label-sum overflowed DECIMAL(38,0)")
+      if (!fixedRounds) {
+        val lblSum = checkpointed.agg(sum(col("lbl").cast(DecimalType(38, 0))))
+          .collect()(0).getDecimal(0)
+        // a decimal overflow under non-ANSI mode would NULL the sum; two
+        // NULL rounds would then satisfy prevSum.contains(lblSum) and
+        // declare a FALSE convergence — fail loudly instead (unreachable at
+        // any realistic label magnitude, but the guard is free)
+        require(lblSum != null, "connectedComponents: label-sum overflowed DECIMAL(38,0)")
+        converged = prevSum.contains(lblSum)
+        prevSum = Some(lblSum)
+      }
       prop.unpersist()
       labels = checkpointed
-      converged = prevSum.contains(lblSum)
-      prevSum = Some(lblSum)
       rounds += 1
     } finally {
       // also on the failure paths (non-convergence, overflow guard): a
@@ -102,7 +131,9 @@ object Graph {
       sym.unpersist()
     }
     // an unconverged result would silently split components — fail loudly
-    require(converged, s"connectedComponents: not converged after $maxRounds rounds")
+    // (fixed mode's guarantee is the doubling bound itself, property-tested)
+    require(fixedRounds || converged,
+      s"connectedComponents: not converged after $maxRounds rounds")
     labels
   }
 

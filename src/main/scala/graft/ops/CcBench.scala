@@ -29,6 +29,7 @@ object CcBench {
     spark.sparkContext.setLogLevel("ERROR")
     val kernels: Seq[(String, DataFrame => DataFrame)] = Seq(
       "pointer-jump" -> (Graph.connectedComponents(_)),
+      "fixed-rounds" -> (Graph.connectedComponents(_, fixedRounds = true)),
       "star" -> (Graph.connectedComponentsStar(_)))
     dirs.foreach { dir =>
       val pairs = Dedup.minhashPairs(spark, dir)

@@ -50,6 +50,35 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("fixed-rounds mode equals union-find on 15 seeded random graphs") {
+    // the no-convergence-aggregate mode must land on the identical
+    // fixpoint inside its ⌈log₂(n)⌉+2 budget on arbitrary topologies
+    val rng = new Random(0xFACADE)
+    (1 to 15).foreach { trial =>
+      val n = 5 + rng.nextInt(26)
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rng.nextDouble() < 0.12
+      } yield (a.toLong, b.toLong)).toSeq
+      val expected = unionFind(n, edges)
+      val got = Graph.connectedComponents(edges.toDF("id_a", "id_b"), fixedRounds = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial (n=$n, ${edges.size} edges): ") {
+        got shouldBe expected
+      }
+    }
+  }
+
+  test("fixed-rounds mode converges on a 400-deep chain within the doubling bound") {
+    // the worst case for the round budget: diameter = #vertices − 1, so a
+    // single round short of doubling would split the component
+    val chain = (0L until 400L).map(i => (i, i + 1))
+    val got = Graph.connectedComponents(chain.toDF("id_a", "id_b"), fixedRounds = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.size shouldBe 401
+    all(got.values) shouldBe 0L
+  }
+
   test("connectedComponentsStar equals union-find on 15 seeded random graphs") {
     // the A/B candidate kernel must be just as correct as the production
     // one, or its timing comparison is meaningless
