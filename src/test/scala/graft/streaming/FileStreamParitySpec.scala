@@ -14,6 +14,82 @@ class FileStreamParitySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("file-source interval join: micro-batch watermark advance, equals the batch join") {
+    import java.nio.file.{Files, Paths}
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .cache()
+    // three TIME-ORDERED chunk files: with maxFilesPerTrigger=1 each is its
+    // own micro-batch, so the watermark genuinely advances mid-stream (and
+    // time-ordering means no event arrives behind it — parity stays exact)
+    val cuts = ev.agg(percentile(unix_micros(col("ts")),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
+      .collect()(0).getSeq[Double](0).map(_.toLong)
+    val staged = Files.createTempDirectory("events_ij_stream")
+    Seq(
+      unix_micros(col("ts")) < cuts(0),
+      unix_micros(col("ts")) >= cuts(0) && unix_micros(col("ts")) < cuts(1),
+      unix_micros(col("ts")) >= cuts(1),
+    ).zipWithIndex.foreach { case (pred, i) =>
+      val tmp = Files.createTempDirectory(s"ij_chunk$i")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      // the file source processes in (modTime, path) order — pin it
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    def branch(stream: DataFrame, tpe: String): DataFrame =
+      stream.filter(col("event_type") === tpe)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams
+      .intervalJoin(branch(stream, "click"), branch(stream, "purchase"))
+      .writeStream.format("memory").queryName("t_file_ij")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // real watermark advance: one data batch per staged file, and the
+      // watermark moved at least once between batches
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .distinct.size should be >= 2
+      val streamed = spark.table("t_file_ij").collect().map(_.toSeq).toSet
+      val batch = graft.SparkEntry.queries("stream_interval_join")(spark, dir01)
+        .collect().map(_.toSeq).toSet
+      streamed shouldBe batch // the oracle-checked batch twin
+      streamed should not be empty
+    } finally q.stop()
+
+    // left-outer flavor: NULL-click purchases may only emit once the
+    // watermark PROVES no qualifying click can still arrive — their
+    // appearance is itself evidence of mid-stream watermark finalization
+    val stream2 = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q2 = graft.streaming.Streams
+      .intervalJoin(branch(stream2, "click"), branch(stream2, "purchase"),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("t_file_ij_left")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("t_file_ij_left").collect()
+      val (unmatched, matched) = rows.partition(_.isNullAt(1))
+      matched.map(_.toSeq).toSet shouldBe
+        spark.table("t_file_ij").collect().map(_.toSeq).toSet
+      unmatched should not be empty // finalized by watermark advance
+      // every emitted NULL row is a genuine batch-side unmatched purchase
+      val batchNull = graft.SparkEntry.queries("stream_interval_join_left")(spark, dir01)
+        .filter(col("click_id").isNull).collect()
+        .map(_.getLong(0)).toSet
+      unmatched.map(_.getLong(0)).foreach(pid => batchNull should contain(pid))
+    } finally q2.stop()
+  }
+
   test("file-source streaming tumbling aggregate equals the batch result") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // raw on-disk schema (ts is nanos-as-long); same µs conversion Tables does
