@@ -14,50 +14,70 @@ import org.apache.spark.sql.functions._
   *    9 exact replicas (worst case for dedup banding: every band collides);
   *  - embeddings ×10 with shifted vec_ids (≈100× candidate pairs);
   *  - events ×10 with shifted event_ids, same users (10× per-user density);
-  *  - small dims copied as-is.
+  *  - small dims copied as-is;
+  *  - with `--facts`, ALSO lineitem/orders ×10 with CONSISTENTLY shifted
+  *    order keys (joins still resolve) — an sf1-equivalent fact volume
+  *    (6 M lineitem rows from sf0.1) that stresses the memory-shape
+  *    hazards replica docs can't: exact-percentile value buffers and
+  *    window partitions keyed by the 3-value o_orderstatus.
   *
-  * Usage: runMain graft.ScaleProbe <baseSfDir> <outDir> [op ...]
-  * (ops default to the dedup/similarity/event families).
+  * Usage: runMain graft.ScaleProbe <baseSfDir> <outDir> [--facts] [op ...]
+  * (ops default to the dedup/similarity/event families, or the
+  * percentile/window/join families under --facts).
   */
 object ScaleProbe {
   private val Copies = 10
   private val Shift = 10000000L
 
-  private def amplify(spark: SparkSession, base: String, out: String): Unit = {
+  private def amplify(spark: SparkSession, base: String, out: String,
+      facts: Boolean): Unit = {
     // the marker records WHAT produced the data: rerunning against a
     // different base (or Copies factor) must re-amplify, not silently time
     // ops on stale data labeled with the new base
-    val stamp = s"base=$base copies=$Copies shift=$Shift"
+    val stamp = s"base=$base copies=$Copies shift=$Shift facts=$facts"
     val done = java.nio.file.Paths.get(out, "_AMPLIFIED")
     if (java.nio.file.Files.exists(done)
         && java.nio.file.Files.readString(done).trim == stamp) return
     new java.io.File(out).mkdirs()
-    def write(name: String, idCol: Option[String]): Unit = {
+    def write(name: String, idCols: Seq[String]): Unit = {
       val src = Tables(spark, base, name)
-      val df = idCol match {
-        case Some(id) =>
-          (0 until Copies).map(i => src.withColumn(id, col(id) + lit(i * Shift)))
-            .reduce(_ unionByName _)
-        case None => src
-      }
+      val df =
+        if (idCols.isEmpty) src
+        else (0 until Copies).map { i =>
+          idCols.foldLeft(src)((d, id) => d.withColumn(id, col(id) + lit(i * Shift)))
+        }.reduce(_ unionByName _)
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
     }
-    write("documents", Some("doc_id"))
-    write("embeddings", Some("vec_id"))
-    write("events", Some("event_id"))
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-      .foreach(write(_, None))
+    write("documents", Seq("doc_id"))
+    write("embeddings", Seq("vec_id"))
+    write("events", Seq("event_id"))
+    // facts: the order-key shift is the SAME on both tables, so every
+    // replica's lineitem joins its replica's order; o_custkey stays, so
+    // each customer simply has 10x the orders (the scale-up direction)
+    write("orders", if (facts) Seq("o_orderkey") else Nil)
+    write("lineitem", if (facts) Seq("l_orderkey") else Nil)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(write(_, Nil))
     java.nio.file.Files.writeString(done, stamp)
   }
 
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("/tmp/graft_probe10x")
-    val defaultOps = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
-      "dedup_ngram", "dedup_cluster", "dedup_embed_banded", "sim_search",
-      "sim_search_bucketed", "sim_search_ivf", "curation_pipeline",
-      "event_funnel", "retention_cohort", "stream_interval_join")
-    val ops = if (args.length > 2) args.drop(2).toSeq else defaultOps
+    val facts = args.contains("--facts")
+    val rest = args.toSeq.filterNot(_ == "--facts")
+    val base = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = rest.lift(1).getOrElse(
+      if (facts) "/tmp/graft_probe_sf1" else "/tmp/graft_probe10x")
+    val defaultOps =
+      if (facts) Seq("agg_group", "agg_percentile", "agg_percentile_approx",
+        "quantile_bin", "outlier_filter", "anomaly_mad", "gap_detect",
+        "win_rank", "win_analytic", "win_cume", "win_ntile", "sort_multi",
+        "topk_per_group", "limit_offset", "limit_keyset", "join_skew_salted",
+        "tpch_q3", "tpch_q5", "tpch_q10", "sessionize")
+      else Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
+        "dedup_ngram", "dedup_cluster", "dedup_embed_banded", "sim_search",
+        "sim_search_bucketed", "sim_search_ivf", "curation_pipeline",
+        "event_funnel", "retention_cohort", "stream_interval_join")
+    val ops = if (rest.length > 2) rest.drop(2) else defaultOps
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -65,7 +85,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    amplify(spark, base, out)
+    amplify(spark, base, out, facts)
     val timings = ops.map { name =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, out)
@@ -75,7 +95,8 @@ object ScaleProbe {
       name -> sec
     }
     val qs = timings.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"probe10x","queries":$qs,"base":"$base"}""")
+    val metric = if (facts) "probe_sf1" else "probe10x"
+    println(s"""{"metric":"$metric","queries":$qs,"base":"$base"}""")
     spark.stop()
   }
 }
