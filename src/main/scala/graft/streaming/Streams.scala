@@ -95,4 +95,18 @@ object Streams {
     incoming.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       writeTable(graft.engine.Sinks.upsert(readTable(), batch, keys, orderCol))
     }
+
+  /** Stream → live JDBC destination with keyed upsert: every micro-batch
+    * goes through the engine's stage-and-merge
+    * ([[graft.engine.Sources.jdbcUpsert]]) — the streaming form of the
+    * reference's batched upsert loop (ETLProcess.java:388-427) against a
+    * real database endpoint. foreachBatch delivery is at-least-once; the
+    * keyed MERGE makes redelivered batches idempotent, which is exactly
+    * why the upsert (not append) path is the safe streaming JDBC sink. */
+  def jdbcUpsertSink(incoming: DataFrame, cfg: graft.engine.Sources.JdbcConfig,
+      table: String, keys: Seq[String], orderCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.engine.Sources.jdbcUpsert(batch, cfg, table, keys, orderCol)
+    }
 }

@@ -105,6 +105,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jdbcUpsertSink: micro-batches MERGE into live Derby; redelivery is idempotent") {
+    import graft.engine.Sources
+    implicit val sqlCtx = spark.sqlContext
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft_derby_stream").toString)
+    val cfg = Sources.JdbcConfig(
+      "jdbc:derby:memory:streamdb;create=true", "app", "app")
+    val input = MemoryStream[Ev]
+    val q = Streams.jdbcUpsertSink(input.toDF(), cfg, "stream_ups",
+      keys = Seq("event_id"), orderCol = "ts").start()
+    val replay = Seq(
+      ev(2, 11, "purchase", "2024-01-01 10:05:00", 9.0), // overwrites event 2
+      ev(3, 12, "click", "2024-01-01 10:06:00", 3.0))    // new key
+    try {
+      input.addData(Seq(
+        ev(1, 10, "click", "2024-01-01 10:00:00", 1.0),
+        ev(2, 11, "click", "2024-01-01 10:01:00", 2.0)))
+      q.processAllAvailable() // batch 1 creates the table (first-load path)
+      input.addData(replay)
+      q.processAllAvailable() // batch 2 MERGEs through the stage table
+      val got = Sources.jdbcTable(spark, cfg, "stream_ups")
+        .select("event_id", "event_type", "value")
+        .collect().map(_.toSeq).toSet
+      got shouldBe Set(
+        Seq(1L, "click", 1.0), Seq(2L, "purchase", 9.0), Seq(3L, "click", 3.0))
+      // foreachBatch is at-least-once: a REDELIVERED batch must not change
+      // the destination — the keyed MERGE is what makes the sink safe
+      Sources.jdbcUpsert(replay.toDF(), cfg, "stream_ups",
+        Seq("event_id"), orderCol = "ts")
+      Sources.jdbcTable(spark, cfg, "stream_ups")
+        .select("event_id", "event_type", "value")
+        .collect().map(_.toSeq).toSet shouldBe got
+    } finally q.stop()
+  }
+
   test("interval join matches purchases to preceding clicks, two live streams") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
