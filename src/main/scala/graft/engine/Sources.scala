@@ -240,7 +240,11 @@ object Sources {
       val cols =
         if (targetCols.contains(orderCol)) df.columns.toSeq
         else df.columns.toSeq.filterNot(_ == orderCol)
-      val stage = table + "_graft_stage"
+      // unique per invocation: concurrent upserts into the same table (e.g.
+      // two streaming sinks) must not DROP each other's staged batch; a
+      // crashed run's leftover is identifiable by the _graft_stage_ prefix
+      val stage = table + "_graft_stage_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(8)
       def q(c: String) = "\"" + c + "\""
       withConnection(cfg) { conn =>
         val st = conn.createStatement()
@@ -248,7 +252,6 @@ object Sources {
           // the stage mirrors the DESTINATION's column types (not the
           // writer's default mappings), so the merge never crosses a
           // vendor type boundary — the standard staging discipline
-          try st.executeUpdate(s"DROP TABLE $stage") catch { case _: java.sql.SQLException => }
           st.executeUpdate(s"CREATE TABLE $stage AS SELECT " +
             cols.map(q).mkString(", ") + s" FROM $table WITH NO DATA")
         } finally st.close()
