@@ -185,7 +185,10 @@ object Sources {
     * UPDATE-then-INSERT upsert (:388-427). Column identifiers are quoted
     * because Spark's JDBC writer creates case-preserved quoted columns;
     * table names stay as passed (unquoted DDL canonicalizes them). Pure,
-    * so the statement shape is unit-testable without a database. */
+    * so the statement shape is unit-testable without a database.
+    * Dialect note: T-SQL additionally REQUIRES a `;` statement terminator
+    * on MERGE, which Derby rejects — a SQL Server deployment appends it at
+    * the execute site, not here. */
   private[engine] def mergeSql(table: String, stage: String,
       cols: Seq[String], keys: Seq[String]): String = {
     def q(c: String) = "\"" + c + "\""

@@ -95,6 +95,22 @@ class JdbcSpec extends SparkSpec {
       .filter(_.contains("GRAFT_STAGE")) shouldBe empty
   }
 
+  test("jdbcUpsert: result is independent of the batch's partitioning") {
+    // the last-writer dedup orders by (orderCol, every remaining column),
+    // so which task sees which duplicate first must not matter — the
+    // retry-safety property the whole inventory pins in DeterminismSpec
+    val dup = Seq(
+      (1L, "x1", 5.0, 1L), (1L, "x2", 5.0, 1L), // tie on orderCol → column tiebreak
+      (2L, "y1", 1.0, 2L), (2L, "y2", 2.0, 1L)) // later seq wins regardless of order
+      .toDF("id", "name", "v", "seq")
+    Sources.jdbcUpsert(dup.repartition(7), cfg, "people_det_a", Seq("id"), "seq")
+    Sources.jdbcUpsert(dup.repartition(3), cfg, "people_det_b", Seq("id"), "seq")
+    val a = rowSet(Sources.jdbcTable(spark, cfg, "people_det_a"))
+    a shouldBe rowSet(Sources.jdbcTable(spark, cfg, "people_det_b"))
+    // and the winners are the deterministic ones, not arrival-order ones
+    a shouldBe Set(Seq[Any](1L, "x2", 5.0, 1L), Seq[Any](2L, "y1", 1.0, 2L))
+  }
+
   test("jdbcUpsert: first load creates the destination (append path)") {
     Sources.jdbcUpsert(people, cfg, "people_first", Seq("id"), orderCol = "v")
     rowSet(Sources.jdbcTable(spark, cfg, "people_first")) shouldBe rowSet(people)
