@@ -56,12 +56,14 @@ object Bench {
     val failed = results.filterNot(_._3).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    // The total goes out FIRST on its own short line: the full line below
-    // carries the per-query map and can be cut by a truncated capture of
-    // this process's output, which in r6 made the artifact unparseable and
-    // lost the total. A line-by-line JSON scan always recovers this one.
+    // Line order matters: the capture downstream keeps the TAIL of this
+    // process's output, so the recoverable total must be the LAST line —
+    // the per-query detail line (~4k chars at 140 ops) goes first and may
+    // lose its head to truncation, while the short closing line always
+    // survives intact. Metric names are distinct ("per_query" vs "total")
+    // so a line scanner matching metric=="total" finds exactly one value.
+    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
