@@ -150,6 +150,34 @@ object Sources {
       .mode(SaveMode.Append)
       .save()
 
+  /** No-PK load with a full-row existence check THROUGH JDBC (R14): the
+    * reference's no-PK path `construirInsertConVerificacion`
+    * (ETLProcess.java:444-466) inserts a row only when an identical row is
+    * not already present, so rerunning the same dialog is duplicate-free.
+    * Distributed form: read back the destination's mapped columns, whole-row
+    * left-anti join, append only the absent rows — the JDBC twin of
+    * [[Sinks.insertIfAbsent]], same semantics including the null caveat
+    * (equi-join keys never match NULL, exactly like the reference's
+    * `col = ?` probe) and the batch-internal dedup (the reference's serial
+    * loop sees earlier rows of its own batch; `dropDuplicates` reproduces
+    * that).
+    *
+    * Scale: the anti-join probe is a destination READ through the parallel
+    * JDBC scan, so the existence check runs in the cluster, not row-at-a-
+    * time against the database like the reference (:449 one SELECT per row). */
+  def jdbcInsertIfAbsent(spark: SparkSession, df: DataFrame, cfg: JdbcConfig,
+      table: String, batchSize: Int = DefaultBatchSize): Unit = {
+    val cols = df.columns.toSeq
+    val incoming = df.dropDuplicates(cols)
+    resolveJdbcTable(cfg, table) match {
+      case None => jdbcAppend(incoming, cfg, table, batchSize)
+      case Some(canonical) =>
+        val existing = jdbcTable(spark, cfg, canonical)
+          .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        jdbcAppend(incoming.join(existing, cols, "left_anti"), cfg, table, batchSize)
+    }
+  }
+
   /** One driver-side orchestration connection (DDL/MERGE only — the data
     * itself always moves through the parallel batched writer). */
   private def withConnection[A](cfg: JdbcConfig)(f: java.sql.Connection => A): A = {
@@ -168,16 +196,82 @@ object Sources {
       out.toSeq.sorted
     }
 
+  /** Resolve a table name to the database's CANONICAL name via `getTables`,
+    * probing as-given, then uppercase, then lowercase. One lookup works for
+    * uppercase-canonical vendors (Derby), lowercase-canonical ones, and
+    * case-preserving ones (SQL Server under any collation) — table existence
+    * is decided here, never inferred from an empty column listing, so a
+    * metadata-case mismatch can't silently demote an upsert to an append. */
+  private[engine] def resolveJdbcTable(cfg: JdbcConfig, table: String): Option[String] =
+    withConnection(cfg) { conn =>
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct
+        .iterator.map { cand =>
+          val rs = md.getTables(null, null, cand, Array("TABLE"))
+          try { if (rs.next()) Some(rs.getString("TABLE_NAME")) else None }
+          finally rs.close()
+        }.collectFirst { case Some(name) => name }
+    }
+
   /** Destination primary keys via `DatabaseMetaData.getPrimaryKeys` — the
     * metadata call that decides upsert-vs-append in the reference
-    * (ETLProcess.java:198-206,290-300), in key-sequence order. */
-  def jdbcPrimaryKeys(cfg: JdbcConfig, table: String): Seq[String] =
+    * (ETLProcess.java:198-206,290-300), in key-sequence order. The name is
+    * canonicalized through [[resolveJdbcTable]] first, so the caller's case
+    * never decides whether a PK is visible. */
+  def jdbcPrimaryKeys(cfg: JdbcConfig, table: String): Seq[String] = {
+    val canonical = resolveJdbcTable(cfg, table).getOrElse(table)
     withConnection(cfg) { conn =>
-      val rs = conn.getMetaData.getPrimaryKeys(null, null, table)
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, canonical)
       val out = scala.collection.mutable.ArrayBuffer[(Short, String)]()
       while (rs.next()) out += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME")
       out.sortBy(_._1).map(_._2).toSeq
     }
+  }
+
+  /** Vendor seam for the statements `jdbcUpsert` runs over a raw driver
+    * connection (everything Spark's own JDBC reader/writer executes is
+    * already dialected by Spark itself). Exactly the three points where
+    * Derby/ANSI and the reference's actual target, SQL Server
+    * (config.properties uses `jdbc:sqlserver`; `construirUpsertSQL`,
+    * ETLProcess.java:388-427, is T-SQL), disagree:
+    *
+    *  - empty-stage DDL: ANSI `CREATE TABLE … AS SELECT … WITH NO DATA`
+    *    vs T-SQL `SELECT … INTO … WHERE 1 = 0`;
+    *  - the MERGE statement terminator: T-SQL REQUIRES a trailing `;`,
+    *    Derby rejects one;
+    *  - both speak double-quoted identifiers (T-SQL under the driver's
+    *    default `QUOTED_IDENTIFIER ON`), so quoting stays shared.
+    *
+    * Selected from the JDBC URL ([[UpsertDialect.forUrl]]). No SQL Server
+    * exists in this harness, so the T-SQL instance is statement-shape
+    * tested (DialectSpec) while the ANSI instance runs live against
+    * embedded Derby (JdbcSpec). */
+  sealed trait UpsertDialect {
+    def name: String
+    /** DDL creating `stage` empty with the DESTINATION's types for the
+      * mapped columns (already quoted) — the staging discipline that keeps
+      * the merge from crossing a vendor type boundary. */
+    def stageDdl(stage: String, table: String, quotedCols: Seq[String]): String
+    /** Apply the vendor's required statement terminator, if any. */
+    def terminate(sql: String): String
+  }
+  object UpsertDialect {
+    case object Ansi extends UpsertDialect {
+      val name = "ansi"
+      def stageDdl(stage: String, table: String, quotedCols: Seq[String]): String =
+        s"CREATE TABLE $stage AS SELECT ${quotedCols.mkString(", ")} " +
+          s"FROM $table WITH NO DATA"
+      def terminate(sql: String): String = sql
+    }
+    case object SqlServer extends UpsertDialect {
+      val name = "sqlserver"
+      def stageDdl(stage: String, table: String, quotedCols: Seq[String]): String =
+        s"SELECT ${quotedCols.mkString(", ")} INTO $stage FROM $table WHERE 1 = 0"
+      def terminate(sql: String): String = sql + ";"
+    }
+    def forUrl(url: String): UpsertDialect =
+      if (url.toLowerCase.startsWith("jdbc:sqlserver")) SqlServer else Ansi
+  }
 
   /** The set-based merge statement (ANSI `MERGE`, which Derby and SQL
     * Server both speak) — the reference's intent code `construirMergeSQL`
@@ -185,10 +279,9 @@ object Sources {
     * UPDATE-then-INSERT upsert (:388-427). Column identifiers are quoted
     * because Spark's JDBC writer creates case-preserved quoted columns;
     * table names stay as passed (unquoted DDL canonicalizes them). Pure,
-    * so the statement shape is unit-testable without a database.
-    * Dialect note: T-SQL additionally REQUIRES a `;` statement terminator
-    * on MERGE, which Derby rejects — a SQL Server deployment appends it at
-    * the execute site, not here. */
+    * so the statement shape is unit-testable without a database; the
+    * vendor terminator is applied by [[UpsertDialect.terminate]] at the
+    * execute site. */
   private[engine] def mergeSql(table: String, stage: String,
       cols: Seq[String], keys: Seq[String]): String = {
     def q(c: String) = "\"" + c + "\""
@@ -230,45 +323,58 @@ object Sources {
         org.apache.spark.sql.functions.row_number().over(w))
       .filter(org.apache.spark.sql.functions.col("__graft_rn") === 1)
       .drop("__graft_rn")
-    val targetCols = withConnection(cfg) { conn =>
-      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, "%")
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      try { while (rs.next()) out += rs.getString("COLUMN_NAME") } finally rs.close()
-      out.toSeq
+    def execute(sql: String): Unit = withConnection(cfg) { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
     }
-    if (targetCols.isEmpty) jdbcAppend(lastWriter, cfg, table, batchSize)
-    else {
-      // orderCol may be batch-only metadata (e.g. an ingest sequence): keep
-      // it only when the destination carries the column (Sinks.upsert rule)
-      val cols =
-        if (targetCols.contains(orderCol)) df.columns.toSeq
-        else df.columns.toSeq.filterNot(_ == orderCol)
-      // unique per invocation: concurrent upserts into the same table (e.g.
-      // two streaming sinks) must not DROP each other's staged batch; a
-      // crashed run's leftover is identifiable by the _graft_stage_ prefix
-      val stage = table + "_graft_stage_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(8)
-      def q(c: String) = "\"" + c + "\""
-      withConnection(cfg) { conn =>
-        val st = conn.createStatement()
+    // existence comes from getTables (canonical-case probe), NOT from an
+    // empty getColumns result — on a vendor whose canonical case differs
+    // from the caller's, the old inference silently took the append path
+    // and bypassed upsert semantics entirely
+    resolveJdbcTable(cfg, table) match {
+      case None =>
+        // first load: the writer creates the destination, like the
+        // reference's initial batch
+        jdbcAppend(lastWriter, cfg, table, batchSize)
+      case Some(canonical) =>
+        val targetCols = withConnection(cfg) { conn =>
+          val rs = conn.getMetaData.getColumns(null, null, canonical, "%")
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          try { while (rs.next()) out += rs.getString("COLUMN_NAME") } finally rs.close()
+          out.toSeq
+        }
+        if (targetCols.isEmpty) throw new IllegalStateException(
+          s"jdbcUpsert: table '$canonical' exists but its columns could not be " +
+            "read from DatabaseMetaData — refusing to guess between first-load " +
+            "append and keyed merge")
+        // orderCol may be batch-only metadata (e.g. an ingest sequence): keep
+        // it only when the destination carries the column (Sinks.upsert rule)
+        val cols =
+          if (targetCols.contains(orderCol)) df.columns.toSeq
+          else df.columns.toSeq.filterNot(_ == orderCol)
+        // unique per invocation: concurrent upserts into the same table (e.g.
+        // two streaming sinks) must not DROP each other's staged batch; a
+        // crashed run's leftover is identifiable by the _graft_stage_ prefix
+        val stage = table + "_graft_stage_" +
+          java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+        def q(c: String) = "\"" + c + "\""
+        val dialect = UpsertDialect.forUrl(cfg.url)
+        // the stage mirrors the DESTINATION's column types (not the
+        // writer's default mappings), so the merge never crosses a
+        // vendor type boundary — the standard staging discipline
+        execute(dialect.stageDdl(stage, table, cols.map(q)))
         try {
-          // the stage mirrors the DESTINATION's column types (not the
-          // writer's default mappings), so the merge never crosses a
-          // vendor type boundary — the standard staging discipline
-          st.executeUpdate(s"CREATE TABLE $stage AS SELECT " +
-            cols.map(q).mkString(", ") + s" FROM $table WITH NO DATA")
-        } finally st.close()
-      }
-      jdbcAppend(
-        lastWriter.select(cols.map(org.apache.spark.sql.functions.col): _*),
-        cfg, stage, batchSize)
-      withConnection(cfg) { conn =>
-        val st = conn.createStatement()
-        try {
-          st.executeUpdate(mergeSql(table, stage, cols, keys))
-          st.executeUpdate(s"DROP TABLE $stage")
-        } finally st.close()
-      }
+          jdbcAppend(
+            lastWriter.select(cols.map(org.apache.spark.sql.functions.col): _*),
+            cfg, stage, batchSize)
+          execute(dialect.terminate(mergeSql(table, stage, cols, keys)))
+        } finally {
+          // best-effort: a failed stage load or MERGE must not leak the
+          // stage to a caller who catches and retries — only a process
+          // crash should ever leave a _graft_stage_ table behind
+          try execute(s"DROP TABLE $stage")
+          catch { case _: java.sql.SQLException => () }
+        }
     }
   }
 }

@@ -118,6 +118,63 @@ class JdbcSpec extends SparkSpec {
     rowSet(Sources.jdbcTable(spark, cfg, "people_first")) shouldBe rowSet(people)
   }
 
+  test("jdbcUpsert drops the stage table when the MERGE itself fails") {
+    Sources.listJdbcTables(cfg) // force db creation before raw DDL
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE merge_fail ("id" BIGINT NOT NULL PRIMARY KEY,
+          |"v" DOUBLE, CHECK ("v" < 100))""".stripMargin.replace("\n", " "))
+      st.executeUpdate("""INSERT INTO merge_fail VALUES (1, 10.0)""")
+      st.close()
+    } finally conn.close()
+    // the stage load succeeds (no constraint on the stage); the MERGE's
+    // insert leg then violates the destination CHECK — the in-process
+    // failure class the try/finally exists for
+    val bad = Seq((2L, 999.0)).toDF("id", "v")
+    an[Exception] should be thrownBy
+      Sources.jdbcUpsert(bad, cfg, "merge_fail", Seq("id"), orderCol = "v")
+    Sources.listJdbcTables(cfg).filter(_.contains("GRAFT_STAGE")) shouldBe empty
+    // and the destination is untouched
+    rowSet(Sources.jdbcTable(spark, cfg, "merge_fail")) shouldBe
+      Set(Seq[Any](1L, 10.0))
+  }
+
+  test("jdbcUpsert drops the stage table when the stage load fails") {
+    Sources.listJdbcTables(cfg)
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE stage_fail ("id" BIGINT NOT NULL PRIMARY KEY,
+          |"name" VARCHAR(3))""".stripMargin.replace("\n", " "))
+      st.close()
+    } finally conn.close()
+    // the stage mirrors the destination's VARCHAR(3); a 5-char value fails
+    // INSIDE the parallel stage append, after stage creation
+    val tooWide = Seq((1L, "abcde")).toDF("id", "name")
+    an[Exception] should be thrownBy
+      Sources.jdbcUpsert(tooWide, cfg, "stage_fail", Seq("id"), orderCol = "id")
+    Sources.listJdbcTables(cfg).filter(_.contains("GRAFT_STAGE")) shouldBe empty
+  }
+
+  test("jdbcUpsert resolves table existence independently of caller case") {
+    // Derby canonicalizes unquoted DDL to UPPERCASE; the caller says
+    // lowercase. Existence must come from getTables (canonical probe), so
+    // the second call MERGEs instead of silently appending duplicates.
+    Sources.jdbcAppend(people, cfg, "case_probe")
+    Sources.jdbcUpsert(
+      Seq((1L, "alice2", 11.0)).toDF("id", "name", "v"),
+      cfg, "case_probe", Seq("id"), orderCol = "v")
+    val after = Sources.jdbcTable(spark, cfg, "case_probe")
+    after.count() shouldBe 4 // updated in place, not appended as a 5th row
+    rowSet(after.filter(col("id") === 1)) shouldBe Set(Seq[Any](1L, "alice2", 11.0))
+    // resolveJdbcTable surfaces the DB's canonical name, and misses are None
+    Sources.resolveJdbcTable(cfg, "case_probe") shouldBe Some("CASE_PROBE")
+    Sources.resolveJdbcTable(cfg, "no_such_table_xyz") shouldBe None
+  }
+
   test("jdbcPrimaryKeys reads the destination PK in key-sequence order") {
     Sources.listJdbcTables(cfg) // force db creation before raw DDL
     val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
