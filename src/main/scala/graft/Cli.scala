@@ -164,9 +164,9 @@ object Cli {
   /** JDBC-mode dialog — the reference's ACTUAL runtime shape: both ends are
     * live database connections from config.properties (ETLProcess.java:13-26),
     * discovery is `DatabaseMetaData` (:142-159 tables, :290-300 PKs), and the
-    * load is keyed upsert when the destination declares a PK, append
-    * otherwise (:198-206). Same mapping/transform dialogs as parquet mode —
-    * only the endpoints differ. */
+    * load is keyed upsert when the destination declares a PK (:198-206),
+    * full-row insert-if-absent otherwise (:444-466). Same mapping/transform
+    * dialogs as parquet mode — only the endpoints differ. */
   def runJdbc(spark: SparkSession, src: Sources.JdbcConfig,
       dst: Sources.JdbcConfig, input: Iterator[String],
       out: PrintStream): DataFrame = {
@@ -213,7 +213,12 @@ object Cli {
         else { out.println(s"'$c' is not a mapped column."); askOrder() }
       }
       Sources.jdbcUpsert(transformed.result, dst, dest, pks, askOrder())
-    } else Sources.jdbcAppend(transformed.result, dst, dest)
+    } else {
+      // no-PK destinations get the reference's insert-with-verification
+      // (construirInsertConVerificacion, :444-466): only rows not already
+      // present whole-row land, so rerunning a dialog never duplicates
+      Sources.jdbcInsertIfAbsent(spark, transformed.result, dst, dest)
+    }
     out.println(s"ETL complete. Loaded into '$dest'.")
     Sources.jdbcTable(spark, dst, dest)
   }

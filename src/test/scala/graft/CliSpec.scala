@@ -148,26 +148,35 @@ class CliSpec extends SparkSpec {
     rowSet(df2) shouldBe rowSet(df)
   }
 
-  test("JDBC mode: raw SQL source + no-PK destination takes the append path") {
+  test("JDBC mode: raw SQL source + no-PK destination takes the insert-if-absent path") {
     import graft.engine.Sources
     import spark.implicits._
     val cfg = Sources.JdbcConfig("jdbc:derby:memory:clidb2;create=true", "app", "app")
     Sources.jdbcAppend(Seq((1L, "Ann"), (2L, "Ben"), (3L, "Cal"))
       .toDF("id", "name"), cfg, "src_raw")
     // writer-created destination: NO primary key → metadata yields none →
-    // the dialog must skip the ordering prompt and append
+    // the dialog must skip the ordering prompt and load with the full-row
+    // existence check (reference construirInsertConVerificacion, :444-466)
     Sources.jdbcAppend(Seq((99L, "seed")).toDF("id", "name"), cfg, "dst_raw")
     val buf = new ByteArrayOutputStream()
-    val df = Cli.runJdbc(spark, cfg, cfg, Iterator(
+    def dialog() = Iterator(
       "1",                                              // source: raw SQL
       """SELECT "id", "name" FROM src_raw WHERE "id" > 1""", // pushed to Derby
       "DST_RAW",                                        // destination
       "id", "name",                                     // identity mapping
       "5", "1",                                         // none, lowercase
-    ), new PrintStream(buf, true, "UTF-8"))
+    )
+    val df = Cli.runJdbc(spark, cfg, cfg, dialog(), new PrintStream(buf, true, "UTF-8"))
     buf.toString("UTF-8") should not include "Primary keys:"
-    df.count() shouldBe 3 // 1 seed + 2 appended (id > 1)
+    df.count() shouldBe 3 // 1 seed + 2 inserted (id > 1)
     df.filter(col("id") === 2).collect()(0).getString(1) shouldBe "ben" // lowercased
+    // reference parity: rerunning the IDENTICAL dialog inserts nothing —
+    // every incoming row already exists whole-row, like the reference's
+    // per-row existence probe
+    val df2 = Cli.runJdbc(spark, cfg, cfg, dialog(),
+      new PrintStream(new ByteArrayOutputStream(), true, "UTF-8"))
+    df2.count() shouldBe 3
+    rowSet(df2) shouldBe rowSet(df)
   }
 
   test("jdbcConfig: a missing property is a hard error naming the key") {
