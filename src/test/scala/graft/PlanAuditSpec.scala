@@ -210,6 +210,32 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("inventory sweep: no undeclared cartesian or nested-loop join in ANY op's plan") {
+    // Every op so far pinned its plan individually; this sweeps all 140 so a
+    // FUTURE op (or a regression in an existing one) can't ship a quadratic
+    // join that still passes value-correctness at sf0.01. EXACT set match,
+    // both directions: a new undeclared cartesian fails, and a declared op
+    // whose plan improves must be removed from this list. Every entry is a
+    // bounded-by-construction cross:
+    val declared = Map(
+      "join_cross" -> "declared cross: region × nation (25 × 5 rows, both bounded dims)",
+      "join_theta" -> "declared non-equi theta join — the op exists to prove the shape",
+      "dedup_embed" -> "declared per-bucket quadratic verification kernel; dedup_embed_banded is the corpus path",
+      "sim_search" -> "1-row query-vector broadcast against the corpus scan",
+      "sim_search_bucketed" -> "1-row query-vector broadcast (bucket multiprobe)",
+      "sim_search_ivf" -> "1-row query + 8-row centroid-table broadcasts",
+      "search_rrf" -> "1-row query-vector broadcast (vector-shortlist leg)",
+      "anomaly_mad" -> "1-row median/MAD scalar broadcast back over the scan")
+    val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = planOf(name)
+      val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+      if (hit.nonEmpty) Some(name -> hit) else None
+    }
+    withClue(s"quadratic-join ops: $quadratic") {
+      quadratic.map(_._1).toSet shouldBe declared.keySet
+    }
+  }
+
   test("sink_bucketed: bucket layout replaces the aggregation shuffle") {
     val plan = SparkEntry.queries("sink_bucketed")(spark, dir)
       .queryExecution.executedPlan.toString
