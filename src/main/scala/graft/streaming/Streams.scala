@@ -22,11 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
+  /** Decimal-exact value sum, like the batch twins' (ops/Events.dsumV):
+    * double partials combine in micro-batch arrival order, so a raw double
+    * sum would make stream-vs-batch parity float-order-dependent. */
+  private def dsumV = sum(col("value")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+    .cast("double").as("sum_value")
+
   /** Tumbling 1h windows per event_type (twin of stream_tumbling). */
   def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsumV)
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -34,7 +41,7 @@ object Streams {
   def sliding(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsumV)
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("n"), col("sum_value"))
 
@@ -44,7 +51,7 @@ object Streams {
   def session(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsumV)
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n"), col("sum_value"))
 

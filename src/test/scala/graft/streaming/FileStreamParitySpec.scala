@@ -90,7 +90,7 @@ class FileStreamParitySpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("file-source streaming tumbling aggregate equals the batch result") {
+  test("file-source Streams.tumbling equals the oracle-checked batch twin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // raw on-disk schema (ts is nanos-as-long); same µs conversion Tables does
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -104,28 +104,75 @@ class FileStreamParitySpec extends SparkSpec {
       staged.resolve("events.parquet"))
     val stream = convert(
       spark.readStream.schema(rawSchema).parquet(staged.toString))
-    // decimal-exact sums: raw double sums are aggregation-order dependent,
-    // and streaming/batch combine partials in different orders
-    def dsumV = sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-      .cast("double").as("sum_value")
-    val agg = stream
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsumV)
-      .select(col("window.start").as("ws"), col("event_type"), col("n"),
-        col("sum_value"))
-    val q = agg.writeStream.format("memory").queryName("t_file_parity")
+    // drive the REAL streaming op (decimal-exact sums in-op, so parity is
+    // exact, not float-combine-order dependent)
+    val q = graft.streaming.Streams.tumbling(stream)
+      .writeStream.format("memory").queryName("t_file_parity")
       .outputMode("complete").start()
     try {
       q.processAllAvailable()
       val streamed = spark.table("t_file_parity").collect()
         .map(_.toSeq).toSet
-      val batch = convert(spark.read.parquet(s"$dir/events.parquet"))
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsumV)
-        .select(col("window.start").as("ws"), col("event_type"), col("n"),
-          col("sum_value"))
+      val batch = graft.SparkEntry.queries("stream_tumbling")(spark, dir)
         .collect().map(_.toSeq).toSet
-      streamed shouldBe batch
+      streamed shouldBe batch // the oracle-checked batch twin
+      streamed should not be empty
+    } finally q.stop()
+  }
+
+  test("file-source Streams.session: append-mode watermark finalization equals the batch twin") {
+    import java.nio.file.{Files, Paths}
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // three TIME-ORDERED chunks (same staging discipline as the interval
+    // join above: maxFilesPerTrigger=1 makes each its own micro-batch, so
+    // the watermark advances mid-stream) plus a far-future SENTINEL event
+    // (user_id = -1, +2 days) whose arrival pushes the watermark past every
+    // real session's end — append mode only emits a session once the
+    // watermark PROVES it can no longer grow, so without the sentinel the
+    // tail sessions would stay buffered forever
+    val cuts = ev.agg(percentile(unix_micros(col("ts")),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
+      .collect()(0).getSeq[Double](0).map(_.toLong)
+    val sentinel = ev.orderBy(col("ts").desc).limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", col("ts") + expr("INTERVAL 2 DAYS"))
+    val staged = Files.createTempDirectory("events_sess_stream")
+    val chunks: Seq[DataFrame] = Seq(
+      ev.filter(unix_micros(col("ts")) < cuts(0)),
+      ev.filter(unix_micros(col("ts")) >= cuts(0)
+        && unix_micros(col("ts")) < cuts(1)),
+      ev.filter(unix_micros(col("ts")) >= cuts(1)),
+      sentinel)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"sess_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.session(stream)
+      .writeStream.format("memory").queryName("t_file_sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // real watermark advance: one data batch per staged file, and the
+      // watermark moved at least once between batches
+      q.recentProgress.count(_.numInputRows > 0) should be >= 4
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .distinct.size should be >= 2
+      val streamed = spark.table("t_file_sess")
+        .filter(col("user_id") =!= -1L) // drop the sentinel's own session
+        .collect().map(_.toSeq).toSet
+      val batch = graft.SparkEntry.queries("stream_session")(spark, dir01)
+        .collect().map(_.toSeq).toSet
+      streamed shouldBe batch // the oracle-checked batch twin, ALL sessions
       streamed should not be empty
     } finally q.stop()
   }
