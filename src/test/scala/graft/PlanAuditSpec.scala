@@ -41,8 +41,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup ops contain no cartesian product") {
+    // dedup_embed qualifies since its bucket-scoped contract (r8): the
+    // kernel's pair join is an equi-join on the band-0 LSH bucket hash
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "dedup_embed_banded",
-        "dedup_fuzzy", "knn_join_bucketed")
+        "dedup_fuzzy", "knn_join_bucketed", "dedup_embed")
       .foreach { name =>
         withClue(name) {
           val plan = planOf(name)
@@ -220,7 +222,6 @@ class PlanAuditSpec extends SparkSpec {
     val declared = Map(
       "join_cross" -> "declared cross: region × nation (25 × 5 rows, both bounded dims)",
       "join_theta" -> "declared non-equi theta join — the op exists to prove the shape",
-      "dedup_embed" -> "declared per-bucket quadratic verification kernel; dedup_embed_banded is the corpus path",
       "sim_search" -> "1-row query-vector broadcast against the corpus scan",
       "sim_search_bucketed" -> "1-row query-vector broadcast (bucket multiprobe)",
       "sim_search_ivf" -> "1-row query + 8-row centroid-table broadcasts",
