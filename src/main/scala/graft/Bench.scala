@@ -59,11 +59,14 @@ object Bench {
     // Line order matters: the capture downstream keeps the TAIL of this
     // process's output, so the recoverable total must be the LAST line —
     // the per-query detail line (~4k chars at 140 ops) goes first and may
-    // lose its head to truncation, while the short closing line always
-    // survives intact. Metric names are distinct ("per_query" vs "total")
-    // so a line scanner matching metric=="total" finds exactly one value.
+    // lose its head to truncation, while the closing line stays well under
+    // the capture window (it carries only the 10 slowest queries, the ones
+    // a regression hunt needs). Metric names are distinct ("per_query" vs
+    // "total") so a line scanner matching metric=="total" finds exactly one.
+    val slowest = results.filter(_._3).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
