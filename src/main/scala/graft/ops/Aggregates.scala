@@ -374,6 +374,15 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // SCALE NOTE (win_ntile / win_cume): both partition by o_orderstatus —
+  // 3 values — so each window partition is ~n/3 rows sorted on one task;
+  // the sf1 probe deliberately stresses this (2 M-row partitions: 2.4/2.5 s,
+  // sort-bound). That is the op's CONTRACT (exact global rank positions per
+  // status need a total order). At 100 TB the quartile-assignment use case
+  // swaps to quantile_bin's formulation — approx/exact thresholds computed
+  // in one agg and BROADCAST back over the scan (no giant sort partition);
+  // exact cume_dist/percent_rank at that scale needs the two-pass
+  // count-then-offset rewrite, not a wider window.
   private val winNtile = Op("win_ntile",
     """SELECT o_orderkey, o_custkey,
       |  ntile(4) OVER (PARTITION BY o_orderstatus
