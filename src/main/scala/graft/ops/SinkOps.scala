@@ -210,6 +210,20 @@ object SinkOps {
       .orderBy("o_orderkey")
   }
 
+  // ORC is the other columnar lake format Spark ships natively (vs the
+  // text formats above, types and stats survive without a declared
+  // schema); the round trip proves the full write→scan path including
+  // ORC's own predicate-pushdown machinery on the way back in.
+  private val scanOrc = Op("scan_orc_roundtrip", sliceSql) { (s, d) =>
+    val path = freshScratch("scan_orc")
+    val df = slice(s, d)
+    df.write.orc(path)
+    // explicit schema: a zero-row write leaves no ORC footer to infer from
+    s.read.schema(df.schema).orc(path)
+      .filter(col("o_orderkey") <= 5000) // pushed into the ORC scan
+      .orderBy("o_orderkey")
+  }
+
   // --------------------------------------------------------------------
   // sink_bucketed — hash-bucketed table layout + shuffle-free aggregation:
   // orders written bucketed by o_custkey (8 buckets, bucket-sorted), then
@@ -468,6 +482,6 @@ object SinkOps {
   }
 
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
-    sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson,
+    sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson, scanOrc,
     scanSchemaEvolution, sinkZorder, sinkScd2, sinkCompact, sinkDeleteWhere)
 }
