@@ -105,11 +105,13 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
       // the full sweep reports WARM numbers (best-of-2): first runs pay
-      // FS-cache/JIT costs that can double a timing
+      // FS-cache/JIT costs that can double a timing. The rerun exists ONLY
+      // to shed cold-start cost, so a transient second-run failure falls
+      // back to the valid cold measurement instead of failing the sweep.
       val first = once()
       val sec =
         if (!all || first < 0) first
-        else { val second = once(); if (second < 0) second else math.min(first, second) }
+        else { val second = once(); if (second < 0) first else math.min(first, second) }
       println(f"[probe] $name%-24s $sec%8.2f s")
       name -> sec
     }

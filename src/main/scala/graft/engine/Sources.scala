@@ -196,21 +196,47 @@ object Sources {
       out.toSeq.sorted
     }
 
-  /** Resolve a table name to the database's CANONICAL name via `getTables`,
-    * probing as-given, then uppercase, then lowercase. One lookup works for
-    * uppercase-canonical vendors (Derby), lowercase-canonical ones, and
-    * case-preserving ones (SQL Server under any collation) — table existence
-    * is decided here, never inferred from an empty column listing, so a
-    * metadata-case mismatch can't silently demote an upsert to an append. */
+  /** Escape JDBC metadata PATTERN wildcards in a literal name:
+    * `getTables`/`getColumns` treat `_` as a single-char wildcard and `%`
+    * as multi-char, and every table name in this engine contains `_` — an
+    * unescaped probe for ORDERS_2024 would also match ORDERSA2024. */
+  private def escapePattern(md: java.sql.DatabaseMetaData, name: String): String = {
+    val esc = md.getSearchStringEscape
+    name.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+  }
+
+  /** Resolve a table name to the database's CANONICAL name via `getTables`
+    * (wildcards escaped): probe as-given, then uppercase, then lowercase —
+    * covering uppercase-canonical vendors (Derby), lowercase-canonical
+    * ones, and case-preserving ones whose metadata matches
+    * case-insensitively. If every exact probe misses (a case-SENSITIVE
+    * metadata vendor storing a mixed-case name), fall back to a
+    * case-insensitive scan of the table list; an ambiguous match there is
+    * a hard error, never a guess. Table existence is decided here, not
+    * inferred from an empty column listing, so a metadata-case mismatch
+    * can't silently demote an upsert to an append. */
   private[engine] def resolveJdbcTable(cfg: JdbcConfig, table: String): Option[String] =
     withConnection(cfg) { conn =>
       val md = conn.getMetaData
+      def probe(cand: String): Option[String] = {
+        val rs = md.getTables(null, null, escapePattern(md, cand), Array("TABLE"))
+        try { if (rs.next()) Some(rs.getString("TABLE_NAME")) else None }
+        finally rs.close()
+      }
       Seq(table, table.toUpperCase, table.toLowerCase).distinct
-        .iterator.map { cand =>
-          val rs = md.getTables(null, null, cand, Array("TABLE"))
-          try { if (rs.next()) Some(rs.getString("TABLE_NAME")) else None }
-          finally rs.close()
-        }.collectFirst { case Some(name) => name }
+        .iterator.map(probe).collectFirst { case Some(name) => name }
+        .orElse {
+          val rs = md.getTables(null, null, "%", Array("TABLE"))
+          val all = scala.collection.mutable.ArrayBuffer[String]()
+          try { while (rs.next()) all += rs.getString("TABLE_NAME") } finally rs.close()
+          all.filter(_.equalsIgnoreCase(table)).toSeq match {
+            case Seq(one) => Some(one)
+            case Seq()    => None
+            case many => throw new IllegalStateException(
+              s"table name '$table' matches multiple tables case-insensitively: " +
+                many.mkString(", "))
+          }
+        }
     }
 
   /** Destination primary keys via `DatabaseMetaData.getPrimaryKeys` — the
@@ -249,24 +275,39 @@ object Sources {
   sealed trait UpsertDialect {
     def name: String
     /** DDL creating `stage` empty with the DESTINATION's types for the
-      * mapped columns (already quoted) — the staging discipline that keeps
-      * the merge from crossing a vendor type boundary. */
-    def stageDdl(stage: String, table: String, quotedCols: Seq[String]): String
+      * mapped columns (already quoted; `quotedKeys` ⊆ `quotedCols`) — the
+      * staging discipline that keeps the merge from crossing a vendor type
+      * boundary. */
+    def stageDdl(stage: String, table: String,
+        quotedCols: Seq[String], quotedKeys: Seq[String]): String
     /** Apply the vendor's required statement terminator, if any. */
     def terminate(sql: String): String
   }
   object UpsertDialect {
     case object Ansi extends UpsertDialect {
       val name = "ansi"
-      def stageDdl(stage: String, table: String, quotedCols: Seq[String]): String =
+      def stageDdl(stage: String, table: String,
+          quotedCols: Seq[String], quotedKeys: Seq[String]): String =
         s"CREATE TABLE $stage AS SELECT ${quotedCols.mkString(", ")} " +
           s"FROM $table WITH NO DATA"
       def terminate(sql: String): String = sql
     }
     case object SqlServer extends UpsertDialect {
       val name = "sqlserver"
-      def stageDdl(stage: String, table: String, quotedCols: Seq[String]): String =
-        s"SELECT ${quotedCols.mkString(", ")} INTO $stage FROM $table WHERE 1 = 0"
+      // SELECT ... INTO copies an IDENTITY property from a bare column
+      // reference onto the stage, which would then reject the explicit
+      // values the stage load inserts. Key columns (where identity lives —
+      // it is the PK pattern) are wrapped in ISNULL(c, c): an expression,
+      // so no identity is inherited, and the NOT NULL result type ISNULL
+      // produces is exactly right for a primary key. Non-key columns stay
+      // bare so their nullability is preserved.
+      def stageDdl(stage: String, table: String,
+          quotedCols: Seq[String], quotedKeys: Seq[String]): String = {
+        val sel = quotedCols.map { c =>
+          if (quotedKeys.contains(c)) s"ISNULL($c, $c) AS $c" else c
+        }
+        s"SELECT ${sel.mkString(", ")} INTO $stage FROM $table WHERE 1 = 0"
+      }
       def terminate(sql: String): String = sql + ";"
     }
     def forUrl(url: String): UpsertDialect =
@@ -338,7 +379,8 @@ object Sources {
         jdbcAppend(lastWriter, cfg, table, batchSize)
       case Some(canonical) =>
         val targetCols = withConnection(cfg) { conn =>
-          val rs = conn.getMetaData.getColumns(null, null, canonical, "%")
+          val md = conn.getMetaData
+          val rs = md.getColumns(null, null, escapePattern(md, canonical), "%")
           val out = scala.collection.mutable.ArrayBuffer[String]()
           try { while (rs.next()) out += rs.getString("COLUMN_NAME") } finally rs.close()
           out.toSeq
@@ -362,7 +404,7 @@ object Sources {
         // the stage mirrors the DESTINATION's column types (not the
         // writer's default mappings), so the merge never crosses a
         // vendor type boundary — the standard staging discipline
-        execute(dialect.stageDdl(stage, table, cols.map(q)))
+        execute(dialect.stageDdl(stage, table, cols.map(q), keys.map(q)))
         try {
           jdbcAppend(
             lastWriter.select(cols.map(org.apache.spark.sql.functions.col): _*),

@@ -22,12 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
-  /** Decimal-exact value sum, like the batch twins' (ops/Events.dsumV):
-    * double partials combine in micro-batch arrival order, so a raw double
-    * sum would make stream-vs-batch parity float-order-dependent. */
-  private def dsumV = sum(col("value")
-      .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-    .cast("double").as("sum_value")
+  /** Decimal-exact value sum — the shared [[graft.ops.dsum]] the batch
+    * twins aggregate with: double partials combine in micro-batch arrival
+    * order, so a raw double sum would make stream-vs-batch parity
+    * float-order-dependent. */
+  private def dsumV = graft.ops.dsum(col("value")).as("sum_value")
 
   /** Tumbling 1h windows per event_type (twin of stream_tumbling). */
   def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -170,13 +170,16 @@ class CliSpec extends SparkSpec {
     buf.toString("UTF-8") should not include "Primary keys:"
     df.count() shouldBe 3 // 1 seed + 2 inserted (id > 1)
     df.filter(col("id") === 2).collect()(0).getString(1) shouldBe "ben" // lowercased
+    // materialize NOW: df is a lazy read of the destination, so comparing
+    // it after the rerun would re-read post-rerun state and always match
+    val firstRun = rowSet(df)
     // reference parity: rerunning the IDENTICAL dialog inserts nothing —
     // every incoming row already exists whole-row, like the reference's
     // per-row existence probe
     val df2 = Cli.runJdbc(spark, cfg, cfg, dialog(),
       new PrintStream(new ByteArrayOutputStream(), true, "UTF-8"))
     df2.count() shouldBe 3
-    rowSet(df2) shouldBe rowSet(df)
+    rowSet(df2) shouldBe firstRun
   }
 
   test("jdbcConfig: a missing property is a hard error naming the key") {

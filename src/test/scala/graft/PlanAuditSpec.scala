@@ -40,19 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(plan).size should be >= 2
   }
 
-  test("dedup ops contain no cartesian product") {
-    // dedup_embed qualifies since its bucket-scoped contract (r8): the
-    // kernel's pair join is an equi-join on the band-0 LSH bucket hash
-    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "dedup_embed_banded",
-        "dedup_fuzzy", "knn_join_bucketed", "dedup_embed")
-      .foreach { name =>
-        withClue(name) {
-          val plan = planOf(name)
-          plan should not include "CartesianProduct"
-          plan should not include "BroadcastNestedLoopJoin"
-        }
-      }
-  }
+  // (the former per-family dedup cartesian check is subsumed by the
+  // inventory-wide exact-match sweep below, which covers every op)
 
   test("quantile_bin discretizes with broadcast thresholds, never a per-group sort window") {
     val plan = planOf("quantile_bin")

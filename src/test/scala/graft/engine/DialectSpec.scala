@@ -23,14 +23,17 @@ class DialectSpec extends AnyFunSuite with Matchers {
 
   test("ANSI stage DDL: CREATE TABLE ... AS SELECT ... WITH NO DATA") {
     UpsertDialect.Ansi.stageDdl("tgt_graft_stage_ab12", "tgt",
-      Seq("\"id\"", "\"name\"")) shouldBe
+      Seq("\"id\"", "\"name\""), Seq("\"id\"")) shouldBe
       """CREATE TABLE tgt_graft_stage_ab12 AS SELECT "id", "name" FROM tgt WITH NO DATA"""
   }
 
-  test("T-SQL stage DDL: SELECT ... INTO ... WHERE 1 = 0") {
+  test("T-SQL stage DDL: SELECT ... INTO ... WHERE 1 = 0, identity-proofed keys") {
+    // key columns are wrapped in ISNULL(c, c): SELECT ... INTO copies an
+    // IDENTITY property from a bare column reference, and the stage load
+    // inserts explicit key values — an inherited identity would reject them
     UpsertDialect.SqlServer.stageDdl("tgt_graft_stage_ab12", "tgt",
-      Seq("\"id\"", "\"name\"")) shouldBe
-      """SELECT "id", "name" INTO tgt_graft_stage_ab12 FROM tgt WHERE 1 = 0"""
+      Seq("\"id\"", "\"name\""), Seq("\"id\"")) shouldBe
+      """SELECT ISNULL("id", "id") AS "id", "name" INTO tgt_graft_stage_ab12 FROM tgt WHERE 1 = 0"""
   }
 
   test("T-SQL terminates MERGE with ';'; ANSI must not (Derby rejects it)") {
