@@ -210,6 +210,20 @@ object SinkOps {
       .orderBy("o_orderkey")
   }
 
+  // Raw text lines — THE interchange format for LLM text corpora (a .txt
+  // dump per shard): one document per line out, one `value` row per line
+  // back. Line framing is only a faithful round trip for newline-free
+  // documents; this corpus is (upstream normalization strips hard breaks),
+  // and a corpus that isn't must use a framed format (parquet/ORC/JSON).
+  // Deterministic: texts are distinct, so ORDER BY text is a total order.
+  private val scanText = Op("scan_text_roundtrip",
+    """SELECT text FROM documents WHERE text IS NOT NULL ORDER BY text""") { (s, d) =>
+    val path = freshScratch("scan_text")
+    t(s, d, "documents").select(col("text")).filter(col("text").isNotNull)
+      .write.text(path)
+    s.read.text(path).select(col("value").as("text")).orderBy("text")
+  }
+
   // ORC is the other columnar lake format Spark ships natively (vs the
   // text formats above, types and stats survive without a declared
   // schema); the round trip proves the full write→scan path including
@@ -483,5 +497,6 @@ object SinkOps {
 
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
     sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson, scanOrc,
-    scanSchemaEvolution, sinkZorder, sinkScd2, sinkCompact, sinkDeleteWhere)
+    scanText, scanSchemaEvolution, sinkZorder, sinkScd2, sinkCompact,
+    sinkDeleteWhere)
 }
