@@ -318,9 +318,42 @@ object Functions {
       .orderBy("d")
   }
 
+  // fn_url — URL structural decomposition (parse_url): the per-domain
+  // bookkeeping primitive of a crawl-derived corpus (domain quotas, host
+  // dedup keys, query-param stripping all start from HOST/PATH/QUERY).
+  // URLs are synthesized from the document columns so the op is
+  // self-contained; the oracle reconstructs each component from the same
+  // base columns — the components, not the parser, are the contract.
+  // parse_url is a Catalyst expression: scan-stage codegen, no shuffle.
+  private val fnUrl = Op("fn_url",
+    """SELECT doc_id,
+      |  'https' AS proto,
+      |  source || '.example.org' AS host,
+      |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+      |  'lang=' || lang || '&v=1' AS query,
+      |  lang AS qp_lang,
+      |  'top' AS frag
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val url = concat(
+      lit("https://"), col("source"), lit(".example.org/docs/"),
+      col("doc_id").cast(StringType),
+      lit("?lang="), col("lang"), lit("&v=1#top"))
+    t(s, d, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("qp_lang"),
+        parse_url(col("url"), lit("REF")).as("frag"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
     fnExplode, fnBitwise, fnTimestampFmt, winFrameTime, fnTry,
-    fnVariant, fnGenerateSeries,
+    fnVariant, fnGenerateSeries, fnUrl,
   )
 }

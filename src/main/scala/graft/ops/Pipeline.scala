@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.Text.{h60, h60Sql, words}
 
@@ -239,6 +240,42 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // shard_manifest — deterministic shard routing plus the audit manifest
+  // a training job consumes: each document routes to one of N shards by a
+  // salted key hash (pure function of doc_id — stable across engines,
+  // partitionings, and incremental re-runs, like dataset_split), and the
+  // manifest carries per-shard row count, byte volume, id range, and an
+  // order-independent content checksum (exact-decimal SUM of each doc's
+  // 60-bit text digest — commutative, so any execution order produces the
+  // same fingerprint). Downstream, a trainer verifies a delivered shard
+  // against its manifest row without re-reading the corpus. One hash
+  // aggregate, N rows out — at 100 TB this is a single map-side-combining
+  // pass; the routing column itself is free scan-stage work for the
+  // writer (`sink_partitioned` on `shard` is the companion write).
+  // --------------------------------------------------------------------
+  private val ShardN = 16
+  private val shardManifest = Op("shard_manifest",
+    s"""SELECT
+       |  ${h60Sql("concat('shard:', CAST(doc_id AS VARCHAR))")} % $ShardN AS shard,
+       |  COUNT(*) AS n_docs,
+       |  SUM(CAST(n_chars AS DECIMAL(38,0))) AS total_chars,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  SUM(CAST(${h60Sql("text")} AS DECIMAL(38,0))) AS checksum
+       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(
+        (h60(concat(lit("shard:"), col("doc_id").cast("string"))) % ShardN).as("shard"),
+        col("doc_id"), col("n_chars"), h60(col("text")).as("th"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(DecimalType(38, 0))).as("total_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        sum(col("th").cast(DecimalType(38, 0))).as("checksum"))
+      .orderBy("shard")
+  }
+
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
-    samplePerGroup, datasetSplit, curationPipeline)
+    samplePerGroup, datasetSplit, curationPipeline, shardManifest)
 }

@@ -289,6 +289,65 @@ object Text {
       .limit(100)
   }
 
+  // --------------------------------------------------------------------
+  // lm_score — corpus-self-trained bigram language-model scoring, the
+  // CCNet-style "perplexity filter" stage of a curation pipeline: train a
+  // bigram model ON the corpus (C(w1,w2) and the bigram-start marginal
+  // C1(w1) — self-consistent: Σ_w2 C(w1,w2) = C1(w1)), then grade each
+  // document by how well the model predicts it. Scores stay INTEGER-exact
+  // so both engines agree bit-for-bit: instead of summing float log-probs
+  // (libm `log` is not guaranteed identical across engines, and float
+  // summation is order-dependent), each bigram is bucketed by the exact
+  // rational test P(w2|w1) = c2/c1 ≥ 1/8 ⇔ 8·c2 ≥ c1, and a doc's score
+  // is the well-predicted fraction (one int division at the end —
+  // identical IEEE doubles everywhere). n_unique (corpus-hapax bigrams)
+  // is the rare-n-gram signal quality heuristics threshold on.
+  //
+  // Scale: model building is two map-side-combining hash aggregates whose
+  // outputs are VOCABULARY-bounded, not corpus-bounded; scoring is two
+  // equi-joins on token/bigram keys (broadcastable when the vocab is
+  // small, plain shuffled hash joins when it is not) and one per-doc
+  // aggregate. Nothing quadratic, nothing driver-side. Docs with fewer
+  // than two tokens have no bigrams and are excluded by contract.
+  // --------------------------------------------------------------------
+  private val lmScore = Op("lm_score",
+    """WITH bgs AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i+1, i+2), ' '))) AS bg
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |model AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+      |uni AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+      |        FROM bgs GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  COUNT(*) FILTER (c2 = 1) AS n_unique,
+      |  COUNT(*) FILTER (8 * c2 >= c1) AS n_predicted,
+      |  CAST(COUNT(*) FILTER (8 * c2 >= c1) AS DOUBLE) / COUNT(*) AS score
+      |FROM bgs JOIN model USING (bg)
+      |JOIN uni ON split_part(bgs.bg, ' ', 1) = uni.w1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bgs = t(s, d, "documents")
+      .filter(col("text").isNotNull && size(words(col("text"))) >= 2)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(2))))).as("bg"))
+    val model = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val uni = bgs.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    bgs.join(model, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_if(col("c2") === 1).as("n_unique"),
+        count_if(col("c2") * 8 >= col("c1")).as("n_predicted"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unique"), col("n_predicted"),
+        (col("n_predicted").cast("double") / col("n_bigrams")).as("score"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
-    textNormalize, ngramFreq, vocabTopk)
+    textNormalize, ngramFreq, vocabTopk, lmScore)
 }

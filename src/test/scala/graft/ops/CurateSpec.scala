@@ -320,4 +320,66 @@ class CurateSpec extends SparkSpec {
       }
     }
   }
+
+  test("fn_url: parsed components reassemble the original URL for every doc") {
+    val parts = SparkEntry.queries("fn_url")(spark, dir)
+    // independent reconstruction from the base columns — the parser's
+    // decomposition must round-trip to the synthesized URL exactly
+    val expected = graft.Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".example.org/docs/"),
+        col("doc_id").cast("string"),
+        lit("?lang="), col("lang"), lit("&v=1#top")).as("url"))
+    val rebuilt = parts.select(col("doc_id"),
+      concat(col("proto"), lit("://"), col("host"), col("path"),
+        lit("?"), col("query"), lit("#"), col("frag")).as("url"))
+    rebuilt.join(expected, "doc_id")
+      .filter(rebuilt("url") =!= expected("url")).count() shouldBe 0L
+    parts.filter(col("qp_lang").isNull || col("qp_lang") === lit(""))
+      .count() shouldBe 0L
+  }
+
+  test("shard_manifest: shards partition the corpus and a recomputed shard matches its manifest row") {
+    val m = SparkEntry.queries("shard_manifest")(spark, dir).collect()
+    val docs = graft.Tables(spark, dir, "documents")
+    m.map(_.getLong(1)).sum shouldBe docs.count() // every doc in exactly one shard
+    m.foreach(r => r.getLong(0) should (be >= 0L and be < 16L))
+    // the consumer-side verification the manifest exists for: recompute
+    // shard 0's count and checksum from the raw corpus and compare
+    val routed = docs.select(col("doc_id"), col("text"),
+      (conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 16).as("shard"))
+      .filter(col("shard") === 0)
+    val row0 = m.find(_.getLong(0) == 0L).get
+    routed.count() shouldBe row0.getLong(1)
+    val sum0 = routed.select(
+      sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ck"))
+      .collect()(0).getDecimal(0)
+    sum0 shouldBe row0.getDecimal(5)
+  }
+
+  test("lm_score: counts bound each other and bigram totals tie to token counts") {
+    val scored = SparkEntry.queries("lm_score")(spark, dir).collect()
+    scored should not be empty
+    scored.foreach { r =>
+      val (n, uniq, pred, score) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      withClue(s"doc ${r.getLong(0)}: ") {
+        n should be > 0L
+        uniq should be <= n
+        pred should be <= n
+        score shouldBe pred.toDouble / n
+      }
+    }
+    // every multi-token doc is scored, and the corpus bigram volume is
+    // exactly Σ(tokens-1) — the model saw each adjacency once
+    val docs = graft.Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .filter(expr("size(split(text, ' ')) >= 2"))
+    scored.length.toLong shouldBe docs.count()
+    val totalBigrams: Long =
+      docs.select(sum(expr("size(split(text, ' ')) - 1"))).collect()(0).getLong(0)
+    scored.map(_.getLong(1)).sum shouldBe totalBigrams
+  }
 }
