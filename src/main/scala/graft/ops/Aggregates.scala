@@ -606,12 +606,40 @@ object Aggregates {
       .orderBy("bucket")
   }
 
+  // --------------------------------------------------------------------
+  // agg_bitmap_distinct — EXACT distinct counting through Spark 3.5's
+  // bitmap aggregates, the scale path between agg_distinct (exact, but
+  // count(DISTINCT) shuffles every distinct value — at 100 TB the Expand
+  // doubles the shuffle volume) and agg_approx_distinct (mergeable but
+  // ±2%): keys bucket into fixed 32k-bit bitmaps
+  // (bitmap_bucket_number/bitmap_bit_position), each (group, bucket)
+  // OR-combines map-side into ONE 4 KB binary per bucket, and the global
+  // distinct count is the SUM of per-bucket popcounts — exact, mergeable,
+  // and the shuffle carries ⌈keyspace/32k⌉ fixed-size partials per group
+  // instead of one row per distinct value. The oracle is plain
+  // COUNT(DISTINCT): the bitmap decomposition must reproduce it exactly.
+  // --------------------------------------------------------------------
+  private val aggBitmapDistinct = Op("agg_bitmap_distinct",
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"), bitmap_bucket_number(col("o_custkey")).as("bkt"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("o_custkey"))).as("bm"),
+        count(lit(1)).as("cnt"))
+      .groupBy("o_orderstatus")
+      .agg(sum(bitmap_count(col("bm"))).as("n_cust"),
+        sum(col("cnt")).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
   val ops: Seq[Op] = Seq(
     aggCustomUdaf, aggMinmaxBy, aggHistogram,
     aggDistinct, aggApproxDistinct, aggSketchPartial, typedAgg, aggRollup,
     aggCube, aggGsets, aggHaving,
     aggPivot, aggPercentile, aggPercentileApprox, quantileBin, aggCollect, aggStats,
-    aggMode, aggFiltered,
+    aggMode, aggFiltered, aggBitmapDistinct,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
     subqueryScalar,
   )

@@ -351,9 +351,31 @@ object Functions {
       .orderBy("doc_id")
   }
 
+  // fn_mask — character-class data masking (`mask`): the display/export
+  // redaction primitive (pii_redact is the pattern-level scrub; this is
+  // the blanket character-class form for showing shapes without values).
+  // Default mask keeps punctuation; the custom form collapses everything.
+  // Scan-stage Catalyst expression; the oracle reproduces the class map
+  // with regexp_replace chains.
+  private val fnMask = Op("fn_mask",
+    """SELECT c_custkey,
+      |  regexp_replace(regexp_replace(regexp_replace(c_name,
+      |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS name_masked,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+      |    '[A-Z]', '*', 'g'), '[a-z]', '*', 'g'), '[0-9]', '#', 'g'),
+      |    '[^*#]', '-', 'g') AS seg_masked
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(
+        col("c_custkey"),
+        mask(col("c_name")).as("name_masked"),
+        mask(col("c_mktsegment"), lit("*"), lit("*"), lit("#"), lit("-"))
+          .as("seg_masked"))
+      .orderBy("c_custkey")
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
     fnExplode, fnBitwise, fnTimestampFmt, winFrameTime, fnTry,
-    fnVariant, fnGenerateSeries, fnUrl,
+    fnVariant, fnGenerateSeries, fnUrl, fnMask,
   )
 }

@@ -478,6 +478,27 @@ object Relational {
     s.sql(subqueryInNullSql)
   }
 
+  // LATERAL correlated subquery with ORDER BY + LIMIT — the "top-2 rows
+  // of THAT table for each row of THIS table" surface (subquery_exists /
+  // subquery_scalar are the boolean and scalar corners; this is the
+  // row-set corner). Catalyst DECORRELATES the per-row limit into a
+  // rank-window over the inner table plus one equi-join on the
+  // correlation key — the same plan topk_per_group hand-writes — so the
+  // per-row subquery never executes per row and the whole thing is two
+  // shuffles at any scale (PlanAuditSpec: no nested loop).
+  private val joinLateralSql =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) top_c
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+  private val joinLateral = Op("join_lateral", joinLateralSql) { (s, d) =>
+    t(s, d, "nation").createOrReplaceTempView("nation")
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    s.sql(joinLateralSql)
+  }
+
   val ops: Seq[Op] = Seq(
     Op("agg_group", aggGroupSql)(aggGroup), recursiveCte,
     scanParquet, scanProjected, filterPred,
@@ -485,6 +506,6 @@ object Relational {
     joinCross, joinTheta, joinAsof, joinRangeBucketed, joinNullsafe,
     sortMulti, limitTopk, limitOffset, limitKeyset, topkPerGroup,
     setUnion, setIntersect, setExcept, setUnionByname,
-    subqueryExists, subqueryInNull,
+    subqueryExists, subqueryInNull, joinLateral,
   )
 }

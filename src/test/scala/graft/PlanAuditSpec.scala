@@ -80,6 +80,26 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("join_lateral decorrelates the per-row LIMIT into a group-limit window + one equi-join") {
+    val plan = planOf("join_lateral")
+    // the per-outer-row subquery must become a rank window with pushed
+    // group limits and a hash join on the correlation key — never a
+    // nested-loop re-execution per outer row
+    plan should include("WindowGroupLimit")
+    plan should include("HashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("agg_bitmap_distinct combines bitmap partials map-side before the exchange") {
+    val plan = planOf("agg_bitmap_distinct")
+    // partial bitmap_construct_agg must appear below its exchange (the
+    // fixed-size-partial property the op exists for) and no Expand-based
+    // distinct rewrite may sneak back in
+    plan should include("partial_bitmap_construct_agg")
+    plan should not include "Expand"
+  }
+
   test("event_attribution is one window pass — no join anywhere in the plan") {
     val plan = planOf("event_attribution")
     plan should include("Window")
