@@ -160,6 +160,27 @@ class PlanAuditSpec extends SparkSpec {
     planOf("join_skew_salted") should include("__salt")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the non-partitioned sibling of DPP at 100 TB: when a shuffle join's
+    // dim side carries a selective filter, Spark builds a bloom filter
+    // from the dim keys at runtime and probes it inside the fact scan
+    // stage, dropping non-joining rows BEFORE they shuffle. Thresholds
+    // are sized for real clusters (app side ≥ 10 GB), so the test only
+    // lowers the size gates — the rewrite itself is stock.
+    import org.apache.spark.sql.functions.col
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    alt.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    alt.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val fact = graft.Tables(alt, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val dim = graft.Tables(alt, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should include("might_contain") // bloom probe reached the fact side
+  }
+
   test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
     // the 100 TB pattern: fact partitioned on the join dimension, dim
     // carries the selective filter — DPP turns the dim filter into a
