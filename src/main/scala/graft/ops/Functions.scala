@@ -373,9 +373,32 @@ object Functions {
       .orderBy("c_custkey")
   }
 
+  // fn_digest — content integrity hashing (md5 + sha2-256, the digests
+  // shard_manifest-style audit trails and content-addressed stores key
+  // on) plus an AES encrypt→decrypt round trip (the at-rest column
+  // protection path; GCM picks a random IV per row, so the CIPHERTEXT is
+  // non-deterministic but the round trip is exact — which is why the
+  // verified output is the decrypted text, not the ciphertext). All
+  // scan-stage expressions; the oracle computes the same digests and
+  // passes the text through where the crypto must round-trip to.
+  private val fnDigest = Op("fn_digest",
+    """SELECT doc_id,
+      |  md5(text) AS h_md5,
+      |  sha256(text) AS h_sha256,
+      |  text AS aes_roundtrip
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256"),
+        expr("cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef')," +
+          " '0123456789abcdef') as string)").as("aes_roundtrip"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
     fnExplode, fnBitwise, fnTimestampFmt, winFrameTime, fnTry,
-    fnVariant, fnGenerateSeries, fnUrl, fnMask,
+    fnVariant, fnGenerateSeries, fnUrl, fnMask, fnDigest,
   )
 }

@@ -742,7 +742,57 @@ object Llm {
       .orderBy("qid", "rank")
   }
 
+  // --------------------------------------------------------------------
+  // knn_classify — k-nearest-neighbor majority-vote labeling: each probe
+  // vector (vec_id < 5) takes the label most common among its exact
+  // top-5 cosine neighbors in the labeled corpus (vec_id ≥ 5), ties
+  // broken by label order. This is the supervised primitive the `label`
+  // column exists for — bootstrapping a quality/domain classifier from a
+  // small labeled seed is a standard curation stage. Same skeleton as
+  // sim_search: codegen double-cosine prefilter to a top-RefineK
+  // shortlist per probe (5-row broadcast, declared bounded cross in the
+  // PlanAuditSpec sweep), exact-decimal rescore, then one tiny vote
+  // aggregate. At 100 TB the probe side stays a broadcast (classifier
+  // seeds are small by construction) and the corpus never shuffles;
+  // k=5 within RefineK=200 has 40× refine headroom (vs sim_search's
+  // 20× argument at k=10).
+  // --------------------------------------------------------------------
+  private val knnClassify = Op("knn_classify",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM $embSql WHERE vec_id < 5),
+       |c AS (SELECT vec_id, label, embedding FROM $embSql WHERE vec_id >= 5),
+       |nn AS (
+       |  SELECT qid, label, vec_id FROM c, q
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY ${cosineSql("embedding", "qv")} DESC, vec_id) <= 5)
+       |SELECT qid, label AS pred_label, COUNT(*) AS votes
+       |FROM nn GROUP BY qid, label
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |                           ORDER BY COUNT(*) DESC, label) = 1
+       |ORDER BY qid""".stripMargin) { (s, d) =>
+    val e = vecs(s, d)
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        rounded7(col("embedding")).as("rq")))
+    val wShort = Window.partitionBy("qid").orderBy(col("dcos").desc, col("vec_id").asc)
+    val wExact = Window.partitionBy("qid").orderBy(col("cs").desc, col("vec_id").asc)
+    val wVote = Window.partitionBy("qid").orderBy(col("votes").desc, col("pred_label").asc)
+    e.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        rounded7(col("embedding")).as("r7"))
+      .crossJoin(q)
+      .withColumn("dcos", doubleCos(s)(col("r7"), col("rq")))
+      .withColumn("__rs", row_number().over(wShort)).filter(col("__rs") <= RefineK)
+      .withColumn("cs", cosine(col("embedding"), col("qv")))
+      .withColumn("__rn", row_number().over(wExact)).filter(col("__rn") <= 5)
+      .select(col("qid"), col("label").as("pred_label"))
+      .groupBy("qid", "pred_label").agg(count(lit(1)).as("votes"))
+      .withColumn("__rv", row_number().over(wVote)).filter(col("__rv") === 1)
+      .select("qid", "pred_label", "votes")
+      .orderBy("qid")
+  }
+
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
     dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
-    multimodalDecode, embedNormalize, vecQuantize, searchRrf, knnJoinBucketed)
+    multimodalDecode, embedNormalize, vecQuantize, searchRrf, knnJoinBucketed,
+    knnClassify)
 }

@@ -256,7 +256,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_search_bucketed" -> "1-row query-vector broadcast (bucket multiprobe)",
       "sim_search_ivf" -> "1-row query + 8-row centroid-table broadcasts",
       "search_rrf" -> "1-row query-vector broadcast (vector-shortlist leg)",
-      "anomaly_mad" -> "1-row median/MAD scalar broadcast back over the scan")
+      "anomaly_mad" -> "1-row median/MAD scalar broadcast back over the scan",
+      "knn_classify" -> "5-row probe-seed broadcast against the corpus scan (classifier seeds are bounded by construction)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)

@@ -382,4 +382,48 @@ class CurateSpec extends SparkSpec {
       docs.select(sum(expr("size(split(text, ' ')) - 1"))).collect()(0).getLong(0)
     scored.map(_.getLong(1)).sum shouldBe totalBigrams
   }
+
+  test("fn_digest: digests match MessageDigest and the AES round trip is lossless") {
+    val out = SparkEntry.queries("fn_digest")(spark, dir).collect()
+    val texts = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.length shouldBe texts.size
+    def hex(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.foreach { r =>
+      val id = r.getLong(0)
+      withClue(s"doc $id: ") {
+        r.getString(1) shouldBe hex("MD5", texts(id))
+        r.getString(2) shouldBe hex("SHA-256", texts(id))
+        r.getString(3) shouldBe texts(id) // encrypt→decrypt is exact
+      }
+    }
+  }
+
+  test("knn_classify: prediction equals the driver-recomputed exact top-5 majority vote") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val embs = graft.Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(x =>
+          new JBD(x.toDouble).setScale(7, RoundingMode.HALF_UP))))
+    def bdot(a: Array[JBD], b: Array[JBD]): Double =
+      a.zip(b).map { case (x, y) => x.multiply(y) }
+        .foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+    def bcos(a: Array[JBD], b: Array[JBD]): Double =
+      bdot(a, b) / (math.sqrt(bdot(a, a)) * math.sqrt(bdot(b, b)))
+    val corpus = embs.filter(_._1 >= 5)
+    val expected = embs.filter(_._1 < 5).sortBy(_._1).map { case (qid, _, qv) =>
+      val top5 = corpus.sortBy { case (id, _, v) => (-bcos(v, qv), id) }.take(5)
+      val (label, votes) = top5.groupBy(_._2).view.mapValues(_.length)
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      (qid, label, votes.toLong)
+    }
+    val got = SparkEntry.queries("knn_classify")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    got.toSeq shouldBe expected.toSeq
+  }
 }
