@@ -499,6 +499,45 @@ object Relational {
     s.sql(joinLateralSql)
   }
 
+  // --------------------------------------------------------------------
+  // reshape_unpivot — wide→long reshaping (melt), agg_pivot's inverse:
+  // each lineitem row's four measures become four (measure, value) rows.
+  // This is the feed shape for per-measure profiling/plotting and for
+  // EAV-style sinks. Spark's native `unpivot` is a generator in the scan
+  // stage (an Expand node — no shuffle, no join): output is 4× the rows
+  // but still a single narrow pass, so at 100 TB it pipelines into
+  // whatever aggregate consumes it. Measures are cast to one exact
+  // DECIMAL(18,2) type first — unpivot requires a common value type, and
+  // TPC-H money/quantity values are exact at 2dp in both engines.
+  // --------------------------------------------------------------------
+  private val reshapeUnpivot = Op("reshape_unpivot",
+    """WITH m AS (
+      |  SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+      |         CAST(l_discount AS DECIMAL(18,2)) AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'extendedprice',
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'quantity',
+      |         CAST(l_quantity AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'tax',
+      |         CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |SELECT * FROM m
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("quantity"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("extendedprice"),
+        col("l_discount").cast(DecimalType(18, 2)).as("discount"),
+        col("l_tax").cast(DecimalType(18, 2)).as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("agg_group", aggGroupSql)(aggGroup), recursiveCte,
     scanParquet, scanProjected, filterPred,
@@ -506,6 +545,6 @@ object Relational {
     joinCross, joinTheta, joinAsof, joinRangeBucketed, joinNullsafe,
     sortMulti, limitTopk, limitOffset, limitKeyset, topkPerGroup,
     setUnion, setIntersect, setExcept, setUnionByname,
-    subqueryExists, subqueryInNull, joinLateral,
+    subqueryExists, subqueryInNull, joinLateral, reshapeUnpivot,
   )
 }

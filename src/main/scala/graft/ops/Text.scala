@@ -348,6 +348,57 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // tf_idf — per-document distinctive terms: top-3 terms ranked by
+  // tf · (N/df), the tf-idf family's RAW-ratio member. The usual
+  // log-idf is deliberately avoided: libm `log` is not bit-identical
+  // across engines, while here every score is one IEEE division of two
+  // exact integers (tf·N and df, both far below 2^53) — division is
+  // correctly rounded by the standard, so both engines produce the same
+  // bits and the same ranking. (For the single-term question "how rare
+  // is w", N/df and log(N/df) rank identically; only cross-term products
+  // differ, and the raw ratio is the documented contract.)
+  //
+  // Scale: tf is one (doc_id, term)-keyed hash agg with map-side combine;
+  // df is a vocabulary-bounded agg reusing vocab_topk's one-pass shape;
+  // the tf⋈df join keys on the term (broadcastable for bounded vocabs);
+  // N joins as a 1-row scalar broadcast (declared in PlanAuditSpec).
+  // The final top-3 window partitions by doc_id — fully parallel.
+  // --------------------------------------------------------------------
+  private val tfIdf = Op("tf_idf",
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM docs)
+      |SELECT doc_id, term, tf, df, score, rank FROM (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf * n_docs AS DOUBLE) / df AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term) AS rank
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").filter(col("text").isNotNull)
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(array_distinct(words(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
-    textNormalize, ngramFreq, vocabTopk, lmScore)
+    textNormalize, ngramFreq, vocabTopk, lmScore, tfIdf)
 }

@@ -426,4 +426,52 @@ class CurateSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     got.toSeq shouldBe expected.toSeq
   }
+
+  test("reshape_unpivot: 4 rows per source row and pivoting back reconstructs the measures") {
+    import org.apache.spark.sql.types.DecimalType
+    val long = SparkEntry.queries("reshape_unpivot")(spark, dir)
+    val li = graft.Tables(spark, dir, "lineitem")
+    long.count() shouldBe li.count() * 4
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    // reconstruct per-key exact-decimal SUMS per measure, not per-row values
+    val wide = long.groupBy("l_orderkey", "l_linenumber")
+      .pivot("measure", Seq("quantity", "extendedprice", "discount", "tax"))
+      .agg(sum("value"))
+    val src = li.groupBy("l_orderkey", "l_linenumber").agg(
+      sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("ep"),
+      sum(col("l_discount").cast(DecimalType(18, 2))).as("di"),
+      sum(col("l_tax").cast(DecimalType(18, 2))).as("tx"))
+    val joined = wide.join(src, Seq("l_orderkey", "l_linenumber"))
+    joined.count() shouldBe src.count()
+    joined.filter(col("quantity") =!= col("q") || col("extendedprice") =!= col("ep") ||
+        col("discount") =!= col("di") || col("tax") =!= col("tx"))
+      .count() shouldBe 0L
+  }
+
+  test("tf_idf: dense top-3 ranks and every score recomputes from raw tf/df/N") {
+    val rows = SparkEntry.queries("tf_idf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    val docs = graft.Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val n = docs.size.toLong
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    rows.groupBy(_._1).foreach { case (docId, rs) =>
+      withClue(s"doc $docId: ") {
+        rs.map(_._6).sorted shouldBe (1 to rs.length)
+        val byRank = rs.sortBy(_._6).map(_._5)
+        byRank.zip(byRank.tail).foreach { case (hi, lo) => hi should be >= lo }
+      }
+    }
+    rows.foreach { case (docId, term, tf, df, score, _) =>
+      withClue(s"doc $docId term '$term': ") {
+        tf shouldBe docs(docId).count(_ == term).toLong
+        df shouldBe dfm(term)
+        score shouldBe (tf * n).toDouble / df
+      }
+    }
+  }
 }
