@@ -396,9 +396,34 @@ object Functions {
       .orderBy("doc_id")
   }
 
+  // fn_encode — binary-to-text transport encodings (base64 + hex), both
+  // directions: the framing layer under every manifest/interchange format
+  // (fn_digest makes the bytes; this op ships them through text-only
+  // channels). Spark's base64/hex/unbase64/unhex are RFC 4648 / plain
+  // nibble codecs over the UTF-8 bytes, bit-identical to DuckDB's
+  // to_base64/hex/from_base64 — the oracle asserts that equivalence plus
+  // both decode round trips. Pure scan-stage expressions.
+  private val fnEncode = Op("fn_encode",
+    """SELECT c_custkey,
+      |  to_base64(encode(c_name)) AS b64,
+      |  hex(c_name) AS hx,
+      |  decode(from_base64(to_base64(encode(c_name)))) AS b64_rt,
+      |  c_name AS hex_rt,
+      |  hex(c_custkey) AS hx_int
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(
+        col("c_custkey"),
+        base64(col("c_name")).as("b64"),
+        hex(col("c_name")).as("hx"),
+        unbase64(base64(col("c_name"))).cast("string").as("b64_rt"),
+        unhex(hex(col("c_name"))).cast("string").as("hex_rt"),
+        hex(col("c_custkey")).as("hx_int"))
+      .orderBy("c_custkey")
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
     fnExplode, fnBitwise, fnTimestampFmt, winFrameTime, fnTry,
-    fnVariant, fnGenerateSeries, fnUrl, fnMask, fnDigest,
+    fnVariant, fnGenerateSeries, fnUrl, fnMask, fnDigest, fnEncode,
   )
 }

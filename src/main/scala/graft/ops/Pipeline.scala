@@ -276,6 +276,55 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  // --------------------------------------------------------------------
+  // interleave_sources — weighted deterministic corpus mixture: each
+  // source gets a target weight w (the Pile/Llama-style mixing ratio);
+  // a doc materializes floor(w) full copies plus one more iff its salted
+  // hash falls under frac(w) — so src0/src1 (w=2.25) upsample to ~2.25
+  // epochs, src2..src5 (w=1.0) pass through, and the long tail (w=0.4)
+  // downsamples, all as a PURE FUNCTION of (source, doc_id). No rand(),
+  // no shuffle: the weight lookup is a literal CASE, the copy expansion
+  // is a scan-stage explode bounded by ceil(max w), and re-runs / engine
+  // swaps / partition changes reproduce the identical mixture — the
+  // auditability contract a 100 TB training-mix job needs. The final
+  // ORDER BY exists only for the oracle; a production run feeds the
+  // exploded stream straight to `shard_manifest` routing.
+  // --------------------------------------------------------------------
+  private val interleaveSources = Op("interleave_sources",
+    s"""SELECT doc_id, source,
+       |  unnest(generate_series(1, n_copies)) AS epoch
+       |FROM (
+       |  SELECT doc_id, source,
+       |    (CASE WHEN source IN ('src0','src1') THEN 2
+       |          WHEN source IN ('src2','src3','src4','src5') THEN 1
+       |          ELSE 0 END)
+       |    + (CASE WHEN ${h60Sql("concat('mix:', CAST(doc_id AS VARCHAR))")} % 1000
+       |            < (CASE WHEN source IN ('src0','src1') THEN 250
+       |                    WHEN source IN ('src2','src3','src4','src5') THEN 0
+       |                    ELSE 400 END)
+       |       THEN 1 ELSE 0 END) AS n_copies
+       |  FROM documents)
+       |WHERE n_copies >= 1
+       |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+    val upsampled = col("source").isin("src0", "src1")
+    val passthrough = col("source").isin("src2", "src3", "src4", "src5")
+    val whole = when(upsampled, 2).when(passthrough, 1).otherwise(0)
+    val fracPermille = when(upsampled, 250).when(passthrough, 0).otherwise(400)
+    val extra = when(
+      h60(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000 < fracPermille,
+      1).otherwise(0)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"), (whole + extra).as("n_copies"))
+      // guard BEFORE sequence(): Spark's sequence(1, 0) is a DESCENDING
+      // [1, 0], not empty like DuckDB's generate_series — never build it
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("epoch"))
+      .select(col("doc_id"), col("source"), col("epoch").cast("long"))
+      .orderBy("doc_id", "epoch")
+  }
+
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
-    samplePerGroup, datasetSplit, curationPipeline, shardManifest)
+    samplePerGroup, datasetSplit, curationPipeline, shardManifest,
+    interleaveSources)
 }

@@ -474,4 +474,59 @@ class CurateSpec extends SparkSpec {
       }
     }
   }
+
+  test("interleave_sources: per-source multiplicity bounds, dense epochs, and realized ratios near the weights") {
+    val rows = SparkEntry.queries("interleave_sources")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val srcOf = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // copy-count bounds follow from w: floor(w) or floor(w)+1 per doc
+    val bounds = (src: String) => src match {
+      case "src0" | "src1"                   => (2, 3) // w = 2.25
+      case "src2" | "src3" | "src4" | "src5" => (1, 1) // w = 1.0
+      case _                                 => (0, 1) // w = 0.4
+    }
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (docId, rs) =>
+      val (lo, hi) = bounds(srcOf(docId))
+      withClue(s"doc $docId (${srcOf(docId)}): ") {
+        rs.length should (be >= lo and be <= hi)
+        rs.map(_._3).sorted shouldBe (1L to rs.length.toLong) // dense epochs
+        rs.map(_._2).distinct shouldBe Seq(srcOf(docId))
+      }
+    }
+    // docs with zero copies must come only from the downsampled tail
+    srcOf.keys.filterNot(byDoc.contains).foreach { docId =>
+      bounds(srcOf(docId))._1 shouldBe 0
+    }
+    // realized mixture ratio approximates the target weight per class
+    val nBySrc = srcOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    def ratio(srcs: Seq[String]): Double =
+      rows.count(r => srcs.contains(r._2)).toDouble / srcs.map(nBySrc).sum
+    ratio(Seq("src0", "src1")) should (be >= 2.0 and be <= 2.5)
+    ratio(Seq("src2", "src3", "src4", "src5")) shouldBe 1.0
+    ratio((6 to 19).map("src" + _)) should (be >= 0.25 and be <= 0.55)
+  }
+
+  test("fn_encode: codecs match the JDK reference and both decode legs round-trip") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val rows = SparkEntry.queries("fn_encode")(spark, dir).collect()
+    val names = graft.Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows should have length names.size.toLong.toInt
+    rows.foreach { r =>
+      val (key, b64, hx, b64Rt, hexRt, hxInt) = (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4), r.getString(5))
+      val name = names(key)
+      withClue(s"custkey $key: ") {
+        b64 shouldBe java.util.Base64.getEncoder.encodeToString(name.getBytes(UTF_8))
+        hx shouldBe name.getBytes(UTF_8).map(b => f"$b%02X").mkString
+        b64Rt shouldBe name
+        hexRt shouldBe name
+        hxInt shouldBe java.lang.Long.toHexString(key).toUpperCase
+      }
+    }
+  }
 }
