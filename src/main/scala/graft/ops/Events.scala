@@ -403,7 +403,57 @@ object Events {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------------------------
+  // cdc_apply — apply a change-data-capture log onto a base snapshot,
+  // last-writer-wins: the event stream is read as a CDC log over the
+  // customer state table ('error' → DELETE the key, every other type →
+  // UPSERT the key's value), each key's winning change is the LAST event
+  // in the total (ts, event_id) order, and the merged state is
+  // base ⟗ winners with deletes dropped and untouched base rows passing
+  // through. This is the merge kernel a lakehouse table format runs on
+  // ingest (snapshot_diff is its inverse — diffing two states back into
+  // a change set). Plan shape: ONE keyed window over the log (row_number
+  // desc — partial sort per key, no global order) collapses it to
+  // |keys| winner rows, then ONE full-outer hash join against the
+  // snapshot; the log side post-collapse is bounded by key cardinality,
+  // so at 100 TB the join cost tracks the ACTIVE key set, not the log
+  // volume. Values go through DECIMAL(18,2) so the merged state is
+  // bit-identical on both engines.
+  // --------------------------------------------------------------------
+  private val cdcApply = Op("cdc_apply",
+    """WITH winners AS (
+      |  SELECT user_id AS k,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |        FROM events) WHERE rn = 1)
+      |SELECT coalesce(w.k, c.c_custkey) AS k,
+      |  CASE WHEN w.k IS NULL THEN CAST(c.c_acctbal AS DECIMAL(18,2))
+      |       ELSE w.v END AS val,
+      |  CASE WHEN w.k IS NULL THEN 'base' ELSE 'cdc' END AS src
+      |FROM (SELECT c_custkey, c_acctbal FROM customer) c
+      |FULL OUTER JOIN winners w ON c.c_custkey = w.k
+      |WHERE coalesce(w.op, 'U') = 'U'
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val winners = t(s, d, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id").as("k"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal").cast(DecimalType(18, 2)).as("cv"))
+      .join(winners, col("c_custkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("U")) === "U")
+      .select(coalesce(col("k"), col("c_custkey")).as("k"),
+        when(col("k").isNull, col("cv")).otherwise(col("v")).as("val"),
+        when(col("k").isNull, "base").otherwise("cdc").as("src"))
+      .orderBy("k")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental,
     funnel, retention, intervalJoin, intervalJoinLeft, eventSequences,
-    attribution, trendDetect, sessionize)
+    attribution, trendDetect, sessionize, cdcApply)
 }

@@ -324,7 +324,32 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  // --------------------------------------------------------------------
+  // corpus_shuffle — seed-deterministic training-order permutation, one
+  // per epoch: a trainer must visit the corpus in a "random" order that
+  // is (a) different every epoch and (b) exactly reproducible on resume/
+  // re-run — so the order key is the epoch-salted hash of the doc key,
+  // never rand(). Emitting the key makes the permutation auditable and
+  // lets a resumed job seek to its offset. Scale shape: the ORDER BY is
+  // Spark's range-partition + per-partition sort (a PARALLEL total sort —
+  // no global window, no row_number over one partition); the epoch
+  // expansion is a scan-stage 2-element explode. At 100 TB this is
+  // exactly the shuffle-and-shard pass a data loader runs per epoch.
+  // --------------------------------------------------------------------
+  private val corpusShuffle = Op("corpus_shuffle",
+    s"""SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       |  ${h60Sql("concat('shuf', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")} AS skey
+       |FROM documents, (SELECT unnest([1, 2]) AS epoch)
+       |ORDER BY epoch, skey, doc_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(array(lit(1), lit(2))).as("epoch"))
+      .select(col("epoch").cast("long"), col("doc_id"),
+        h60(concat(lit("shuf"), col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("skey"))
+      .orderBy("epoch", "skey", "doc_id")
+  }
+
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
-    interleaveSources)
+    interleaveSources, corpusShuffle)
 }

@@ -509,6 +509,58 @@ class CurateSpec extends SparkSpec {
     ratio((6 to 19).map("src" + _)) should (be >= 0.25 and be <= 0.55)
   }
 
+  test("cdc_apply: merged state equals the driver-recomputed last-writer-wins merge") {
+    val rows = SparkEntry.queries("cdc_apply")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDecimal(1), r.getString(2))).toMap
+    val events = graft.Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val base = graft.Tables(spark, dir, "customer")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side winners: last event per key in (ts, event_id) order
+    val winners = events.groupBy(_._1).view.mapValues(
+      _.maxBy(e => (e._2.getTime * 1000 + e._2.getNanos / 1000 % 1000, e._3))).toMap
+    base.keys.foreach { k =>
+      winners.get(k) match {
+        case Some(e) if e._4 == "error" => // deleted
+          withClue(s"key $k (deleted): ") { rows.contains(k) shouldBe false }
+        case Some(e) =>
+          withClue(s"key $k (upserted): ") {
+            rows(k)._2 shouldBe "cdc"
+            rows(k)._1.doubleValue() shouldBe (math.rint(e._5 * 100) / 100)
+          }
+        case None =>
+          withClue(s"key $k (untouched): ") {
+            rows(k)._2 shouldBe "base"
+            rows(k)._1.doubleValue() shouldBe (math.rint(base(k) * 100) / 100)
+          }
+      }
+    }
+    rows.size shouldBe base.size - winners.values.count(_._4 == "error")
+  }
+
+  test("corpus_shuffle: each epoch is a full permutation, epochs disagree, keys recompute from md5") {
+    val rows = SparkEntry.queries("corpus_shuffle")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docIds = graft.Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byEpoch = rows.groupBy(_._1)
+    byEpoch.keySet shouldBe Set(1L, 2L)
+    byEpoch.values.foreach(_.map(_._2).toSet shouldBe docIds) // permutation
+    // the two epochs must produce genuinely different visit orders
+    val order1 = byEpoch(1L).sortBy(r => (r._3, r._2)).map(_._2).toSeq
+    val order2 = byEpoch(2L).sortBy(r => (r._3, r._2)).map(_._2).toSeq
+    order1 should not be order2
+    // order key is the epoch-salted 60-bit md5 — recompute via the JDK
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (epoch, docId, skey) =>
+      val hex = md.digest(s"shuf$epoch:$docId".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      skey shouldBe java.lang.Long.parseLong(hex.take(15), 16)
+    }
+  }
+
   test("fn_encode: codecs match the JDK reference and both decode legs round-trip") {
     import java.nio.charset.StandardCharsets.UTF_8
     val rows = SparkEntry.queries("fn_encode")(spark, dir).collect()
