@@ -102,6 +102,70 @@ object Streams {
       writeTable(graft.engine.Sinks.upsert(readTable(), batch, keys, orderCol))
     }
 
+  /** Per-key winners of one CDC micro-batch in (ts, event_id) order —
+    * the same last-writer-wins collapse the batch twin (`ops.Events`
+    * `cdc_apply`) runs over the whole log. 'error' events are DELETES,
+    * kept as tombstones (not dropped): the version they carry is what
+    * stops an out-of-order older upsert from resurrecting the key. */
+  private[streaming] def cdcWinners(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    batch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id").as("k"),
+        (col("event_type") === "error").as("deleted"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"),
+        col("ts").as("wts"), col("event_id").as("wid"))
+  }
+
+  /** Streaming CDC apply (twin of the batch `cdc_apply` op): maintain a
+    * versioned key→value state table under an unbounded change stream.
+    * Each micro-batch collapses to per-key winners, then merges into the
+    * state by VERSION comparison — a state row only changes if the batch
+    * winner's (ts, event_id) is strictly newer. That comparison is what
+    * makes the sink correct beyond the happy path: micro-batches need not
+    * arrive in event-time order (a late batch carrying an older change is
+    * a no-op), and foreachBatch's at-least-once redelivery is idempotent
+    * (re-merging an already-applied batch changes nothing). Deletes live
+    * in-state as tombstones so they also win/lose by version, never by
+    * arrival order. State schema: (k, deleted, v, wts, wid); bounded by
+    * the ACTIVE KEY SET, not stream volume — the same growth bound as the
+    * batch op's collapsed join side, which is what a 100 TB/day change
+    * stream requires of its materialized view.
+    */
+  def cdcApplySink(changes: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(cdcMerge(readState(), cdcWinners(batch)))
+    }
+
+  /** One version-aware merge step: newer (wts, wid) wins per key. Exposed
+    * for direct unit-level reuse; `cdcApplySink` drives it per batch. */
+  def cdcMerge(state: DataFrame, winners: DataFrame): DataFrame = {
+    val s = state.as("s")
+    val b = winners.as("b")
+    val bNewer = col("s.k").isNull || (col("b.k").isNotNull &&
+      struct(col("b.wts"), col("b.wid")) > struct(col("s.wts"), col("s.wid")))
+    def pick(c: String) =
+      when(bNewer, col(s"b.$c")).otherwise(col(s"s.$c")).as(c)
+    s.join(b, col("s.k") === col("b.k"), "full_outer")
+      .select(coalesce(col("b.k"), col("s.k")).as("k"),
+        pick("deleted"), pick("v"), pick("wts"), pick("wid"))
+  }
+
+  /** Materialize the merged view the batch `cdc_apply` op computes: the
+    * base snapshot with live state applied — upserts override, tombstones
+    * drop the key, untouched base rows pass through. `cdcApplySink` keeps
+    * `state` current; this is the read side. */
+  def cdcView(base: DataFrame, state: DataFrame): DataFrame =
+    base.select(col("c_custkey"),
+        col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("cv"))
+      .join(state, col("c_custkey") === col("k"), "full_outer")
+      .filter(coalesce(col("deleted"), lit(false)) === false)
+      .select(coalesce(col("k"), col("c_custkey")).as("k"),
+        when(col("k").isNull, col("cv")).otherwise(col("v")).as("val"),
+        when(col("k").isNull, "base").otherwise("cdc").as("src"))
+
   /** Stream → live JDBC destination with keyed upsert: every micro-batch
     * goes through the engine's stage-and-merge
     * ([[graft.engine.Sources.jdbcUpsert]]) — the streaming form of the

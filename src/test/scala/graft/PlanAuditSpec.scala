@@ -160,6 +160,37 @@ class PlanAuditSpec extends SparkSpec {
     planOf("join_skew_salted") should include("__salt")
   }
 
+  test("cdc_apply collapses the log to per-key winners BEFORE the merge join") {
+    val plan = planOf("cdc_apply")
+    // the row_number window (log collapse) must sit under the join: a plan
+    // that joins the raw log first would scale with log volume, not the
+    // active key set
+    val winIdx = plan.indexOf("RunningWindowFunction") max plan.indexOf("Window")
+    val joinIdx = plan.indexOf("SortMergeJoin") max plan.indexOf("ShuffledHashJoin") max
+      plan.indexOf("BroadcastHashJoin")
+    winIdx should be > 0
+    joinIdx should be > 0
+    // plan strings print parents above children: the window must print
+    // BELOW the join (greater index) = it is the join's input, not a
+    // post-join pass
+    winIdx should be > joinIdx
+    plan should include("FullOuter")
+  }
+
+  test("interleave_sources and corpus_shuffle are scan-stage explodes — only the final sort exchanges") {
+    // the mixture/permutation must stay narrow: weight lookup + explode in
+    // the scan, ONE range-partition exchange for the deterministic output
+    // order, nothing keyed
+    Seq("interleave_sources", "corpus_shuffle").foreach { op =>
+      withClue(s"$op: ") {
+        val plan = planOf(op)
+        "Exchange".r.findAllIn(plan).size shouldBe 1
+        plan should include("rangepartitioning")
+        plan should include("Generate explode")
+      }
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the non-partitioned sibling of DPP at 100 TB: when a shuffle join's
     // dim side carries a selective filter, Spark builds a bloom filter
