@@ -634,6 +634,48 @@ object Aggregates {
       .orderBy("o_orderstatus")
   }
 
+  // --------------------------------------------------------------------
+  // win_rolling_median — EXACT trailing 7-day median of daily revenue
+  // (the robust-smoothing twin of the mean in win_frame_rows): median is
+  // not sum-decomposable, so unlike avg it genuinely needs the frame's
+  // values — the interesting rolling aggregate.
+  //
+  // Exactness across engines: frames are pinned to exactly 7 rows
+  // (rn >= 7 drops the ramp-up), so the median is the 4th order statistic
+  // — a VALUE from the frame, no midpoint interpolation whose float form
+  // could differ between engines; revenues are exact DECIMAL sums first.
+  //
+  // Scale shape: the window input is the DAY-grained aggregate — bounded
+  // by the calendar (~2.5k rows for 7 years) NO MATTER the fact scale, so
+  // the single-partition window is over a constant-size series; the real
+  // data volume is absorbed by the map-side-combinable groupBy. A per-key
+  // rolling median (bounded series per key) would partition the window by
+  // that key — same op, sharded.
+  // --------------------------------------------------------------------
+  private val winRollingMedian = Op("win_rolling_median",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT day, rev,
+      |    row_number() OVER (ORDER BY day) AS rn,
+      |    CAST(median(rev) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med7
+      |  FROM daily)
+      |SELECT day, CAST(rev AS DOUBLE) AS rev, med7
+      |FROM w WHERE rn >= 7 ORDER BY day""".stripMargin) { (s, d) =>
+    val ord = Window.orderBy("day")
+    t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("med7", percentile(col("rev"), lit(0.5)).over(ord.rowsBetween(-6, 0)))
+      .filter(col("rn") >= 7)
+      .select(col("day"), col("rev").cast("double").as("rev"), col("med7"))
+      .orderBy("day")
+  }
+
   val ops: Seq[Op] = Seq(
     aggCustomUdaf, aggMinmaxBy, aggHistogram,
     aggDistinct, aggApproxDistinct, aggSketchPartial, typedAgg, aggRollup,
@@ -641,6 +683,7 @@ object Aggregates {
     aggPivot, aggPercentile, aggPercentileApprox, quantileBin, aggCollect, aggStats,
     aggMode, aggFiltered, aggBitmapDistinct,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
+    winRollingMedian,
     subqueryScalar,
   )
 }

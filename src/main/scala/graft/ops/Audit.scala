@@ -366,6 +366,129 @@ object Audit {
       .orderBy("c_custkey")
   }
 
+  // --------------------------------------------------------------------
+  // skew_report — pre-join key-skew diagnostic: per-key cardinality of a
+  // join/aggregation key (here lineitem.l_suppkey), top 25 heavy hitters
+  // with their share and cumulative share of all rows in integer basis
+  // points. This is the profile you run BEFORE choosing a join strategy
+  // at 100 TB — it tells you whether the key needs salting
+  // (join_skew_salted) or AQE skew splitting, and which keys carry the
+  // head of the distribution.
+  //
+  // Scale shape: ONE map-side-combinable hash aggregate (|keys| rows out
+  // of the scan), TakeOrderedAndProject for the top 25 (per-partition
+  // heaps, no global sort), a 1-row total broadcast, and the running-sum
+  // window runs over the 25 surviving rows only. Integer arithmetic
+  // (`div` / `//` truncation on non-negative counts) keeps both engines
+  // bit-identical.
+  // --------------------------------------------------------------------
+  private val skewReport = Op("skew_report",
+    """WITH k AS (
+      |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM k),
+      |top AS (SELECT key, cnt FROM k ORDER BY cnt DESC, key LIMIT 25)
+      |SELECT key, cnt,
+      |  cnt * 10000 // total AS share_bp,
+      |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, key
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 10000 // total AS cum_bp,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rnk
+      |FROM top, tot ORDER BY rnk""".stripMargin) { (s, d) =>
+    val k = t(s, d, "lineitem").groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = k.agg(sum("cnt").as("total"))
+    val top = k.orderBy(col("cnt").desc, col("key").asc).limit(25)
+    val ord = Window.orderBy(col("cnt").desc, col("key").asc)
+    top.crossJoin(broadcast(tot))
+      .withColumn("cum",
+        sum("cnt").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 10000 div total").as("share_bp"),
+        expr("cum * 10000 div total").as("cum_bp"),
+        row_number().over(ord).cast("long").as("rnk"))
+      .orderBy("rnk")
+  }
+
+  // --------------------------------------------------------------------
+  // dq_check — declarative data-quality gate: a fixed rule set (range,
+  // non-null, PK uniqueness, referential integrity) evaluated in bulk,
+  // one (rule, n_violations) row each — the report a load pipeline
+  // asserts on before publishing a batch (the reference hard-errors on
+  // its PK precondition the same way, ETLProcess.java:214-233).
+  //
+  // Scale shape: all per-row rules over one table fuse into a SINGLE
+  // conditional-count scan (no rule-per-pass rescans); PK uniqueness is
+  // one keyed aggregate; referential integrity is one LEFT ANTI join
+  // (dim side broadcast-eligible). Each branch reduces to a 1-row count
+  // before the final tiny union — at 100 TB the report costs two fact
+  // scans + one agg + one join, independent of the rule count.
+  // --------------------------------------------------------------------
+  private val dqCheck = Op("dq_check",
+    """WITH li AS (
+      |  SELECT
+      |    count(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+      |          THEN 1 END) AS qty_range,
+      |    count(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+      |          THEN 1 END) AS nonpos_price,
+      |    count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_ship
+      |  FROM lineitem),
+      |pk AS (
+      |  SELECT count(*) AS pk_dup FROM (
+      |    SELECT l_orderkey, l_linenumber FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+      |orph AS (
+      |  SELECT count(*) AS orphan FROM orders o
+      |  WHERE o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |od AS (
+      |  SELECT
+      |    count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_odate,
+      |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_ck
+      |  FROM orders)
+      |SELECT rule, n_violations FROM (
+      |  SELECT 'lineitem_qty_out_of_range' AS rule, qty_range AS n_violations FROM li
+      |  UNION ALL SELECT 'lineitem_nonpositive_price', nonpos_price FROM li
+      |  UNION ALL SELECT 'lineitem_null_shipdate', null_ship FROM li
+      |  UNION ALL SELECT 'lineitem_pk_duplicate', pk_dup FROM pk
+      |  UNION ALL SELECT 'orders_orphan_custkey', orphan FROM orph
+      |  UNION ALL SELECT 'orders_null_orderdate', null_odate FROM od
+      |  UNION ALL SELECT 'orders_null_custkey', null_ck FROM od)
+      |ORDER BY rule""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+    val liAgg = li.agg(
+      count(when(col("l_quantity").isNull || col("l_quantity") < 1
+        || col("l_quantity") > 50, 1)).as("qty_range"),
+      count(when(col("l_extendedprice").isNull
+        || col("l_extendedprice") <= 0, 1)).as("nonpos_price"),
+      count(when(col("l_shipdate").isNull, 1)).as("null_ship"))
+    val pkDup = li.groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") > 1).agg(count(lit(1)).as("pk_dup"))
+    val orders = t(s, d, "orders")
+    // NULL FKs are their own rule below — the anti join counts genuine
+    // orphans only (NOT IN's 3VL would silently drop the whole count on
+    // a single NULL key; the IS NOT NULL guard keeps engines aligned)
+    val orphan = orders.filter(col("o_custkey").isNotNull)
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan"))
+    val odAgg = orders.agg(
+      count(when(col("o_orderdate").isNull, 1)).as("null_odate"),
+      count(when(col("o_custkey").isNull, 1)).as("null_ck"))
+    liAgg.selectExpr(
+        """stack(3,
+          |  'lineitem_qty_out_of_range', qty_range,
+          |  'lineitem_nonpositive_price', nonpos_price,
+          |  'lineitem_null_shipdate', null_ship) AS (rule, n_violations)""".stripMargin)
+      .unionAll(pkDup.select(lit("lineitem_pk_duplicate").as("rule"),
+        col("pk_dup").as("n_violations")))
+      .unionAll(orphan.select(lit("orders_orphan_custkey").as("rule"),
+        col("orphan").as("n_violations")))
+      .unionAll(odAgg.selectExpr(
+        """stack(2,
+          |  'orders_null_orderdate', null_odate,
+          |  'orders_null_custkey', null_ck) AS (rule, n_violations)""".stripMargin))
+      .orderBy("rule")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
-    profileStats, outlierFilter, gapDetect, anomalyMad, snapshotDiff)
+    profileStats, outlierFilter, gapDetect, anomalyMad, snapshotDiff,
+    skewReport, dqCheck)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -206,5 +207,92 @@ object Composite {
       .orderBy("o_orderkey")
   }
 
-  val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted, joinScd2Lookup)
+  // --------------------------------------------------------------------
+  // graph_triangles — per-node triangle counting on the MUTUAL-top-10
+  // co-supplier graph: suppliers are co-occurrence-weighted by shared
+  // orders, each node keeps its 10 strongest neighbors, and an edge
+  // survives only if BOTH endpoints keep it. This is the standard
+  // similarity-graph pipeline (mutual-kNN sparsification → triangle /
+  // clustering-coefficient kernel): raw co-occurrence graphs go DENSE as
+  // data grows (at sf0.1 this fixture's raw graph is already ~half of
+  // all C(1000,2) pairs — a naive triangle count over it did 26 s of
+  // wedge work for a meaningless clique soup), while mutual-top-k keeps
+  // exactly the relationships that are strong from both sides.
+  //
+  // Scale design:
+  //  - pair generation is PER-ORDER bounded (≤ C(k,2) per order, k =
+  //    lines per order) and the weight aggregate map-combines — the only
+  //    pass over fact-scale data;
+  //  - per-node top-10 is one keyed window over the directed edge list
+  //    ((w DESC, dst) total order — deterministic at any partitioning);
+  //  - mutuality is a self-equi-join on the reversed key, and the
+  //    surviving graph has degree ≤ 10 BY CONSTRUCTION — so the wedge
+  //    join fans out ≤ C(10,2) per node and the triangle kernel's cost
+  //    is linear in nodes no matter how dense the raw co-occurrence is.
+  // The oracle replays the same pipeline with the orientation-free
+  // a<b<c wedge labeling — same triangles, same per-node counts.
+  // --------------------------------------------------------------------
+  private val graphTriangles = Op("graph_triangles",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |pw AS (SELECT a.sk AS u, b.sk AS v, count(*) AS w
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
+      |dir AS (SELECT u AS src, v AS dst, w FROM pw
+      |        UNION ALL SELECT v, u, w FROM pw),
+      |tk AS (SELECT src, dst FROM (
+      |         SELECT src, dst,
+      |           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      |         FROM dir) WHERE rn <= 10),
+      |e AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+      |      FROM tk GROUP BY 1, 2 HAVING count(*) = 2),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |n AS (SELECT a AS node FROM tri
+      |      UNION ALL SELECT b FROM tri
+      |      UNION ALL SELECT c FROM tri)
+      |SELECT node, count(*) AS n_tri FROM n GROUP BY node
+      |ORDER BY n_tri DESC, node""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val pw = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val dir = pw.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(pw.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val perNode = Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)
+    val tk = dir.withColumn("rn", row_number().over(perNode))
+      .filter(col("rn") <= 10).select("src", "dst")
+    // mutuality WITHOUT a self-join (a tk⋈tk join on the reversed key is
+    // both an extra shuffle and Spark self-join-resolution bait): each
+    // direction contributes its unordered pair once, so a pair kept by
+    // BOTH endpoints appears exactly twice
+    val e = tk.groupBy(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .agg(count(lit(1)).as("both"))
+      .filter(col("both") === 2).select("u", "v")
+    // wedge at the lowest-id vertex (degree ≤ 10, so no orientation is
+    // needed to bound fan-out), closed against the id-keyed edge list.
+    // Each self-join leg gets a RENAMED projection, not a plan alias:
+    // three `e.as(...)` legs of the same subplan misresolve under
+    // DeduplicateRelations (measured here: the aliased form silently
+    // joined the wrong attributes and tripled the triangle count) —
+    // distinct column names make every join condition unambiguous.
+    val eAB = e.select(col("u").as("a"), col("v").as("b"))
+    val eBC = e.select(col("u").as("b2"), col("v").as("c2"))
+    val eAC = e.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = eAB.join(eBC, col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c2").as("c"))
+      .join(eAC, col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+    // one generator pass (a union of three self-references would run the
+    // triangle join three times); each triangle credits its 3 vertices
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node").asc)
+  }
+
+  val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted, joinScd2Lookup,
+    graphTriangles)
 }

@@ -331,7 +331,8 @@ object Events {
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("click_id"), col("click_ts"),
-        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+        (unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(col("click_ts").cast("timestamp"))).as("delay_us"))
       .orderBy("purchase_id")
   }
 
@@ -396,7 +397,8 @@ object Events {
       .withColumn("prev", lag("ts", 1).over(ord))
       .withColumn("is_new",
         when(col("prev").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev")) >= SessionGapUs, 1)
+          unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(col("prev").cast("timestamp")) >= SessionGapUs, 1)
           .otherwise(0))
       .select(col("event_id"), col("user_id"), col("ts"),
         sum("is_new").over(cum).as("session_id"))

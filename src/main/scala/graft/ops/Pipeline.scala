@@ -349,7 +349,45 @@ object Pipeline {
       .orderBy("epoch", "skey", "doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // feature_scale — per-group min-max normalization of a numeric feature
+  // (customer balance within its nation), emitted on a 0..10000 integer
+  // scale: the feature-engineering primitive before quantile/embedding
+  // work, done ENTIRELY in integer arithmetic so every engine, partition
+  // count, and retry produces the identical scaled value (float
+  // (x-min)/(max-min) would differ in the last ulp across engines).
+  //
+  // Scale shape: one map-side-combinable min/max aggregate (|groups|
+  // rows), broadcast back over the scan — the fact table is read once and
+  // never shuffled. Degenerate groups (max = min) scale to 0 by contract.
+  // groupBy+broadcast-join rather than a window partitioned by the group
+  // key on purpose: group cardinality is LOW (25 nations), and a window
+  // would funnel the whole table through 25 partitions (the documented
+  // win_ntile hazard) while the join keeps full scan parallelism.
+  // --------------------------------------------------------------------
+  private val featureScale = Op("feature_scale",
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |g AS (SELECT c_nationkey, min(cents) AS mn, max(cents) AS mx
+      |      FROM c GROUP BY c_nationkey)
+      |SELECT c.c_custkey, c.c_nationkey, c.cents,
+      |  CASE WHEN g.mx = g.mn THEN 0
+      |       ELSE (c.cents - g.mn) * 10000 // (g.mx - g.mn) END AS scaled_bp
+      |FROM c JOIN g ON c.c_nationkey = g.c_nationkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val g = c.groupBy("c_nationkey").agg(min("cents").as("mn"), max("cents").as("mx"))
+    c.join(broadcast(g), "c_nationkey")
+      .select(col("c_custkey"), col("c_nationkey"), col("cents"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("(cents - mn) * 10000 div (mx - mn)")).as("scaled_bp"))
+      .orderBy("c_custkey")
+  }
+
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
-    interleaveSources, corpusShuffle)
+    interleaveSources, corpusShuffle, featureScale)
 }

@@ -238,6 +238,20 @@ object SinkOps {
       .orderBy("o_orderkey")
   }
 
+  // XML — the remaining Spark-native interchange format (the XML source
+  // moved into core in Spark 4): element-per-row framing with the schema
+  // re-imposed on the way back in (XML carries no types; the declared
+  // schema casts every field, and doubles survive exactly because the
+  // writer emits the shortest round-trippable decimal form). Same slice +
+  // oracle as the CSV/JSON/ORC trips, so all four formats cross-check.
+  private val scanXml = Op("scan_xml_roundtrip", sliceSql) { (s, d) =>
+    val path = freshScratch("scan_xml")
+    val df = slice(s, d)
+    df.write.option("rowTag", "order").format("xml").save(path)
+    s.read.option("rowTag", "order").schema(df.schema).format("xml").load(path)
+      .orderBy("o_orderkey")
+  }
+
   // --------------------------------------------------------------------
   // sink_bucketed — hash-bucketed table layout + shuffle-free aggregation:
   // orders written bucketed by o_custkey (8 buckets, bucket-sorted), then
@@ -497,6 +511,6 @@ object SinkOps {
 
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
     sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson, scanOrc,
-    scanText, scanSchemaEvolution, sinkZorder, sinkScd2, sinkCompact,
+    scanText, scanXml, scanSchemaEvolution, sinkZorder, sinkScd2, sinkCompact,
     sinkDeleteWhere)
 }

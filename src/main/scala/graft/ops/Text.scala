@@ -399,6 +399,45 @@ object Text {
       .orderBy("doc_id", "rank")
   }
 
+  // --------------------------------------------------------------------
+  // text_cooccur — skip-gram co-occurrence counts (window +1..+2, the
+  // word2vec/PMI statistic): top 50 directed word pairs by corpus count.
+  //
+  // Scale shape: pair generation is PURE scan-stage HOF work — two
+  // slice+zip_with passes emit each position's (w, w+1) and (w, w+2)
+  // pairs with NO positional self-join (the SQL-textbook formulation
+  // joins the corpus to itself on doc_id and position delta, which at
+  // 100 TB shuffles every token twice; this shuffles nothing until the
+  // pair counts aggregate, map-side-combined). Top-50 is
+  // TakeOrderedAndProject with (cnt, w1, w2) total order.
+  // --------------------------------------------------------------------
+  private val textCooccur = Op("text_cooccur",
+    """WITH w AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL),
+      |p1 AS (SELECT unnest(list_zip(list_slice(ws, 1, len(ws) - 1),
+      |                              list_slice(ws, 2, len(ws)))) AS z FROM w),
+      |p2 AS (SELECT unnest(list_zip(list_slice(ws, 1, len(ws) - 2),
+      |                              list_slice(ws, 3, len(ws)))) AS z FROM w),
+      |p AS (SELECT z FROM p1 UNION ALL SELECT z FROM p2)
+      |SELECT z[1] AS w1, z[2] AS w2, count(*) AS cnt
+      |FROM p GROUP BY 1, 2
+      |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+    val ws = words(col("text"))
+    // positions i and i+off, zipped: both slices have max(len-off, 0)
+    // elements, so no null padding ever enters the pair stream
+    def pairs(off: Int): Column =
+      zip_with(
+        slice(ws, lit(1), greatest(size(ws) - off, lit(0))),
+        slice(ws, lit(1 + off), greatest(size(ws) - off, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    t(s, d, "documents").filter(col("text").isNotNull)
+      .select(explode(concat(pairs(1), pairs(2))).as("z"))
+      .groupBy(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
-    textNormalize, ngramFreq, vocabTopk, lmScore, tfIdf)
+    textNormalize, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur)
 }

@@ -28,9 +28,18 @@ object Streams {
     * float-order-dependent. */
   private def dsumV = graft.ops.dsum(col("value")).as("sum_value")
 
+  /** Event-time normalization: watermarks REQUIRE an instant-typed column
+    * (Spark rejects TIMESTAMP_NTZ event time outright), but the fixture
+    * parquet surfaces `ts` as NTZ. The cast interprets NTZ wall time in the
+    * session timezone (pinned UTC engine-wide) — a no-op when the input is
+    * already instant-typed, and value-faithful when it isn't. Applied at
+    * every watermark site so callers can hand either type to any twin. */
+  private def instantTs(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+
   /** Tumbling 1h windows per event_type (twin of stream_tumbling). */
   def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
+    instantTs(events).withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsumV)
       .select(col("window.start").as("ws"), col("window.end").as("we"),
@@ -38,7 +47,7 @@ object Streams {
 
   /** Sliding 1h windows every 15 minutes (twin of stream_sliding). */
   def sliding(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
+    instantTs(events).withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"), dsumV)
       .select(col("window.start").as("ws"), col("window.end").as("we"),
@@ -48,7 +57,7 @@ object Streams {
     * Sessions close once the watermark passes their end — append-mode output.
     */
   def session(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
+    instantTs(events).withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"), dsumV)
       .select(col("user_id"), col("session_window.start").as("session_start"),
@@ -58,7 +67,7 @@ object Streams {
     * stream_dedup). `dropDuplicatesWithinWatermark` keeps state only for the
     * watermark window — bounded state for an unbounded stream. */
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
+    instantTs(events).withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join (twin of the batch stream_interval_join):
@@ -71,10 +80,10 @@ object Streams {
   def intervalJoin(clicks: DataFrame, purchases: DataFrame,
       window: String = "10 minutes", watermark: String = "10 minutes",
       joinType: String = "inner"): DataFrame = {
-    val c = clicks.withWatermark("ts", watermark)
+    val c = instantTs(clicks).withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("cts"))
-    val p = purchases.withWatermark("ts", watermark)
+    val p = instantTs(purchases).withWatermark("ts", watermark)
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("pts"))
     // joinType=left_outer emits unmatched purchases (NULL click) once the

@@ -289,7 +289,8 @@ class PlanAuditSpec extends SparkSpec {
       "search_rrf" -> "1-row query-vector broadcast (vector-shortlist leg)",
       "anomaly_mad" -> "1-row median/MAD scalar broadcast back over the scan",
       "knn_classify" -> "5-row probe-seed broadcast against the corpus scan (classifier seeds are bounded by construction)",
-      "tf_idf" -> "1-row corpus-size scalar broadcast over the tf/df join")
+      "tf_idf" -> "1-row corpus-size scalar broadcast over the tf/df join",
+      "skew_report" -> "1-row corpus-total scalar broadcast over the 25-row top-k")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)

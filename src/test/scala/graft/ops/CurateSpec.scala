@@ -12,6 +12,18 @@ class CurateSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  /** Exact epoch-µs of a row timestamp value, regardless of whether the
+    * fixture generation surfaced it as an instant (java.sql.Timestamp) or
+    * TIMESTAMP_NTZ (java.time.LocalDateTime; session tz is pinned UTC, so
+    * the wall-clock reading IS the instant). */
+  private def tsUs(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
+    case t: java.time.LocalDateTime =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    case other => fail(s"not a timestamp value: $other")
+  }
+
   test("dataset_split: total, disjoint, and roughly 80/10/10") {
     val split = SparkEntry.queries("dataset_split")(spark, dir)
     val nDocs = graft.Tables(spark, dir, "documents").count()
@@ -123,23 +135,23 @@ class CurateSpec extends SparkSpec {
       .collect()
     val clicksByUser = events.filter(_.getString(2) == "click")
       .groupBy(_.getLong(1))
-      .view.mapValues(_.map(r => (r.getTimestamp(3), r.getLong(0))).sorted).toMap
+      .view.mapValues(_.map(r => (tsUs(r.getAs[Any](3)), r.getLong(0))).sorted).toMap
     val attributed = SparkEntry.queries("event_attribution")(spark, dir).collect()
     attributed should not be empty
     attributed.count(!_.isNullAt(3)) should be > 0
     attributed.foreach { r =>
-      val (user, pts) = (r.getLong(1), r.getTimestamp(2))
+      val (user, pts) = (r.getLong(1), tsUs(r.getAs[Any](2)))
       if (r.isNullAt(3)) {
         // no prior click may exist for this user
-        clicksByUser.getOrElse(user, Array.empty[(java.sql.Timestamp, Long)])
+        clicksByUser.getOrElse(user, Array.empty[(Long, Long)])
           .count { case (cts, cid) =>
-            cts.before(pts) || (cts.equals(pts) && cid < r.getLong(0)) } shouldBe 0
+            cts < pts || (cts == pts && cid < r.getLong(0)) } shouldBe 0
       } else {
         // the credited click is the max prior (ts, event_id) for the user
         val expected = clicksByUser(user)
           .filter { case (cts, cid) =>
-            cts.before(pts) || (cts.equals(pts) && cid < r.getLong(0)) }.last
-        (r.getTimestamp(4), r.getLong(3)) shouldBe expected
+            cts < pts || (cts == pts && cid < r.getLong(0)) }.last
+        (tsUs(r.getAs[Any](4)), r.getLong(3)) shouldBe expected
       }
     }
   }
@@ -159,20 +171,16 @@ class CurateSpec extends SparkSpec {
     val rows = SparkEntry.queries("sessionize")(spark, dir)
       .orderBy("user_id", "ts", "event_id").collect()
     rows.groupBy(_.getLong(1)).foreach { case (_, es) =>
-      var prevTs: java.sql.Timestamp = null
+      var prevUs = Long.MinValue
       var prevSid = 0L
       es.foreach { r =>
-        val (ts, sid) = (r.getTimestamp(2), r.getLong(3))
-        if (prevTs == null) sid shouldBe 1L
+        val (us, sid) = (tsUs(r.getAs[Any](2)), r.getLong(3))
+        if (prevUs == Long.MinValue) sid shouldBe 1L
         else {
-          // exact epoch-µs: strip the fractional-second millis getTime()
-          // already carries before adding the full µs-of-second back
-          def us(t: java.sql.Timestamp): Long =
-            (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
-          val expected = if (us(ts) - us(prevTs) >= 30L * 60 * 1000000) prevSid + 1 else prevSid
+          val expected = if (us - prevUs >= 30L * 60 * 1000000) prevSid + 1 else prevSid
           sid shouldBe expected
         }
-        prevTs = ts; prevSid = sid
+        prevUs = us; prevSid = sid
       }
     }
   }
@@ -514,13 +522,13 @@ class CurateSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getDecimal(1), r.getString(2))).toMap
     val events = graft.Tables(spark, dir, "events")
       .select("user_id", "ts", "event_id", "event_type", "value").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), tsUs(r.getAs[Any](1)), r.getLong(2), r.getString(3), r.getDouble(4)))
     val base = graft.Tables(spark, dir, "customer")
       .select("c_custkey", "c_acctbal").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // driver-side winners: last event per key in (ts, event_id) order
     val winners = events.groupBy(_._1).view.mapValues(
-      _.maxBy(e => (e._2.getTime * 1000 + e._2.getNanos / 1000 % 1000, e._3))).toMap
+      _.maxBy(e => (e._2, e._3))).toMap
     base.keys.foreach { k =>
       winners.get(k) match {
         case Some(e) if e._4 == "error" => // deleted

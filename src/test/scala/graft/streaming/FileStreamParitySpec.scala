@@ -14,6 +14,21 @@ class FileStreamParitySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Row set with timestamps canonicalized to epoch-µs: the streaming twins
+    * watermark on an instant column (so their window bounds collect as
+    * java.sql.Timestamp), while the batch twins are type-preserving over the
+    * fixture's TIMESTAMP_NTZ (java.time.LocalDateTime). Session tz is pinned
+    * UTC, so both readings denote the same instant — parity is about VALUES.
+    */
+  private def canon(rows: Array[org.apache.spark.sql.Row]): Set[Seq[Any]] =
+    rows.map(_.toSeq.map {
+      case t: java.sql.Timestamp =>
+        (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+      case x => x
+    }).toSet
+
   test("file-source interval join: micro-batch watermark advance, equals the batch join") {
     import java.nio.file.{Files, Paths}
     val dir01 = "/root/testdata/sf0.01"
@@ -23,14 +38,14 @@ class FileStreamParitySpec extends SparkSpec {
     // three TIME-ORDERED chunk files: with maxFilesPerTrigger=1 each is its
     // own micro-batch, so the watermark genuinely advances mid-stream (and
     // time-ordering means no event arrives behind it — parity stays exact)
-    val cuts = ev.agg(percentile(unix_micros(col("ts")),
+    val cuts = ev.agg(percentile(unix_micros(col("ts").cast("timestamp")),
         array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
       .collect()(0).getSeq[Double](0).map(_.toLong)
     val staged = Files.createTempDirectory("events_ij_stream")
     Seq(
-      unix_micros(col("ts")) < cuts(0),
-      unix_micros(col("ts")) >= cuts(0) && unix_micros(col("ts")) < cuts(1),
-      unix_micros(col("ts")) >= cuts(1),
+      unix_micros(col("ts").cast("timestamp")) < cuts(0),
+      unix_micros(col("ts").cast("timestamp")) >= cuts(0) && unix_micros(col("ts").cast("timestamp")) < cuts(1),
+      unix_micros(col("ts").cast("timestamp")) >= cuts(1),
     ).zipWithIndex.foreach { case (pred, i) =>
       val tmp = Files.createTempDirectory(s"ij_chunk$i")
       ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -92,10 +107,14 @@ class FileStreamParitySpec extends SparkSpec {
 
   test("file-source Streams.tumbling equals the oracle-checked batch twin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // raw on-disk schema (ts is nanos-as-long); same µs conversion Tables does
+    // raw on-disk schema; mirror Tables' conversion, which is conditional —
+    // older fixture generations stored ts as nanos-as-long, current ones as
+    // a real µs timestamp (read back TIMESTAMP_NTZ, no conversion needed)
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     def convert(df: DataFrame): DataFrame =
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
 
     // the file source wants a directory: stage the fixture file into one
     val staged = java.nio.file.Files.createTempDirectory("events_stream")
@@ -111,10 +130,9 @@ class FileStreamParitySpec extends SparkSpec {
       .outputMode("complete").start()
     try {
       q.processAllAvailable()
-      val streamed = spark.table("t_file_parity").collect()
-        .map(_.toSeq).toSet
-      val batch = graft.SparkEntry.queries("stream_tumbling")(spark, dir)
-        .collect().map(_.toSeq).toSet
+      val streamed = canon(spark.table("t_file_parity").collect())
+      val batch = canon(
+        graft.SparkEntry.queries("stream_tumbling")(spark, dir).collect())
       streamed shouldBe batch // the oracle-checked batch twin
       streamed should not be empty
     } finally q.stop()
@@ -192,7 +210,7 @@ class FileStreamParitySpec extends SparkSpec {
     // real session's end — append mode only emits a session once the
     // watermark PROVES it can no longer grow, so without the sentinel the
     // tail sessions would stay buffered forever
-    val cuts = ev.agg(percentile(unix_micros(col("ts")),
+    val cuts = ev.agg(percentile(unix_micros(col("ts").cast("timestamp")),
         array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
       .collect()(0).getSeq[Double](0).map(_.toLong)
     val sentinel = ev.orderBy(col("ts").desc).limit(1)
@@ -200,10 +218,10 @@ class FileStreamParitySpec extends SparkSpec {
       .withColumn("ts", col("ts") + expr("INTERVAL 2 DAYS"))
     val staged = Files.createTempDirectory("events_sess_stream")
     val chunks: Seq[DataFrame] = Seq(
-      ev.filter(unix_micros(col("ts")) < cuts(0)),
-      ev.filter(unix_micros(col("ts")) >= cuts(0)
-        && unix_micros(col("ts")) < cuts(1)),
-      ev.filter(unix_micros(col("ts")) >= cuts(1)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
+        && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)),
       sentinel)
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val tmp = Files.createTempDirectory(s"sess_chunk$i")
@@ -228,11 +246,11 @@ class FileStreamParitySpec extends SparkSpec {
       q.recentProgress.toSeq
         .flatMap(p => Option(p.eventTime.get("watermark")))
         .distinct.size should be >= 2
-      val streamed = spark.table("t_file_sess")
+      val streamed = canon(spark.table("t_file_sess")
         .filter(col("user_id") =!= -1L) // drop the sentinel's own session
-        .collect().map(_.toSeq).toSet
-      val batch = graft.SparkEntry.queries("stream_session")(spark, dir01)
-        .collect().map(_.toSeq).toSet
+        .collect())
+      val batch = canon(
+        graft.SparkEntry.queries("stream_session")(spark, dir01).collect())
       streamed shouldBe batch // the oracle-checked batch twin, ALL sessions
       streamed should not be empty
     } finally q.stop()
