@@ -455,7 +455,82 @@ object Events {
       .orderBy("k")
   }
 
+  // --------------------------------------------------------------------
+  // event_markov — first-order behavior model: the event-type transition
+  // matrix (from → to counts over each user's time-ordered stream) with
+  // per-source-state transition probability in integer basis points —
+  // the statistic behind next-action prediction, funnel-drop diagnosis,
+  // and bot detection. Integer arithmetic end to end (count + `div`), so
+  // both engines agree exactly.
+  //
+  // Scale shape: ONE user-keyed window sort (lead), then a hash agg down
+  // to |types|² rows — the row-total window runs over that tiny matrix,
+  // never the stream. The output is fixed-size at any stream volume.
+  // --------------------------------------------------------------------
+  private val eventMarkov = Op("event_markov",
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |m AS (SELECT event_type AS from_type, next_type AS to_type,
+      |        count(*) AS n
+      |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  n * 10000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_bp
+      |FROM m ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    val ord = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        lead("event_type", 1).over(ord).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_bp",
+        expr("n * 10000 div sum(n) OVER (PARTITION BY from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // --------------------------------------------------------------------
+  // event_streak — longest consecutive-active-days run per user (the
+  // engagement-streak metric), by the gaps-and-islands rewrite: distinct
+  // active days, island id = day-number − per-user day rank (constant
+  // within a consecutive run), longest island per user with the earliest
+  // start as the deterministic tiebreak.
+  //
+  // Scale shape: the distinct collapses the stream to (user, day) —
+  // bounded by users × calendar, NOT event volume; both windows and the
+  // island aggregate ride the SAME user-keyed shuffle (one exchange).
+  // --------------------------------------------------------------------
+  private val eventStreak = Op("event_streak",
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (SELECT user_id, day,
+      |        datediff('day', DATE '1970-01-01', day)
+      |          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+      |      FROM d),
+      |r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days,
+      |        min(day) AS streak_start
+      |      FROM g GROUP BY user_id, isl)
+      |SELECT user_id, streak_days, streak_start FROM r
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY streak_days DESC, streak_start) = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val byDay = Window.partitionBy("user_id").orderBy("day")
+    val best = Window.partitionBy("user_id")
+      .orderBy(col("streak_days").desc, col("streak_start").asc)
+    t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("isl",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          - row_number().over(byDay))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("streak_days"), min("day").as("streak_start"))
+      .withColumn("__rn", row_number().over(best)).filter(col("__rn") === 1)
+      .select("user_id", "streak_days", "streak_start")
+      .orderBy("user_id")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental,
     funnel, retention, intervalJoin, intervalJoinLeft, eventSequences,
-    attribution, trendDetect, sessionize, cdcApply)
+    attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak)
 }

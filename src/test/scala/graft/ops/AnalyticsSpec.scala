@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Semantic properties of the round-8 analytics additions (skew profile,
+  * DQ gate, mutual-kNN triangles, transition matrix, streaks): each op's
+  * result is recomputed DRIVER-SIDE from first principles over the
+  * collected fixture and compared exactly. The DuckDB twin proves engine
+  * agreement; these prove the contract itself — the distinction that
+  * caught graph_triangles' self-join misresolution (both engines can be
+  * "consistently wrong" only when they share a formulation; a from-scratch
+  * recompute shares nothing).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("skew_report: shares and ranks recompute from raw per-key counts") {
+    val counts = Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val top = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(25)
+    val rows = SparkEntry.queries("skew_report")(spark, dir).collect()
+    rows.length shouldBe math.min(25, counts.size)
+    var cum = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (key, cnt) = top(i)
+      r.getLong(0) shouldBe key
+      r.getLong(1) shouldBe cnt
+      cum += cnt
+      r.getLong(2) shouldBe cnt * 10000 / total
+      r.getLong(3) shouldBe cum * 10000 / total
+      r.getLong(4) shouldBe (i + 1).toLong
+    }
+    // the head must genuinely be ordered and the cumulative share monotone
+    rows.map(_.getLong(3)).toSeq shouldBe rows.map(_.getLong(3)).toSeq.sorted
+  }
+
+  test("dq_check: every rule's count recomputes from raw collected data") {
+    val rows = SparkEntry.queries("dq_check")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .collect()
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+    val custKeys = Tables(spark, dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    rows shouldBe Map(
+      "lineitem_qty_out_of_range" ->
+        li.count(r => r.isNullAt(2) || r.getDouble(2) < 1 || r.getDouble(2) > 50).toLong,
+      "lineitem_nonpositive_price" ->
+        li.count(r => r.isNullAt(3) || r.getDouble(3) <= 0).toLong,
+      "lineitem_null_shipdate" -> li.count(_.isNullAt(4)).toLong,
+      "lineitem_pk_duplicate" ->
+        li.groupBy(r => (r.getLong(0), r.getInt(1))).count(_._2.length > 1).toLong,
+      "orders_orphan_custkey" ->
+        orders.count(r => !r.isNullAt(1) && !custKeys(r.getLong(1))).toLong,
+      "orders_null_orderdate" -> orders.count(_.isNullAt(2)).toLong,
+      "orders_null_custkey" -> orders.count(_.isNullAt(1)).toLong)
+    // the report is not vacuous: the fixture's lineitem genuinely lacks a
+    // unique (l_orderkey, l_linenumber) key — the gate catches a real fact
+    rows("lineitem_pk_duplicate") should be > 0L
+  }
+
+  test("graph_triangles: per-node counts equal a from-scratch driver recompute") {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // co-occurrence weights over unordered pairs
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    li.groupBy(_._1).foreach { case (_, rows) =>
+      val sks = rows.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length)
+        w((sks(i), sks(j))) = w.getOrElse((sks(i), sks(j)), 0L) + 1
+    }
+    // per-node top-10 by (w desc, neighbor asc); edge kept iff mutual
+    val dirEdges = w.toSeq.flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
+    // .toSeq before flatMap: Map.flatMap over pair results rebuilds a MAP
+    // (deduping by src — one neighbor per node instead of ten)
+    val kept = dirEdges.groupBy(_._1).toSeq.flatMap { case (src, es) =>
+      es.sortBy { case (_, dst, c) => (-c, dst) }.take(10).map(e => (src, e._2))
+    }.toSet
+    val edges = w.keys.filter { case (u, v) => kept((u, v)) && kept((v, u)) }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+    for ((a, b) <- edges; c <- adj.getOrElse(b, Set.empty)
+         if adj.getOrElse(a, Set.empty).contains(c))
+      Seq(a, b, c).foreach(n => triCount(n) = triCount.getOrElse(n, 0L) + 1)
+    val got = SparkEntry.queries("graph_triangles")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe triCount.toMap
+    got should not be empty
+  }
+
+  test("event_markov: transition counts recompute and rows sum to n_events - n_users") {
+    val ev = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[Any](1), r.getLong(2), r.getString(3)))
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val ordered = es.sortBy(e => (tsKey(e._2), e._3)).map(_._4)
+      ordered.zip(ordered.tail).foreach(p =>
+        trans(p) = trans.getOrElse(p, 0L) + 1)
+    }
+    val rows = SparkEntry.queries("event_markov")(spark, dir).collect()
+    rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap shouldBe trans.toMap
+    val byFrom = trans.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    rows.foreach { r =>
+      r.getLong(3) shouldBe r.getLong(2) * 10000 / byFrom(r.getString(0))
+    }
+    // every non-final event transitions exactly once
+    rows.map(_.getLong(2)).sum shouldBe
+      (ev.length - ev.map(_._1).distinct.length)
+  }
+
+  test("event_streak: longest consecutive-day run recomputes per user") {
+    val days = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val expect = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).distinct.sortBy(_.toEpochDay)
+      // split into runs of consecutive days, take (longest, earliest start)
+      val runs = sorted.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc @ (run :: rest), d) if d.toEpochDay == run.head.toEpochDay + 1 =>
+          (d :: run) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(r => (r.length.toLong, r.last)) // r is reversed: last = start
+      u -> runs.minBy { case (len, start) => (-len, start.toEpochDay) }
+    }
+    val got = SparkEntry.queries("event_streak")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[java.sql.Date](2).toLocalDate))).toMap
+    got shouldBe expect
+    got.values.map(_._1).max should be >= 2L // streaks actually exist
+  }
+
+  /** Sortable epoch-µs key for either timestamp surface (instant or NTZ). */
+  private def tsKey(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
+    case t: java.time.LocalDateTime =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    case other => fail(s"not a timestamp: $other")
+  }
+}
