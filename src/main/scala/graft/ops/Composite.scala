@@ -301,6 +301,77 @@ object Composite {
       .orderBy(col("n_tri").desc, col("node").asc)
   }
 
+  // --------------------------------------------------------------------
+  // agg_linear_fit — per-group OLS trend line (slope + intercept of daily
+  // revenue over the day index, per nation): the regression-in-SQL
+  // classic behind dashboard trend arrows and simple forecasting.
+  //
+  // Engine-identical by construction: every moment (n, Σx, Σy, Σxy, Σx²)
+  // is an EXACT integer/decimal aggregate — order- and partition-
+  // independent — and the float work is a fixed SCALAR expression tree
+  // over those exactly-agreed values (each IEEE op correctly rounded, so
+  // both engines produce the same bits; a decimal(38)·decimal(38) product
+  // would overflow precision and round engine-specifically — measured as
+  // a 1-ulp slope divergence). Computing slope directly in float
+  // (covar_pop/var_pop) would be combine-order-dependent at 100 TB.
+  //
+  // Scale shape: join dims broadcast, ONE map-side-combinable aggregate
+  // to (nation, day), ONE more to the 25-row moment table; the fit
+  // arithmetic is driver-free scalar math on that tiny result.
+  // --------------------------------------------------------------------
+  private val aggLinearFit = Op("agg_linear_fit",
+    """WITH daily AS (
+      |  SELECT n_name,
+      |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+      |    CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(x AS DECIMAL(18,2)) * y) AS DECIMAL(38,2)) AS sxy
+      |  FROM daily GROUP BY n_name),
+      |f AS (
+      |  SELECT n_name, n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      |  FROM m)
+      |SELECT n_name, n,
+      |  CASE WHEN den = 0 THEN NULL ELSE num / den END AS slope,
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE (syd - (num / den) * sxd) / n END AS intercept
+      |FROM f ORDER BY n_name""".stripMargin) { (s, d) =>
+    val daily = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("x"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("y"))
+    val m = daily.groupBy("n_name").agg(
+      count(lit(1)).as("n"),
+      sum("x").cast("long").as("sx"),
+      sum("y").cast(DecimalType(38, 2)).as("sy"),
+      sum(col("x").cast("long") * col("x")).cast("long").as("sxx"),
+      sum(col("x").cast(DecimalType(18, 2)) * col("y")).cast(DecimalType(38, 2)).as("sxy"))
+    m.select(col("n_name"), col("n"),
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("den"),
+        col("sy").cast("double").as("syd"), col("sx").cast("double").as("sxd"))
+      .select(col("n_name"), col("n"),
+        when(col("den") === 0, lit(null)).otherwise(col("num") / col("den")).as("slope"),
+        when(col("den") === 0, lit(null))
+          .otherwise((col("syd") - (col("num") / col("den")) * col("sxd")) / col("n"))
+          .as("intercept"))
+      .orderBy("n_name")
+  }
+
   val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted, joinScd2Lookup,
-    graphTriangles)
+    graphTriangles, aggLinearFit)
 }
