@@ -252,6 +252,29 @@ object SinkOps {
       .orderBy("o_orderkey")
   }
 
+  // Mixed-format federation — the real shape of a lake mid-migration
+  // (historical ORC, newer parquet, vendor CSV drops): each format holds
+  // a DISJOINT hash-assigned third of the slice, and the op reads all
+  // three and unions BY NAME into one logical table. The oracle is the
+  // whole slice, so the equality proves partition-exactness (no row
+  // lost or doubled across formats) — not just that each reader works.
+  // At 100 TB each leg is its own pushdown-capable scan (columnar legs
+  // prune columns; all legs prune partitions/splits) and the union is
+  // plan-level only — no shuffle, no materialization.
+  private val scanFederated = Op("scan_federated", sliceSql) { (s, d) =>
+    val path = freshScratch("scan_federated")
+    val df = slice(s, d)
+    def third(i: Int) = df.filter(pmod(col("o_orderkey"), lit(3)) === i)
+    third(0).write.parquet(s"$path/pq")
+    third(1).write.orc(s"$path/orc")
+    third(2).write.option("header", "true").csv(s"$path/csv")
+    s.read.schema(df.schema).parquet(s"$path/pq")
+      .unionByName(s.read.schema(df.schema).orc(s"$path/orc"))
+      .unionByName(
+        s.read.option("header", "true").schema(df.schema).csv(s"$path/csv"))
+      .orderBy("o_orderkey")
+  }
+
   // --------------------------------------------------------------------
   // sink_bucketed — hash-bucketed table layout + shuffle-free aggregation:
   // orders written bucketed by o_custkey (8 buckets, bucket-sorted), then
@@ -511,6 +534,6 @@ object SinkOps {
 
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
     sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson, scanOrc,
-    scanText, scanXml, scanSchemaEvolution, sinkZorder, sinkScd2, sinkCompact,
-    sinkDeleteWhere)
+    scanText, scanXml, scanFederated, scanSchemaEvolution, sinkZorder,
+    sinkScd2, sinkCompact, sinkDeleteWhere)
 }

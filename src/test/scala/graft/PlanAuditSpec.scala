@@ -301,6 +301,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("graph_triangles: triangle joins read the checkpointed edge list, not the fact pipeline") {
+    // the three renamed-projection join legs defeat ReuseExchange, so
+    // without the localCheckpoint the fact-scale pair aggregate would
+    // appear (and run) three times — the final plan must contain NO file
+    // scan at all: every leg reads the materialized edge RDD
+    val plan = planOf("graph_triangles")
+    plan should include("ExistingRDD")
+    plan should not include "FileScan"
+    plan should not include "parquet"
+  }
+
+  test("skew_report: top-25 is a per-partition heap, not a global sort of all keys") {
+    val plan = planOf("skew_report")
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("feature_scale: per-group bounds broadcast back over the scan (no wide shuffle, no window)") {
+    val plan = planOf("feature_scale")
+    plan should include("BroadcastHashJoin")
+    // the fact side must not be range/hash-exchanged into group partitions
+    // for the scaling itself (the only sort is the final ORDER BY)
+    plan should not include "SortMergeJoin"
+  }
+
+  test("agg_linear_fit: dims broadcast; only the three needed orders columns reach the scan") {
+    val plan = planOf("agg_linear_fit")
+    plan should include("BroadcastHashJoin")
+    plan should not include "o_orderstatus" // unused columns pruned
+    plan should not include "o_orderpriority"
+  }
+
+  test("scan_federated: all three format legs appear and union is plan-level (no shuffle before the final sort)") {
+    val plan = planOf("scan_federated")
+    plan should include("Union")
+    // one exchange only: the final ORDER BY's range partitioning
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("sink_bucketed: bucket layout replaces the aggregation shuffle") {
     val plan = SparkEntry.queries("sink_bucketed")(spark, dir)
       .queryExecution.executedPlan.toString
