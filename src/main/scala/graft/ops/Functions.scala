@@ -421,9 +421,53 @@ object Functions {
       .orderBy("c_custkey")
   }
 
+  // --------------------------------------------------------------------
+  // fn_json_roundtrip — the nested-document bridge: relational lines are
+  // NESTED into one JSON document per order (header fields + an array of
+  // line structs, deterministically ordered), serialized with to_json,
+  // parsed back with an explicit schema, and FLATTENED (explode) to the
+  // original rows. Event payloads / API exports ship exactly this shape;
+  // the op proves both directions of the bridge in one query.
+  //
+  // The oracle is the IDENTITY (the same rows straight off lineitem) —
+  // deliberately: emitting JSON text would make the check depend on both
+  // engines' serializer quirks (key order, float formatting), while
+  // nest→serialize→parse→flatten == id proves the whole bridge is
+  // lossless with no cross-engine formatting hazard. Quantities travel
+  // as exact DECIMAL so the text round trip cannot drift.
+  //
+  // Scale shape: one keyed aggregate (collect_list per order — bounded
+  // by lines-per-order), then pure scan-stage serialize/parse/explode.
+  // --------------------------------------------------------------------
+  private val fnJsonRoundtrip = Op("fn_json_roundtrip",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+      |  l_returnflag
+      |FROM lineitem WHERE l_orderkey <= 2000
+      |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin) { (s, d) =>
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "l_orderkey BIGINT, lines ARRAY<STRUCT<ln: INT, qty: DECIMAL(18,2), rf: STRING>>")
+    val doc = t(s, d, "lineitem").filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"), col("l_returnflag"))
+      .groupBy("l_orderkey")
+      // deterministic array order: the fixture's (orderkey, linenumber)
+      // is NOT unique (see dq_check), so the sort key includes the payload
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber").as("ln"), col("qty"), col("l_returnflag").as("rf"))))
+        .as("lines"))
+      .select(to_json(struct(col("l_orderkey"), col("lines"))).as("doc"))
+    doc.select(from_json(col("doc"), docSchema).as("d"))
+      .select(col("d.l_orderkey"), explode(col("d.lines")).as("line"))
+      .select(col("l_orderkey"), col("line.ln").as("l_linenumber"),
+        col("line.qty").cast("double").as("qty"), col("line.rf").as("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
+  }
+
   val ops: Seq[Op] = Seq(
     projectRename, fnString, fnDate, fnMath, fnArray, fnMapJson, fnCastNull,
     fnExplode, fnBitwise, fnTimestampFmt, winFrameTime, fnTry,
     fnVariant, fnGenerateSeries, fnUrl, fnMask, fnDigest, fnEncode,
+    fnJsonRoundtrip,
   )
 }
