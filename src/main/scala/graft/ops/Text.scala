@@ -416,7 +416,7 @@ object Text {
       |  SELECT string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL),
       |p1 AS (SELECT unnest(list_zip(list_slice(ws, 1, len(ws) - 1),
       |                              list_slice(ws, 2, len(ws)))) AS z FROM w),
-      |p2 AS (SELECT unnest(list_zip(list_slice(ws, 1, len(ws) - 2),
+      |p2 AS (SELECT unnest(list_zip(list_slice(ws, 1, greatest(len(ws) - 2, 0)),
       |                              list_slice(ws, 3, len(ws)))) AS z FROM w),
       |p AS (SELECT z FROM p1 UNION ALL SELECT z FROM p2)
       |SELECT z[1] AS w1, z[2] AS w2, count(*) AS cnt

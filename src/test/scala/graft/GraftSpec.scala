@@ -32,9 +32,7 @@ class GraftSpec extends SparkSpec {
     got.schema("ts").dataType shouldBe
       org.apache.spark.sql.types.TimestampType
     // ns truncate to µs, never round
-    got.orderBy("event_id").collect().map { r =>
-      val t = r.getTimestamp(1)
-      (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
-    } shouldBe Array(1704067200123456L, 1704067201000000L)
+    got.orderBy("event_id").collect().map(r => epochUs(r.getTimestamp(1))) shouldBe
+      Array(1704067200123456L, 1704067201000000L)
   }
 }

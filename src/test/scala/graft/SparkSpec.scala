@@ -24,4 +24,17 @@ trait SparkSpec extends AnyFunSuite with Matchers {
     df.collect().map(_.toSeq).toSet
 
   def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+
+  /** Exact epoch-µs of a collected timestamp value, whichever surface the
+    * fixture generation produced: an instant (java.sql.Timestamp — strip
+    * the fractional-second millis getTime() already carries before adding
+    * the full µs-of-second back) or TIMESTAMP_NTZ (java.time.LocalDateTime;
+    * the session tz is pinned UTC, so the wall reading IS the instant). */
+  def epochUs(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
+    case t: java.time.LocalDateTime =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    case other => fail(s"not a timestamp value: $other")
+  }
 }

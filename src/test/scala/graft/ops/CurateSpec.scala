@@ -12,17 +12,7 @@ class CurateSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  /** Exact epoch-µs of a row timestamp value, regardless of whether the
-    * fixture generation surfaced it as an instant (java.sql.Timestamp) or
-    * TIMESTAMP_NTZ (java.time.LocalDateTime; session tz is pinned UTC, so
-    * the wall-clock reading IS the instant). */
-  private def tsUs(v: Any): Long = v match {
-    case t: java.sql.Timestamp =>
-      (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
-    case t: java.time.LocalDateTime =>
-      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
-    case other => fail(s"not a timestamp value: $other")
-  }
+  private def tsUs(v: Any): Long = epochUs(v) // shared canonicalization
 
   test("dataset_split: total, disjoint, and roughly 80/10/10") {
     val split = SparkEntry.queries("dataset_split")(spark, dir)

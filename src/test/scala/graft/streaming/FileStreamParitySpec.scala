@@ -22,10 +22,7 @@ class FileStreamParitySpec extends SparkSpec {
     */
   private def canon(rows: Array[org.apache.spark.sql.Row]): Set[Seq[Any]] =
     rows.map(_.toSeq.map {
-      case t: java.sql.Timestamp =>
-        (t.getTime - t.getNanos / 1000000) * 1000 + t.getNanos / 1000
-      case t: java.time.LocalDateTime =>
-        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+      case t @ (_: java.sql.Timestamp | _: java.time.LocalDateTime) => epochUs(t)
       case x => x
     }).toSet
 
