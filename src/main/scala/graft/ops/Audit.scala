@@ -488,7 +488,56 @@ object Audit {
       .orderBy("rule")
   }
 
+  // --------------------------------------------------------------------
+  // gap_fill — gap_detect's constructive twin: densify a sparse daily
+  // series onto a complete calendar spine and forward-fill the metric
+  // (the standard time-series prep before rolling windows / model
+  // features, where a missing day must mean "carry the last observation"
+  // rather than silently vanish). Emits the fill provenance (was_missing)
+  // so downstream can weight or exclude imputed points.
+  //
+  // Scale shape: the series is the day-grained aggregate of the filtered
+  // fact scan — calendar-bounded at ANY fact volume (same argument as
+  // win_rolling_median); the spine generates from a 1-row bounds
+  // broadcast (declared), and the forward-fill is one IGNORE-NULLS
+  // last() window over the bounded series. A per-key fill partitions
+  // the same windows by that key.
+  // --------------------------------------------------------------------
+  private val gapFill = Op("gap_fill",
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_nationkey = 7 AND o_orderpriority = '1-URGENT'
+      |  GROUP BY 1),
+      |b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+      |spine AS (SELECT CAST(unnest(generate_series(
+      |    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY))
+      |    AS DATE) AS day FROM b),
+      |j AS (SELECT s.day, d.rev FROM spine s LEFT JOIN d ON s.day = d.day)
+      |SELECT day,
+      |  CAST(last_value(rev IGNORE NULLS) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_ff,
+      |  (rev IS NULL) AS was_missing
+      |FROM j ORDER BY day""".stripMargin) { (s, d) =>
+    val daily = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === 7 && col("o_orderpriority") === "1-URGENT")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val spine = daily.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        last("rev", ignoreNulls = true)
+          .over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("rev_ff"),
+        col("rev").isNull.as("was_missing"))
+      .orderBy("day")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
     profileStats, outlierFilter, gapDetect, anomalyMad, snapshotDiff,
-    skewReport, dqCheck)
+    skewReport, dqCheck, gapFill)
 }

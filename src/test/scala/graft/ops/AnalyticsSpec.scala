@@ -115,6 +115,37 @@ class AnalyticsSpec extends SparkSpec {
       (ev.length - ev.map(_._1).distinct.length)
   }
 
+  test("gap_fill: complete spine, exact forward-fill, faithful provenance") {
+    val present = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === 7 && col("o_orderpriority") === "1-URGENT")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("rev"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date](0).toLocalDate ->
+        r.getDecimal(1).doubleValue()).toMap
+    val rows = SparkEntry.queries("gap_fill")(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toLocalDate,
+        r.getDouble(1), r.getBoolean(2)))
+    // spine is the full closed calendar interval, in order, no dup days
+    val days = rows.map(_._1)
+    days.head shouldBe present.keys.minBy(_.toEpochDay)
+    days.last shouldBe present.keys.maxBy(_.toEpochDay)
+    days.zip(days.tail).foreach { case (a, b) =>
+      b.toEpochDay shouldBe a.toEpochDay + 1
+    }
+    // each row carries the last observation at-or-before its day, and
+    // was_missing is exactly "this day had no observation"
+    var lastSeen = Double.NaN
+    rows.foreach { case (day, ff, missing) =>
+      missing shouldBe !present.contains(day)
+      if (!missing) lastSeen = present(day)
+      ff shouldBe lastSeen
+    }
+    rows.count(_._3) should be > 0 // the series is genuinely sparse
+  }
+
   test("event_streak: longest consecutive-day run recomputes per user") {
     val days = Tables(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
