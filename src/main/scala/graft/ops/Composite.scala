@@ -266,7 +266,7 @@ object Composite {
     val pw = perOrder
       .select(explode(flatten(transform(col("sks"), (x, i) =>
         transform(
-          slice(col("sks"), i + lit(2), greatest(size(col("sks")) - i - 1, lit(0))),
+          slice(col("sks"), i + lit(2), size(col("sks")) - i - lit(1)),
           y => struct(x.as("u"), y.as("v")))))).as("p"))
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("w"))

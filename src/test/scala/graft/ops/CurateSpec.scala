@@ -12,8 +12,6 @@ class CurateSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  private def tsUs(v: Any): Long = epochUs(v) // shared canonicalization
-
   test("dataset_split: total, disjoint, and roughly 80/10/10") {
     val split = SparkEntry.queries("dataset_split")(spark, dir)
     val nDocs = graft.Tables(spark, dir, "documents").count()
@@ -125,12 +123,12 @@ class CurateSpec extends SparkSpec {
       .collect()
     val clicksByUser = events.filter(_.getString(2) == "click")
       .groupBy(_.getLong(1))
-      .view.mapValues(_.map(r => (tsUs(r.getAs[Any](3)), r.getLong(0))).sorted).toMap
+      .view.mapValues(_.map(r => (epochUs(r.getAs[Any](3)), r.getLong(0))).sorted).toMap
     val attributed = SparkEntry.queries("event_attribution")(spark, dir).collect()
     attributed should not be empty
     attributed.count(!_.isNullAt(3)) should be > 0
     attributed.foreach { r =>
-      val (user, pts) = (r.getLong(1), tsUs(r.getAs[Any](2)))
+      val (user, pts) = (r.getLong(1), epochUs(r.getAs[Any](2)))
       if (r.isNullAt(3)) {
         // no prior click may exist for this user
         clicksByUser.getOrElse(user, Array.empty[(Long, Long)])
@@ -141,7 +139,7 @@ class CurateSpec extends SparkSpec {
         val expected = clicksByUser(user)
           .filter { case (cts, cid) =>
             cts < pts || (cts == pts && cid < r.getLong(0)) }.last
-        (tsUs(r.getAs[Any](4)), r.getLong(3)) shouldBe expected
+        (epochUs(r.getAs[Any](4)), r.getLong(3)) shouldBe expected
       }
     }
   }
@@ -164,7 +162,7 @@ class CurateSpec extends SparkSpec {
       var prevUs = Long.MinValue
       var prevSid = 0L
       es.foreach { r =>
-        val (us, sid) = (tsUs(r.getAs[Any](2)), r.getLong(3))
+        val (us, sid) = (epochUs(r.getAs[Any](2)), r.getLong(3))
         if (prevUs == Long.MinValue) sid shouldBe 1L
         else {
           val expected = if (us - prevUs >= 30L * 60 * 1000000) prevSid + 1 else prevSid
@@ -512,7 +510,7 @@ class CurateSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getDecimal(1), r.getString(2))).toMap
     val events = graft.Tables(spark, dir, "events")
       .select("user_id", "ts", "event_id", "event_type", "value").collect()
-      .map(r => (r.getLong(0), tsUs(r.getAs[Any](1)), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), epochUs(r.getAs[Any](1)), r.getLong(2), r.getString(3), r.getDouble(4)))
     val base = graft.Tables(spark, dir, "customer")
       .select("c_custkey", "c_acctbal").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
