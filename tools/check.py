@@ -5,19 +5,51 @@ NOT part of the Scala library (the engine has no python dependency); this
 script just lets the builder run the same parquet-vs-DuckDB comparison the
 driver runs, before committing.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Two lessons from round 8 are baked in:
+  1. Compare via fetchall() (Decimal-preserving), NOT fetchdf() — pandas
+     coerces DECIMAL to float64, which silently forgives any divergence
+     beyond 2^53 and any decimal-rendering difference the driver's hash
+     would see.
+  2. A raw DECIMAL column in the ENGINE output schema is a hard FAIL even
+     when values match: the driver canonicalizes decimals differently
+     between its Spark-parquet read path and its DuckDB result path, so a
+     value-identical DECIMAL column still hash-mismatches (r8: cdc_apply,
+     reshape_unpivot, shard_manifest). House rule: cast final decimals to
+     double / bigint / varchar on both sides (ops/package.scala `dsum`).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [key ...]
 """
-import json, math, sys
+import decimal, json, math, sys
 import duckdb
+
 
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v + 0.0)  # normalize -0.0 vs 0.0
+    if isinstance(v, decimal.Decimal):
+        # Keep the scale-sensitive rendering: the driver hashes a string
+        # form, so Decimal('1.50') vs Decimal('1.5') must NOT be forgiven.
+        return f"dec:{v}"
     return v
 
-def main(sf_dir, out_dir):
+
+def fetch(con, sql):
+    """Run sql, return (sorted column names, rows reordered to match,
+    list of (name, type) for every column). Types come from DESCRIBE —
+    the DB-API description collapses every numeric to 'NUMBER'."""
+    types = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    rows = [tuple(canon(r[i]) for i in order) for r in rows]
+    return cols, rows, types
+
+
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for name in ["region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings"]:
@@ -26,21 +58,27 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for key, sql in sorted(oracle.items()):
+        if only and key not in only:
+            continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')").fetchdf()
-            want = con.execute(sql).fetchdf()
+            gcols, g, gtypes = fetch(
+                con, f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')")
+            wcols, w, _ = fetch(con, sql)
         except Exception as e:
             print(f"FAIL {key}: exec error: {e}")
             n_fail += 1
             continue
-        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        dec_cols = [n for n, t in gtypes if "DECIMAL" in t.upper()]
+        if dec_cols:
+            print(f"FAIL {key}: raw DECIMAL in engine output {dec_cols} — "
+                  f"driver hash canonicalization differs between its Spark "
+                  f"and DuckDB paths; cast to double/bigint/varchar on both sides")
+            n_fail += 1
+            continue
         if gcols != wcols:
             print(f"FAIL {key}: columns {gcols} != {wcols}")
             n_fail += 1
             continue
-        g = [tuple(canon(v) for v in row) for row in got[gcols].itertuples(index=False)]
-        w = [tuple(canon(v) for v in row) for row in want[wcols].itertuples(index=False)]
         if len(g) != len(w):
             print(f"FAIL {key}: rows {len(g)} != {len(w)}")
             n_fail += 1
@@ -56,5 +94,6 @@ def main(sf_dir, out_dir):
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:]))
