@@ -420,7 +420,9 @@ object Events {
   // snapshot; the log side post-collapse is bounded by key cardinality,
   // so at 100 TB the join cost tracks the ACTIVE key set, not the log
   // volume. Values go through DECIMAL(18,2) so the merged state is
-  // bit-identical on both engines.
+  // bit-identical on both engines, then cast back to double for the
+  // final schema (house rule: raw DECIMAL output hash-mismatches in the
+  // driver even when values are identical — see ops/package.scala dsum).
   // --------------------------------------------------------------------
   private val cdcApply = Op("cdc_apply",
     """WITH winners AS (
@@ -431,8 +433,8 @@ object Events {
       |          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
       |        FROM events) WHERE rn = 1)
       |SELECT coalesce(w.k, c.c_custkey) AS k,
-      |  CASE WHEN w.k IS NULL THEN CAST(c.c_acctbal AS DECIMAL(18,2))
-      |       ELSE w.v END AS val,
+      |  CAST(CASE WHEN w.k IS NULL THEN CAST(c.c_acctbal AS DECIMAL(18,2))
+      |       ELSE w.v END AS DOUBLE) AS val,
       |  CASE WHEN w.k IS NULL THEN 'base' ELSE 'cdc' END AS src
       |FROM (SELECT c_custkey, c_acctbal FROM customer) c
       |FULL OUTER JOIN winners w ON c.c_custkey = w.k
@@ -450,7 +452,8 @@ object Events {
       .join(winners, col("c_custkey") === col("k"), "full_outer")
       .filter(coalesce(col("op"), lit("U")) === "U")
       .select(coalesce(col("k"), col("c_custkey")).as("k"),
-        when(col("k").isNull, col("cv")).otherwise(col("v")).as("val"),
+        when(col("k").isNull, col("cv")).otherwise(col("v"))
+          .cast("double").as("val"),
         when(col("k").isNull, "base").otherwise("cdc").as("src"))
       .orderBy("k")
   }

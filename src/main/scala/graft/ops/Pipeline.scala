@@ -248,7 +248,11 @@ object Pipeline {
   // manifest carries per-shard row count, byte volume, id range, and an
   // order-independent content checksum (exact-decimal SUM of each doc's
   // 60-bit text digest — commutative, so any execution order produces the
-  // same fingerprint). Downstream, a trainer verifies a delivered shard
+  // same fingerprint; the sum exceeds 2^63 so it accumulates in
+  // DECIMAL(38,0) and is folded mod 2^60 into a BIGINT for the output —
+  // raw DECIMAL output, like a raw >2^53 double, is not hash-stable
+  // across the driver's two read paths). Downstream, a trainer verifies a
+  // delivered shard
   // against its manifest row without re-reading the corpus. One hash
   // aggregate, N rows out — at 100 TB this is a single map-side-combining
   // pass; the routing column itself is free scan-stage work for the
@@ -259,9 +263,10 @@ object Pipeline {
     s"""SELECT
        |  ${h60Sql("concat('shard:', CAST(doc_id AS VARCHAR))")} % $ShardN AS shard,
        |  COUNT(*) AS n_docs,
-       |  SUM(CAST(n_chars AS DECIMAL(38,0))) AS total_chars,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
-       |  SUM(CAST(${h60Sql("text")} AS DECIMAL(38,0))) AS checksum
+       |  CAST(SUM(CAST(${h60Sql("text")} AS DECIMAL(38,0)))
+       |       % CAST(1152921504606846976 AS DECIMAL(38,0)) AS BIGINT) AS checksum
        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
     t(s, d, "documents")
       .select(
@@ -270,9 +275,11 @@ object Pipeline {
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("n_chars").cast(DecimalType(38, 0))).as("total_chars"),
+        sum(col("n_chars")).as("total_chars"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
-        sum(col("th").cast(DecimalType(38, 0))).as("checksum"))
+        (sum(col("th").cast(DecimalType(38, 0)))
+          % lit(1152921504606846976L).cast(DecimalType(38, 0)))
+          .cast("long").as("checksum"))
       .orderBy("shard")
   }
 

@@ -508,7 +508,10 @@ object Relational {
   // but still a single narrow pass, so at 100 TB it pipelines into
   // whatever aggregate consumes it. Measures are cast to one exact
   // DECIMAL(18,2) type first — unpivot requires a common value type, and
-  // TPC-H money/quantity values are exact at 2dp in both engines.
+  // TPC-H money/quantity values are exact at 2dp in both engines — then
+  // the value column is cast back to double for the output schema (house
+  // rule: raw DECIMAL output hash-mismatches in the driver even when
+  // values are identical — see ops/package.scala dsum).
   // --------------------------------------------------------------------
   private val reshapeUnpivot = Op("reshape_unpivot",
     """WITH m AS (
@@ -523,7 +526,8 @@ object Relational {
       |  UNION ALL
       |  SELECT l_orderkey, l_linenumber, 'tax',
       |         CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
-      |SELECT * FROM m
+      |SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+      |FROM m
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
     t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -535,6 +539,7 @@ object Relational {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
         "measure", "value")
+      .withColumn("value", col("value").cast("double"))
       .orderBy("l_orderkey", "l_linenumber", "measure")
   }
 

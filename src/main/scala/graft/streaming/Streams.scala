@@ -172,7 +172,8 @@ object Streams {
       .join(state, col("c_custkey") === col("k"), "full_outer")
       .filter(coalesce(col("deleted"), lit(false)) === false)
       .select(coalesce(col("k"), col("c_custkey")).as("k"),
-        when(col("k").isNull, col("cv")).otherwise(col("v")).as("val"),
+        when(col("k").isNull, col("cv")).otherwise(col("v"))
+          .cast("double").as("val"), // match the batch twin's double output
         when(col("k").isNull, "base").otherwise("cdc").as("src"))
 
   /** Stream → live JDBC destination with keyed upsert: every micro-batch

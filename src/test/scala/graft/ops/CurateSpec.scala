@@ -349,10 +349,12 @@ class CurateSpec extends SparkSpec {
     val row0 = m.find(_.getLong(0) == 0L).get
     routed.count() shouldBe row0.getLong(1)
     val sum0 = routed.select(
-      sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ck"))
-      .collect()(0).getDecimal(0)
-    sum0 shouldBe row0.getDecimal(5)
+      (sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        % lit(1152921504606846976L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("long").as("ck"))
+      .collect()(0).getLong(0)
+    sum0 shouldBe row0.getLong(5)
   }
 
   test("lm_score: counts bound each other and bigram totals tie to token counts") {
@@ -432,7 +434,7 @@ class CurateSpec extends SparkSpec {
     // reconstruct per-key exact-decimal SUMS per measure, not per-row values
     val wide = long.groupBy("l_orderkey", "l_linenumber")
       .pivot("measure", Seq("quantity", "extendedprice", "discount", "tax"))
-      .agg(sum("value"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))))
     val src = li.groupBy("l_orderkey", "l_linenumber").agg(
       sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"),
       sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("ep"),
@@ -507,7 +509,7 @@ class CurateSpec extends SparkSpec {
 
   test("cdc_apply: merged state equals the driver-recomputed last-writer-wins merge") {
     val rows = SparkEntry.queries("cdc_apply")(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getDecimal(1), r.getString(2))).toMap
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
     val events = graft.Tables(spark, dir, "events")
       .select("user_id", "ts", "event_id", "event_type", "value").collect()
       .map(r => (r.getLong(0), epochUs(r.getAs[Any](1)), r.getLong(2), r.getString(3), r.getDouble(4)))
@@ -524,12 +526,12 @@ class CurateSpec extends SparkSpec {
         case Some(e) =>
           withClue(s"key $k (upserted): ") {
             rows(k)._2 shouldBe "cdc"
-            rows(k)._1.doubleValue() shouldBe (math.rint(e._5 * 100) / 100)
+            rows(k)._1 shouldBe (math.rint(e._5 * 100) / 100)
           }
         case None =>
           withClue(s"key $k (untouched): ") {
             rows(k)._2 shouldBe "base"
-            rows(k)._1.doubleValue() shouldBe (math.rint(base(k) * 100) / 100)
+            rows(k)._1 shouldBe (math.rint(base(k) * 100) / 100)
           }
       }
     }
