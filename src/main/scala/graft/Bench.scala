@@ -65,9 +65,30 @@ object Bench {
     // "total") so a line scanner matching metric=="total" finds exactly one.
     val slowest = results.filter(_._3).sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Per-op budget gate: a plan regression (lost pushdown, new shuffle,
+    // broadcast turned sort-merge) should fail the BUILDER's bench run, not
+    // wait for a round-over-round judge diff. Ceilings live in BenchBudget
+    // (3× an idle-box measurement at sf0.1 — wide enough for scheduler
+    // noise, tight enough that a genuinely tripled op trips it). Only
+    // meaningful at the calibrated scale: enforced when benching sf0.1.
+    val calibratedScale = sfDir.endsWith("sf0.1")
+    val overBudget =
+      if (!calibratedScale) Nil
+      else results.filter(_._3).flatMap { case (k, v, _) =>
+        BenchBudget.ceilings.get(k).filter(v > _).map(c => (k, v, c))
+      }
+    overBudget.foreach { case (k, v, c) =>
+      System.err.println(f"[bench] $k OVER BUDGET: $v%.2f s > ceiling $c%.2f s")
+    }
+    val overJson = overBudget.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$slowest,"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+    // strict mode (builder runs: SPARK_GRAFT_BUDGET=strict): red on budget
+    // violations; the driver's default run keeps exit 0 so its artifact
+    // capture isn't disturbed by a slow shared box.
+    if (overBudget.nonEmpty && sys.env.get("SPARK_GRAFT_BUDGET").contains("strict"))
+      sys.exit(2)
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+/** Per-operator bench ceilings (seconds) at sf0.1, local[32].
+  *
+  * Basis: min of two back-to-back full-inventory idle-box runs
+  * (round 9: 102.9 s / 107.3 s totals), ceiling = max(3 x basis, 0.75 s).
+  * The 3x headroom absorbs scheduler/GC noise (driver-box runs showed up
+  * to ~6x one-shot spread on sub-second ops — hence the 0.75 s floor);
+  * a genuinely tripled plan (lost pushdown, new shuffle, broadcast turned
+  * sort-merge) still trips it. Enforced by Bench when benching sf0.1;
+  * builder runs set SPARK_GRAFT_BUDGET=strict to turn violations into a
+  * nonzero exit. BenchBudgetSpec pins this map to the op inventory, so a
+  * new operator MUST declare its ceiling here when it lands.
+  */
+object BenchBudget {
+  val ceilings: Map[String, Double] = Map(
+    "agg_approx_distinct" -> 3.15, "agg_bitmap_distinct" -> 1.28, "agg_collect" -> 0.77,
+    "agg_cube" -> 3.83, "agg_custom_udaf" -> 0.9, "agg_distinct" -> 2.03,
+    "agg_filtered" -> 0.79, "agg_group" -> 2.59, "agg_gsets" -> 2.98,
+    "agg_having" -> 1.83, "agg_histogram" -> 0.86, "agg_incremental" -> 1.33,
+    "agg_linear_fit" -> 2.75, "agg_minmax_by" -> 1.0, "agg_mode" -> 1.32,
+    "agg_percentile" -> 4.87, "agg_percentile_approx" -> 6.12, "agg_pivot" -> 1.23,
+    "agg_rollup" -> 2.74, "agg_sketch_partial" -> 1.27, "agg_stats" -> 3.21,
+    "anomaly_mad" -> 1.66, "cdc_apply" -> 1.56, "chunk_split" -> 0.91,
+    "corpus_shuffle" -> 0.75, "curation_pipeline" -> 2.47, "dataset_split" -> 0.75,
+    "decontaminate" -> 2.49, "dedup_cluster" -> 8.21, "dedup_embed" -> 2.04,
+    "dedup_embed_banded" -> 3.01, "dedup_exact" -> 0.77, "dedup_fuzzy" -> 2.29,
+    "dedup_incremental" -> 0.9, "dedup_minhash" -> 2.88, "dedup_ngram" -> 2.16,
+    "dedup_simhash" -> 4.32, "dedup_substring" -> 3.14, "doc_fingerprint" -> 3.45,
+    "dq_check" -> 2.3, "embed_normalize" -> 1.41, "etl_pipeline" -> 0.79,
+    "event_attribution" -> 1.18, "event_funnel" -> 1.66, "event_markov" -> 1.33,
+    "event_sequences" -> 1.07, "event_streak" -> 1.41, "feature_scale" -> 1.09,
+    "filter_pred" -> 0.75, "fn_array" -> 1.15, "fn_bitwise" -> 0.87,
+    "fn_cast_null" -> 1.41, "fn_date" -> 1.44, "fn_digest" -> 0.93,
+    "fn_encode" -> 0.75, "fn_explode" -> 0.75, "fn_generate_series" -> 0.75,
+    "fn_json_roundtrip" -> 1.03, "fn_map_json" -> 3.41, "fn_mask" -> 0.75,
+    "fn_math" -> 2.96, "fn_string" -> 0.77, "fn_timestamp_fmt" -> 1.33,
+    "fn_try" -> 8.95, "fn_url" -> 0.75, "fn_variant" -> 2.27,
+    "gap_detect" -> 2.35, "gap_fill" -> 1.17, "graph_triangles" -> 6.38,
+    "interleave_sources" -> 0.75, "join_anti" -> 0.89, "join_asof" -> 2.62,
+    "join_broadcast" -> 1.18, "join_cross" -> 0.75, "join_full" -> 0.88,
+    "join_inner" -> 1.3, "join_lateral" -> 0.89, "join_left" -> 1.73,
+    "join_nullsafe" -> 0.98, "join_range_bucketed" -> 1.4, "join_scd2_lookup" -> 1.7,
+    "join_semi" -> 1.03, "join_skew_salted" -> 1.91, "join_theta" -> 0.92,
+    "knn_classify" -> 2.58, "knn_join_bucketed" -> 3.01, "lang_id" -> 1.53,
+    "limit_keyset" -> 0.75, "limit_offset" -> 0.75, "limit_topk" -> 0.75,
+    "lm_score" -> 3.69, "multimodal_cols" -> 0.84, "multimodal_decode" -> 0.75,
+    "outlier_filter" -> 4.37, "pack_sequences" -> 0.75, "pii_redact" -> 2.36,
+    "profile_stats" -> 1.02, "project_rename" -> 0.75, "quality_score" -> 1.95,
+    "quantile_bin" -> 6.2, "recursive_cte" -> 1.82, "repetition_filter" -> 2.58,
+    "reshape_unpivot" -> 7.41, "retention_cohort" -> 1.25, "sample_per_group" -> 0.75,
+    "sample_stratified" -> 0.75, "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
+    "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
+    "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,
+    "scan_xml_roundtrip" -> 0.96, "search_rrf" -> 1.67, "sessionize" -> 1.5,
+    "set_except" -> 0.83, "set_intersect" -> 0.92, "set_union" -> 1.06,
+    "set_union_byname" -> 0.75, "shard_manifest" -> 0.75, "sim_search" -> 0.9,
+    "sim_search_bucketed" -> 0.76, "sim_search_ivf" -> 3.59, "sink_append" -> 0.75,
+    "sink_bucketed" -> 2.26, "sink_compact" -> 2.33, "sink_delete_where" -> 2.71,
+    "sink_insert_if_absent" -> 1.27, "sink_partitioned" -> 1.59, "sink_scd2" -> 1.11,
+    "sink_stream_upsert" -> 4.96, // 3 x 1.65 s idle single-op run (r9)
+    "sink_upsert" -> 1.32, "sink_zorder" -> 2.83, "skew_report" -> 0.75,
+    "snapshot_diff" -> 0.96, "sort_multi" -> 1.14, "stream_dedup" -> 0.96,
+    "stream_interval_join" -> 0.99, "stream_interval_join_left" -> 1.05, "stream_session" -> 2.07,
+    "stream_sliding" -> 1.18, "stream_tumbling" -> 0.83, "subquery_exists" -> 1.61,
+    "subquery_in_null" -> 0.75, "subquery_scalar" -> 1.12, "text_cooccur" -> 1.83,
+    "text_filter" -> 1.34, "text_ngram_freq" -> 4.92, "text_normalize" -> 1.49,
+    "text_stats" -> 0.75, "tf_idf" -> 1.64, "token_count" -> 1.2,
+    "topk_per_group" -> 1.31, "tpch_q10" -> 1.68, "tpch_q3" -> 1.67,
+    "tpch_q5" -> 3.0, "trend_detect" -> 0.75, "typed_agg" -> 1.36,
+    "vec_quantize" -> 1.35, "vocab_topk" -> 0.75, "win_analytic" -> 1.33,
+    "win_cume" -> 2.41, "win_frame_range" -> 1.71, "win_frame_rows" -> 1.56,
+    "win_frame_time" -> 1.78, "win_ntile" -> 2.37, "win_rank" -> 1.44,
+    "win_rolling_median" -> 0.82
+  )
+}

@@ -635,10 +635,15 @@ object Aggregates {
   }
 
   // --------------------------------------------------------------------
-  // win_rolling_median — EXACT trailing 7-day median of daily revenue
-  // (the robust-smoothing twin of the mean in win_frame_rows): median is
-  // not sum-decomposable, so unlike avg it genuinely needs the frame's
-  // values — the interesting rolling aggregate.
+  // win_rolling_median — EXACT trailing 7-OBSERVATION median of daily
+  // revenue (the robust-smoothing twin of the mean in win_frame_rows):
+  // median is not sum-decomposable, so unlike avg it genuinely needs the
+  // frame's values — the interesting rolling aggregate. NOTE the frame is
+  // ROWS BETWEEN 6 PRECEDING (7 observed rows): on a sparse daily series
+  // that spans MORE than 7 calendar days. True calendar-day semantics
+  // would compose with a gap_fill-style dense spine first (see
+  // Audit.gapFill); the orders fixture is day-dense so the two coincide
+  // here, but the op's contract is observation-count, not calendar.
   //
   // Exactness across engines: frames are pinned to exactly 7 rows
   // (rn >= 7 drops the ramp-up), so the median is the 4th order statistic

@@ -285,7 +285,13 @@ object Composite {
     // for correct self-join resolution), which defeats ReuseExchange —
     // without the checkpoint the whole fact pipeline runs three times
     // (measured at sf0.1: 3.1 s → 2.3 s; the remaining cost is the one
-    // mandatory pair-aggregate pass).
+    // mandatory pair-aggregate pass). Two caveats localCheckpoint carries:
+    // it is EAGER (the pair aggregate runs at DataFrame-construction time,
+    // so even explain/plan-audit paths pay it) and its blocks are
+    // NON-REPLICATED — on a multi-executor cluster an executor loss makes
+    // the query unrecoverable. The durable cluster-scale equivalent is a
+    // reliable checkpoint() (or persist(MEMORY_AND_DISK_2)); local[n] has
+    // no executor loss, so the cheap form is right here.
     val e = tk.groupBy(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))

@@ -532,8 +532,62 @@ object SinkOps {
       .orderBy("c_custkey", "valid_from")
   }
 
+  // --------------------------------------------------------------------
+  // sink_stream_upsert — the STREAMING upsert sink's state evolution as a
+  // verifiable batch op: graft.streaming.Streams.upsertSink applies
+  // engine.Sinks.upsert (keyed last-writer-wins, reference R13,
+  // ETLProcess.java:388-427) to every micro-batch via foreachBatch;
+  // correctness means the state after N sequential per-batch merges
+  // equals ONE whole-log merge. This op folds the same Sinks.upsert
+  // kernel over 3 time-ordered micro-batches of the events log into the
+  // customer snapshot (user_id upserts c_custkey), and the oracle is the
+  // one-shot whole-log merge — the convergence property
+  // CdcMergePropertiesSpec proves for arbitrary chunkings, here
+  // oracle-checked end-to-end. The ntile over (ts, event_id) only STAGES
+  // the fixture into arrival-ordered chunks (a real stream arrives
+  // pre-chunked; the single-partition window is harness, not operator).
+  // Scale: each micro-batch merge is one key-hashed window + one
+  // key-hashed anti-join, so state cost tracks the ACTIVE KEY SET, not
+  // log volume; the versioned-parquet delivery of the same fold is
+  // driven end-to-end in FileStreamParitySpec.
+  // --------------------------------------------------------------------
+  private val sinkStreamUpsert = Op("sink_stream_upsert",
+    """WITH winners AS (
+      |  SELECT user_id AS k, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |        FROM events) WHERE rn = 1)
+      |SELECT coalesce(w.k, c.c_custkey) AS k,
+      |  CAST(CASE WHEN w.k IS NULL THEN CAST(c.c_acctbal AS DECIMAL(18,2))
+      |       ELSE w.v END AS DOUBLE) AS val,
+      |  CASE WHEN w.k IS NULL THEN 'base' ELSE 'cdc' END AS src
+      |FROM (SELECT c_custkey, c_acctbal FROM customer) c
+      |FULL OUTER JOIN winners w ON c.c_custkey = w.k
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val mb = t(s, d, "events")
+      .withColumn("__mb", ntile(3).over(
+        Window.orderBy(col("ts").asc, col("event_id").asc)))
+    val base = t(s, d, "customer")
+      .select(col("c_custkey").as("k"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("v"),
+        lit("base").as("src"))
+    val finalState = (1 to 3).foldLeft(base) { (state, i) =>
+      val batch = mb.filter(col("__mb") === i)
+        .select(col("user_id").as("k"),
+          col("value").cast(DecimalType(18, 2)).as("v"),
+          lit("cdc").as("src"),
+          struct(col("ts"), col("event_id")).as("__ord"))
+      Sinks.upsert(state, batch, keys = Seq("k"), orderCol = "__ord")
+    }
+    finalState
+      .select(col("k"), col("v").cast("double").as("val"), col("src"))
+      .orderBy("k")
+  }
+
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
     sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson, scanOrc,
     scanText, scanXml, scanFederated, scanSchemaEvolution, sinkZorder,
-    sinkScd2, sinkCompact, sinkDeleteWhere)
+    sinkScd2, sinkCompact, sinkDeleteWhere, sinkStreamUpsert)
 }

@@ -335,8 +335,11 @@ class PlanAuditSpec extends SparkSpec {
   test("scan_federated: all three format legs appear and union is plan-level (no shuffle before the final sort)") {
     val plan = planOf("scan_federated")
     plan should include("Union")
-    // one exchange only: the final ORDER BY's range partitioning
-    "Exchange".r.findAllIn(plan).size shouldBe 1
+    // one exchange only: the final ORDER BY's range partitioning — anchor
+    // on the specific node, not the bare "Exchange" substring (which also
+    // matches BroadcastExchange/ReusedExchange and breaks on renames)
+    "Exchange rangepartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Exchange hashpartitioning" // no shuffle before the sort
   }
 
   test("sink_bucketed: bucket layout replaces the aggregation shuffle") {

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stats-fed planning: the 100 TB story should not rest on AQE alone — a
+  * cluster that runs `ANALYZE TABLE` feeds the COST-BASED optimizer
+  * row/column statistics that flip join decisions BEFORE execution, where
+  * AQE can only repair them afterwards (and only at exchange boundaries).
+  *
+  * The demonstration table is adversarial for a size-only estimator: a
+  * wide constant string column run-length-encodes to a few KB of parquet,
+  * so the FILE-size estimate says "tiny — broadcast it", while the actual
+  * in-memory relation is tens of MB (150k rows × ~400B). `ANALYZE TABLE
+  * ... FOR ALL COLUMNS` records rowCount + avgLen; with CBO enabled the
+  * planner re-estimates width × rows and withdraws the broadcast. That
+  * estimate-vs-reality gap is exactly how compressed 100 TB dims OOM
+  * driver/executors when broadcast by file size.
+  */
+class StatsPlanningSpec extends SparkSpec {
+
+  /** Run `body` with confs set, restoring prior values after. */
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("ANALYZE TABLE row/column stats withdraw a file-size-justified broadcast") {
+    val tbl = "stats_dim_demo"
+    val loc = java.nio.file.Files.createTempDirectory("stats_dim").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // 150k rows of a constant 400-char pad: parquet RLE → a few KB on disk,
+    // ~60 MB as rows — the file-size estimator is off by four orders
+    spark.range(150000)
+      .select(col("id").as("k"), lpad(lit("x"), 400, "x").as("pad"))
+      .write.mode("overwrite").option("path", loc).saveAsTable(tbl)
+    val fact = spark.range(2000000)
+      .select((col("id") % 150000).as("k"), col("id").as("m"))
+    def plan(): String =
+      fact.join(spark.table(tbl), "k")
+        .groupBy("pad").agg(count(lit(1)).as("n"))
+        .queryExecution.sparkPlan.toString // pre-AQE: the STATIC decision
+    try withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // no stats yet: the only signal is the (tiny) parquet byte size
+      plan() should include("BroadcastHashJoin")
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      // rowCount × avgLen says ~60 MB — over the 10 MB broadcast threshold
+      val after = plan()
+      after should not include "BroadcastHashJoin"
+      after should include("SortMergeJoin")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+}

@@ -17,10 +17,20 @@ class AnalyticsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  // Fixture-tolerant getters: the driver refreshes /root/testdata and can
+  // change a column's physical type (int↔long, double↔float) mid-round, so
+  // raw-table numerics are read via Number — a refresh then fails a value
+  // compare informatively instead of throwing ClassCastException. Engine
+  // OUTPUT columns keep typed getters: their types are the op's contract.
+  private def nLong(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.getAs[java.lang.Number](i).longValue
+  private def nDouble(r: org.apache.spark.sql.Row, i: Int): Double =
+    r.getAs[java.lang.Number](i).doubleValue
+
   test("skew_report: shares and ranks recompute from raw per-key counts") {
     val counts = Tables(spark, dir, "lineitem")
       .groupBy("l_suppkey").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => nLong(r, 0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     val top = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(25)
     val rows = SparkEntry.queries("skew_report")(spark, dir).collect()
@@ -46,17 +56,17 @@ class AnalyticsSpec extends SparkSpec {
     val orders = Tables(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderdate").collect()
     val custKeys = Tables(spark, dir, "customer")
-      .select("c_custkey").collect().map(_.getLong(0)).toSet
+      .select("c_custkey").collect().map(nLong(_, 0)).toSet
     rows shouldBe Map(
       "lineitem_qty_out_of_range" ->
-        li.count(r => r.isNullAt(2) || r.getDouble(2) < 1 || r.getDouble(2) > 50).toLong,
+        li.count(r => r.isNullAt(2) || nDouble(r, 2) < 1 || nDouble(r, 2) > 50).toLong,
       "lineitem_nonpositive_price" ->
-        li.count(r => r.isNullAt(3) || r.getDouble(3) <= 0).toLong,
+        li.count(r => r.isNullAt(3) || nDouble(r, 3) <= 0).toLong,
       "lineitem_null_shipdate" -> li.count(_.isNullAt(4)).toLong,
       "lineitem_pk_duplicate" ->
-        li.groupBy(r => (r.getLong(0), r.getInt(1))).count(_._2.length > 1).toLong,
+        li.groupBy(r => (nLong(r, 0), nLong(r, 1))).count(_._2.length > 1).toLong,
       "orders_orphan_custkey" ->
-        orders.count(r => !r.isNullAt(1) && !custKeys(r.getLong(1))).toLong,
+        orders.count(r => !r.isNullAt(1) && !custKeys(nLong(r, 1))).toLong,
       "orders_null_orderdate" -> orders.count(_.isNullAt(2)).toLong,
       "orders_null_custkey" -> orders.count(_.isNullAt(1)).toLong)
     // the report is not vacuous: the fixture's lineitem genuinely lacks a
@@ -67,7 +77,7 @@ class AnalyticsSpec extends SparkSpec {
   test("graph_triangles: per-node counts equal a from-scratch driver recompute") {
     val li = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_suppkey").distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (nLong(r, 0), nLong(r, 1)))
     // co-occurrence weights over unordered pairs
     val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
     li.groupBy(_._1).foreach { case (_, rows) =>
@@ -97,7 +107,7 @@ class AnalyticsSpec extends SparkSpec {
   test("event_markov: transition counts recompute and rows sum to n_events - n_users") {
     val ev = Tables(spark, dir, "events")
       .select("user_id", "ts", "event_id", "event_type").collect()
-      .map(r => (r.getLong(0), r.getAs[Any](1), r.getLong(2), r.getString(3)))
+      .map(r => (nLong(r, 0), r.getAs[Any](1), nLong(r, 2), r.getString(3)))
     val trans = scala.collection.mutable.Map.empty[(String, String), Long]
     ev.groupBy(_._1).foreach { case (_, es) =>
       val ordered = es.sortBy(e => (epochUs(e._2), e._3)).map(_._4)
@@ -149,7 +159,7 @@ class AnalyticsSpec extends SparkSpec {
   test("event_streak: longest consecutive-day run recomputes per user") {
     val days = Tables(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
-      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+      .map(r => (nLong(r, 0), r.getAs[java.sql.Date](1).toLocalDate))
     val expect = days.groupBy(_._1).map { case (u, ds) =>
       val sorted = ds.map(_._2).distinct.sortBy(_.toEpochDay)
       // split into runs of consecutive days, take (longest, earliest start)

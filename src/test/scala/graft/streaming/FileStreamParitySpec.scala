@@ -252,4 +252,117 @@ class FileStreamParitySpec extends SparkSpec {
       streamed should not be empty
     } finally q.stop()
   }
+
+  test("file-source Streams.sliding: append-mode watermark finalization equals the batch twin") {
+    import java.nio.file.{Files, Paths}
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // same staging discipline as the session test: three time-ordered
+    // chunks (one micro-batch each) plus a far-future sentinel (+2 days)
+    // that pushes the watermark past every real window's end — append mode
+    // only emits a window once the watermark PROVES it is complete
+    val cuts = ev.agg(percentile(unix_micros(col("ts").cast("timestamp")),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
+      .collect()(0).getSeq[Double](0).map(_.toLong)
+    val maxTs = ev.agg(max(unix_micros(col("ts").cast("timestamp"))))
+      .collect()(0).getLong(0)
+    val sentinel = ev.orderBy(col("ts").desc).limit(1)
+      .withColumn("ts", col("ts") + expr("INTERVAL 2 DAYS"))
+    val staged = Files.createTempDirectory("events_slide_stream")
+    val chunks: Seq[DataFrame] = Seq(
+      ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
+        && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)),
+      sentinel)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"slide_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.sliding(stream)
+      .writeStream.format("memory").queryName("t_file_slide")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // real watermark advance: one data batch per staged file, and the
+      // watermark moved at least once between batches
+      q.recentProgress.count(_.numInputRows > 0) should be >= 4
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .distinct.size should be >= 2
+      // sentinel-only windows start after every real event (sentinel ts is
+      // maxTs + 2 days; a 1h window containing a real event starts ≤ its ts)
+      val streamed = canon(spark.table("t_file_slide")
+        .filter(unix_micros(col("ws")) <= maxTs).collect())
+      val batch = canon(
+        graft.SparkEntry.queries("stream_sliding")(spark, dir01).collect())
+      streamed shouldBe batch // the oracle-checked batch twin, ALL windows
+      streamed should not be empty
+    } finally q.stop()
+  }
+
+  test("file-source Streams.dedup: duplicates collapse across micro-batches; output equals the distinct log") {
+    import java.nio.file.{Files, Paths}
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    val cuts = ev.agg(percentile(unix_micros(col("ts").cast("timestamp")),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
+      .collect()(0).getSeq[Double](0).map(_.toLong)
+    val thirds = Seq(
+      ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
+        && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)))
+    // duplicate discipline: every chunk redelivers a deterministic sample
+    // of ITSELF (intra-batch duplicates — always collapsed), and chunk1
+    // redelivers chunk0's LATEST row — a cross-micro-batch duplicate whose
+    // dedup state is provably still live when it arrives (its ts equals the
+    // previous batch's max, which is AHEAD of the 10-min-lagged watermark)
+    val lastOf0 = thirds(0).orderBy(col("ts").desc, col("event_id").desc).limit(1)
+    val chunks: Seq[DataFrame] = Seq(
+      thirds(0).union(thirds(0).filter(col("event_id") % 7 === 0)),
+      thirds(1).union(thirds(1).filter(col("event_id") % 7 === 0)).union(lastOf0),
+      thirds(2).union(thirds(2).filter(col("event_id") % 7 === 0)))
+    val staged = Files.createTempDirectory("events_dedup_stream")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"dedup_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    // the staged log genuinely carries duplicates
+    val stagedN = spark.read.parquet(staged.toString).count()
+    stagedN should be > ev.count()
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.dedup(stream)
+      .writeStream.format("memory").queryName("t_file_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // real watermark advance across the three data batches
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .distinct.size should be >= 2
+      val streamed = canon(spark.table("t_file_dedup").collect())
+      // event_id is unique in the fixture, so exactly-once delivery of the
+      // staged log's distinct set IS the original event set
+      val batch = canon(ev.withColumn("ts", col("ts").cast("timestamp")).collect())
+      streamed shouldBe batch
+      streamed should not be empty
+    } finally q.stop()
+  }
 }
