@@ -160,6 +160,20 @@ class PlanAuditSpec extends SparkSpec {
     planOf("join_skew_salted") should include("__salt")
   }
 
+  test("sink_stream_upsert: per-batch winners are group-limited and key-joined (state ∝ active keys)") {
+    val plan = planOf("sink_stream_upsert")
+    // each micro-batch collapses to per-key winners via rn=1, which must
+    // plan as WindowGroupLimit (per-partition top-1 pruning BEFORE the
+    // full window sort) — the collapse is what keeps each merge's join
+    // side bounded by the batch's key set, not its row count
+    plan should include("WindowGroupLimit")
+    // the merge itself is anti-join + union on the key — hash joins only,
+    // never a nested loop (which would make the fold quadratic)
+    plan should include("LeftAnti")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("cdc_apply collapses the log to per-key winners BEFORE the merge join") {
     val plan = planOf("cdc_apply")
     // the row_number window (log collapse) must sit under the join: a plan
