@@ -25,6 +25,15 @@ trait SparkSpec extends AnyFunSuite with Matchers {
 
   def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
 
+  /** Fixture-tolerant numeric getters: the driver refreshes /root/testdata
+    * and can change a column's physical type (int↔long, float↔double)
+    * mid-round, so RAW-table numerics collected in tests are read via
+    * Number — a refresh then fails a value compare informatively instead
+    * of throwing ClassCastException. Engine OUTPUT columns keep typed
+    * getters: their types are part of the op's contract. */
+  def nLong(r: Row, i: Int): Long = r.getAs[java.lang.Number](i).longValue
+  def nDouble(r: Row, i: Int): Double = r.getAs[java.lang.Number](i).doubleValue
+
   /** Exact epoch-µs of a collected timestamp value, whichever surface the
     * fixture generation produced: an instant (java.sql.Timestamp — strip
     * the fractional-second millis getTime() already carries before adding

@@ -17,15 +17,8 @@ class AnalyticsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  // Fixture-tolerant getters: the driver refreshes /root/testdata and can
-  // change a column's physical type (int↔long, double↔float) mid-round, so
-  // raw-table numerics are read via Number — a refresh then fails a value
-  // compare informatively instead of throwing ClassCastException. Engine
-  // OUTPUT columns keep typed getters: their types are the op's contract.
-  private def nLong(r: org.apache.spark.sql.Row, i: Int): Long =
-    r.getAs[java.lang.Number](i).longValue
-  private def nDouble(r: org.apache.spark.sql.Row, i: Int): Double =
-    r.getAs[java.lang.Number](i).doubleValue
+  // Raw-fixture numerics are read with SparkSpec.nLong/nDouble (tolerant
+  // of driver testdata type refreshes); engine outputs keep typed getters.
 
   test("skew_report: shares and ranks recompute from raw per-key counts") {
     val counts = Tables(spark, dir, "lineitem")

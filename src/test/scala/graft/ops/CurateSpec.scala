@@ -42,7 +42,7 @@ class CurateSpec extends SparkSpec {
   test("anomaly_mad: flags exactly the rows beyond the recomputed threshold") {
     val cnt = graft.Tables(spark, dir, "orders")
       .groupBy("o_custkey").agg(count(lit(1)).cast("double").as("n"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect().map(r => nLong(r, 0) -> r.getDouble(1)).toMap
     // driver-side median/MAD recompute (the test oracle is independent of
     // Spark's percentile implementation)
     def median(xs: Seq[Double]): Double = {
@@ -249,7 +249,7 @@ class CurateSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64)
       .select("vec_id", "embedding")
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .map(r => nLong(r, 0) -> r.getSeq[Float](1).toArray)
     def sk(v: Array[Float]): Int = // sign bits of elements 1, 22, 43 (1-based)
       Seq(0, 21, 42).zipWithIndex.map { case (i, b) =>
         if (v(i) >= 0) 1 << b else 0
@@ -405,7 +405,7 @@ class CurateSpec extends SparkSpec {
     val embs = graft.Tables(spark, dir, "embeddings")
       .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64)
       .select("vec_id", "label", "embedding").collect()
-      .map(r => (r.getLong(0), r.getInt(1),
+      .map(r => (nLong(r, 0), nLong(r, 1).toInt,
         r.getSeq[Float](2).toArray.map(x =>
           new JBD(x.toDouble).setScale(7, RoundingMode.HALF_UP))))
     def bdot(a: Array[JBD], b: Array[JBD]): Double =
@@ -453,7 +453,7 @@ class CurateSpec extends SparkSpec {
         r.getDouble(4), r.getInt(5)))
     val docs = graft.Tables(spark, dir, "documents")
       .filter(col("text").isNotNull).select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+      .map(r => nLong(r, 0) -> r.getString(1).split(" ", -1).toSeq).toMap
     val n = docs.size.toLong
     val dfm = docs.values.flatMap(_.distinct).groupBy(identity).view
       .mapValues(_.size.toLong).toMap
@@ -478,7 +478,7 @@ class CurateSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val srcOf = graft.Tables(spark, dir, "documents")
       .select("doc_id", "source").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => nLong(r, 0) -> r.getString(1)).toMap
     // copy-count bounds follow from w: floor(w) or floor(w)+1 per doc
     val bounds = (src: String) => src match {
       case "src0" | "src1"                   => (2, 3) // w = 2.25
@@ -512,10 +512,10 @@ class CurateSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
     val events = graft.Tables(spark, dir, "events")
       .select("user_id", "ts", "event_id", "event_type", "value").collect()
-      .map(r => (r.getLong(0), epochUs(r.getAs[Any](1)), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .map(r => (nLong(r, 0), epochUs(r.getAs[Any](1)), nLong(r, 2), r.getString(3), nDouble(r, 4)))
     val base = graft.Tables(spark, dir, "customer")
       .select("c_custkey", "c_acctbal").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => nLong(r, 0) -> nDouble(r, 1)).toMap
     // driver-side winners: last event per key in (ts, event_id) order
     val winners = events.groupBy(_._1).view.mapValues(
       _.maxBy(e => (e._2, e._3))).toMap
@@ -542,7 +542,7 @@ class CurateSpec extends SparkSpec {
     val rows = SparkEntry.queries("corpus_shuffle")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val docIds = graft.Tables(spark, dir, "documents")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .select("doc_id").collect().map(nLong(_, 0)).toSet
     val byEpoch = rows.groupBy(_._1)
     byEpoch.keySet shouldBe Set(1L, 2L)
     byEpoch.values.foreach(_.map(_._2).toSet shouldBe docIds) // permutation
@@ -564,7 +564,7 @@ class CurateSpec extends SparkSpec {
     val rows = SparkEntry.queries("fn_encode")(spark, dir).collect()
     val names = graft.Tables(spark, dir, "customer")
       .select("c_custkey", "c_name").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => nLong(r, 0) -> r.getString(1)).toMap
     rows should have length names.size.toLong.toInt
     rows.foreach { r =>
       val (key, b64, hx, b64Rt, hexRt, hxInt) = (r.getLong(0), r.getString(1),

@@ -42,7 +42,7 @@ class PipelineSpec extends SparkSpec {
     val b = q(spark, dir).collect().map(_.getLong(0)).toSeq
     a shouldBe b // repeat run → identical sample
     val all = graft.Tables(spark, dir, "documents")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .select("doc_id").collect().map(nLong(_, 0)).toSet
     a.toSet.subsetOf(all) shouldBe true
     a.size should be < all.size // it actually thins
   }
