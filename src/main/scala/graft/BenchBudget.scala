@@ -26,7 +26,9 @@ object BenchBudget {
     "decontaminate" -> 2.49, "dedup_cluster" -> 8.21, "dedup_embed" -> 2.04,
     "dedup_embed_banded" -> 3.01, "dedup_exact" -> 0.77, "dedup_fuzzy" -> 2.29,
     "dedup_incremental" -> 0.9, "dedup_minhash" -> 2.88, "dedup_ngram" -> 2.16,
-    "dedup_simhash" -> 4.32, "dedup_substring" -> 3.14, "doc_fingerprint" -> 3.45,
+    "dedup_simhash" -> 4.32, "dedup_substring" -> 3.14,
+    "decontaminate_fuzzy" -> 5.96, // 3 x 1.99 s warm (r9 continuation)
+    "doc_fingerprint" -> 3.45,
     "dq_check" -> 2.3, "embed_normalize" -> 1.41, "etl_pipeline" -> 0.79,
     "event_attribution" -> 1.18, "event_funnel" -> 1.66, "event_markov" -> 1.33,
     "event_sequences" -> 1.07, "event_streak" -> 1.41, "feature_scale" -> 1.09,
@@ -38,18 +40,23 @@ object BenchBudget {
     "fn_try" -> 8.95, "fn_url" -> 0.75, "fn_variant" -> 2.27,
     "gap_detect" -> 2.35, "gap_fill" -> 1.17, "graph_triangles" -> 6.38,
     "interleave_sources" -> 0.75, "join_anti" -> 0.89, "join_asof" -> 2.62,
-    "join_broadcast" -> 1.18, "join_cross" -> 0.75, "join_full" -> 0.88,
+    "join_asof_tolerance" -> 3.12, // same union-tag window plan as join_asof
+
+    "join_broadcast" -> 1.18, "join_bucket_colocated" -> 4.05,
+    "join_cross" -> 0.75, "join_full" -> 0.88,
     "join_inner" -> 1.3, "join_lateral" -> 0.89, "join_left" -> 1.73,
     "join_nullsafe" -> 0.98, "join_range_bucketed" -> 1.4, "join_scd2_lookup" -> 1.7,
     "join_semi" -> 1.03, "join_skew_salted" -> 1.91, "join_theta" -> 0.92,
     "knn_classify" -> 2.58, "knn_join_bucketed" -> 3.01, "lang_id" -> 1.53,
     "limit_keyset" -> 0.75, "limit_offset" -> 0.75, "limit_topk" -> 0.75,
     "lm_score" -> 3.69, "multimodal_cols" -> 0.84, "multimodal_decode" -> 0.75,
+    "multimodal_frames" -> 0.85,
     "outlier_filter" -> 4.37, "pack_sequences" -> 0.75, "pii_redact" -> 2.36,
     "profile_stats" -> 1.02, "project_rename" -> 0.75, "quality_score" -> 1.95,
     "quantile_bin" -> 6.2, "recursive_cte" -> 1.82, "repetition_filter" -> 2.58,
     "reshape_unpivot" -> 7.41, "retention_cohort" -> 1.25, "sample_per_group" -> 0.75,
-    "sample_stratified" -> 0.75, "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
+    "sample_hash" -> 0.75, "sample_stratified" -> 0.75,
+    "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,
     "scan_xml_roundtrip" -> 0.96, "search_rrf" -> 1.67, "sessionize" -> 1.5,
@@ -62,8 +69,9 @@ object BenchBudget {
     "sink_upsert" -> 1.32, "sink_zorder" -> 2.83, "skew_report" -> 0.75,
     "snapshot_diff" -> 0.96, "sort_multi" -> 1.14, "stream_dedup" -> 0.96,
     "stream_interval_join" -> 0.99, "stream_interval_join_left" -> 1.05, "stream_session" -> 2.07,
-    "stream_sliding" -> 1.18, "stream_tumbling" -> 0.83, "subquery_exists" -> 1.61,
-    "subquery_in_null" -> 0.75, "subquery_scalar" -> 1.12, "text_cooccur" -> 1.83,
+    "stream_sliding" -> 1.18, "stream_topk" -> 1.05, "stream_tumbling" -> 0.83,
+    "subquery_exists" -> 1.61,
+    "subquery_in_null" -> 0.75, "subquery_scalar" -> 1.12, "text_cooccur" -> 1.83, "text_diversity" -> 2.25,
     "text_filter" -> 1.34, "text_ngram_freq" -> 4.92, "text_normalize" -> 1.49,
     "text_stats" -> 0.75, "tf_idf" -> 1.64, "token_count" -> 1.2,
     "topk_per_group" -> 1.31, "tpch_q10" -> 1.68, "tpch_q3" -> 1.67,

@@ -192,6 +192,87 @@ object Dedup {
   }
 
   // --------------------------------------------------------------------
+  // decontaminate_fuzzy — NEAR-duplicate train/eval contamination: the
+  // minhash-banded complement of Audit.decontaminate's exact-shingle
+  // check. A benchmark answer that was lightly paraphrased or
+  // whitespace-mangled shares no exact 5-gram but still minhash-collides;
+  // this op flags every training doc whose verified Jaccard (≥ 0.5, same
+  // gate as dedup_minhash) against ANY benchmark doc survives.
+  //
+  // Scale shape mirrors decontaminate: the benchmark side is small by
+  // construction (eval suites are MBs), so its band keys AND its hashed
+  // shingle sets are BROADCAST — the 100 TB training corpus is sketched
+  // in one scan pass and probed map-side; the only shuffles are the
+  // sketch materialization exchange and the final distinct over 8-byte
+  // contaminated ids.
+  // --------------------------------------------------------------------
+  private val BenchSource = "src0" // same held-out source as decontaminate
+
+  private val decontaminateFuzzy = Op("decontaminate_fuzzy",
+    s"""WITH d AS (SELECT doc_id, source, text FROM documents
+       |           WHERE text IS NOT NULL),
+       |sh AS (SELECT doc_id, source, $shingles3Sql AS sh FROM d),
+       |hhv AS (SELECT doc_id, source, $hhalvesSql AS hh FROM sh),
+       |hsv AS (SELECT doc_id, list_sort(list_transform(hh, p -> p.h1)) AS hs
+       |        FROM hhv),
+       |mh AS (SELECT doc_id, source, $minhashesSql AS mh FROM hhv),
+       |bands AS (
+       |  SELECT doc_id, source, b, mh[2*b+1] AS h1, mh[2*b+2] AS h2
+       |  FROM mh, (SELECT unnest(range(0, ${NumHashes / BandSize})) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT tr.doc_id AS tid, be.doc_id AS bid
+       |  FROM bands tr JOIN bands be
+       |    ON tr.b = be.b AND tr.h1 = be.h1 AND tr.h2 = be.h2
+       |  WHERE tr.source <> '$BenchSource' AND be.source = '$BenchSource'),
+       |bad AS (
+       |  SELECT DISTINCT tid AS doc_id
+       |  FROM cand JOIN hsv ha ON ha.doc_id = tid JOIN hsv hb ON hb.doc_id = bid
+       |  WHERE CAST(CAST(len(list_intersect(ha.hs, hb.hs)) AS DECIMAL(18,9))
+       |        / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+       |        AS DOUBLE) >= 0.5)
+       |SELECT doc_id, source, doc_id IN (SELECT doc_id FROM bad) AS contaminated
+       |FROM documents WHERE source <> '$BenchSource'
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val base = exchange(docs.filter(col("text").isNotNull)
+      .select("doc_id", "source", "text"))
+    val hh = exchange(base.select(col("doc_id"), col("source"),
+      hhalves(shingles3(col("text"))).as("hh")))
+    val bands = hh
+      .select(col("doc_id"), col("source"), minhashes(col("hh")).as("mh"))
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+          b => struct(b.as("b"),
+            element_at(col("mh"), b * BandSize + 1).as("h1"),
+            element_at(col("mh"), b * BandSize + 2).as("h2")))).as("band"))
+      .select(col("doc_id"), col("source"), col("band.b").as("b"),
+        col("band.h1").as("h1"), col("band.h2").as("h2"))
+    val hsv = hh.select(col("doc_id"),
+      array_sort(transform(col("hh"), p => p.getField("h1"))).as("hs"))
+    val benchBands = broadcast(bands.filter(col("source") === BenchSource)
+      .select(col("b"), col("h1"), col("h2"), col("doc_id").as("bid")))
+    val cand = bands.filter(col("source") =!= BenchSource)
+      .join(benchBands, Seq("b", "h1", "h2"))
+      .select(col("doc_id").as("tid"), col("bid")).distinct()
+    val benchHs = broadcast(
+      hsv.select(col("doc_id").as("bid"), col("hs").as("hs_b")))
+    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
+    val jac = (inter.cast(DecimalType(18, 9))
+      / (size(col("hs_a")) + size(col("hs_b")) - inter)).cast("double")
+    val bad = cand
+      .join(hsv.select(col("doc_id").as("tid"), col("hs").as("hs_a")), "tid")
+      .join(benchHs, "bid")
+      .filter(jac >= 0.5)
+      .select(col("tid").as("doc_id")).distinct()
+    docs.filter(col("source") =!= BenchSource)
+      .select("doc_id", "source")
+      .join(bad.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
   // dedup_simhash — 60-bit simhash over 3-word shingles; 4 bands of 15 bits
   // bucket candidates; verified by hamming distance <= 6. Shingles, not
   // tokens: the fixture vocabulary is tiny, so token SETS are near-identical
@@ -470,5 +551,5 @@ object Dedup {
   }
 
   val ops: Seq[Op] = Seq(dedupMinhash, dedupSimhash, dedupNgram, dedupCluster,
-    dedupFuzzy, dedupSubstring, dedupIncremental)
+    dedupFuzzy, dedupSubstring, dedupIncremental, decontaminateFuzzy)
 }

@@ -49,6 +49,35 @@ object Events {
       .orderBy("ws")
   }
 
+  // stream_topk — per-window top-k: the 2 busiest event types of every
+  // tumbling hour (count-desc, type tiebreak). Plan: hash aggregate on
+  // (window, type) with partial combine, then a rank filter Spark 4
+  // rewrites into WindowGroupLimit — each shuffle partition keeps only
+  // its local top-2 per window before the exchange, so at 100 TB the
+  // window stage never materializes the full per-type count set. The
+  // streaming twin is the same aggregate under a watermark feeding a
+  // per-batch rank (complete/update mode), same shape as Streams.tumbling.
+  private val streamTopk = Op("stream_topk",
+    """WITH agg AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT ws, event_type, n, rn FROM (
+      |  SELECT ws, event_type, n,
+      |    row_number() OVER (PARTITION BY ws
+      |                       ORDER BY n DESC, event_type) AS rn
+      |  FROM agg)
+      |WHERE rn <= 2 ORDER BY ws, rn""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ws").orderBy(col("n").desc, col("event_type").asc)))
+      .filter(col("rn") <= 2)
+      .orderBy("ws", "rn")
+  }
+
   // Session windows per user (30min gap). Spark semantics: events merge into
   // a session iff gap-to-previous < 30min; session end = last ts + gap. The
   // oracle is the classic gap-island rewrite with the SAME boundary rule
@@ -533,7 +562,7 @@ object Events {
       .orderBy("user_id")
   }
 
-  val ops: Seq[Op] = Seq(tumbling, sliding, session, dedup, incremental,
+  val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak)
 }

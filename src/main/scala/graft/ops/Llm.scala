@@ -525,6 +525,53 @@ object Llm {
   }
 
   // --------------------------------------------------------------------
+  // multimodal_frames — the frame-sampling stage of a video/audio
+  // pipeline: each opaque payload is a "clip" of fixed-size frames
+  // (256 units here); the op emits one row per sampled frame with its
+  // offset and a thumbnail fingerprint. Decode is the same deterministic
+  // stand-in as multimodal_decode (payload → string; a codec would yield
+  // frame bytes) — the REAL parts are the plumbing a frame sampler
+  // needs: per-row frame-count arithmetic from the payload length, a
+  // scan-stage `sequence`+`explode` generator (NO join against a frame
+  // spine — the expansion is local to each row and codegen'd), and a
+  // per-frame slice+hash. At 100 TB the output is the frame manifest a
+  // GPU feature-extract stage consumes, partition-aligned with the scan.
+  // Frames slice CHARACTERS on both engines (payload bytes would differ:
+  // zh docs are multi-byte UTF-8 and DuckDB substr is character-based).
+  // --------------------------------------------------------------------
+  private val FrameChars = 256
+  private val ThumbChars = 64
+
+  private val multimodalFrames = Op("multimodal_frames",
+    s"""WITH f AS (
+       |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n_bytes,
+       |    (length(text) - 1) // $FrameChars + 1 AS n_frames
+       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       |fr AS (
+       |  SELECT doc_id, text, n_bytes, n_frames,
+       |    unnest(range(0, n_frames)) AS frame_idx
+       |  FROM f)
+       |SELECT doc_id, n_bytes, CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(frame_idx * $FrameChars AS BIGINT) AS off,
+       |  md5(substr(text, CAST(frame_idx * $FrameChars + 1 AS INT), $ThumbChars)) AS fp
+       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("dec", col("payload").cast("string")) // deterministic fake decode
+      .select(col("doc_id"), length(col("payload")).as("n_bytes"), col("dec"),
+        (((length(col("dec")) - 1) / FrameChars).cast("long") + 1).as("n_frames"))
+      .select(col("doc_id"), col("n_bytes"), col("dec"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * FrameChars).as("off"),
+        md5(expr(s"substring(dec, CAST(frame_idx * $FrameChars + 1 AS INT), $ThumbChars)"))
+          .as("fp"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // --------------------------------------------------------------------
   // embed_normalize — L2 normalization, the standard pre-step before
   // cosine/ANN (normalized vectors turn cosine into a plain dot product).
   // Emits the exact-decimal norm plus the first unit component; the full
@@ -793,6 +840,6 @@ object Llm {
 
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
     dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
-    multimodalDecode, embedNormalize, vecQuantize, searchRrf, knnJoinBucketed,
-    knnClassify)
+    multimodalDecode, multimodalFrames, embedNormalize, vecQuantize, searchRrf,
+    knnJoinBucketed, knnClassify)
 }

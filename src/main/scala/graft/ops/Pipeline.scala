@@ -357,6 +357,32 @@ object Pipeline {
   }
 
   // --------------------------------------------------------------------
+  // sample_hash — exact-size deterministic uniform sample: rank every doc
+  // by the salted hash of its key and keep the k smallest. Unlike
+  // fraction sampling (sample_stratified's scan-only Bernoulli gate) the
+  // sample size is EXACT, and unlike rand()-based sampling the selection
+  // is a pure function of the key — reproducible across engines, reruns,
+  // retries, and partition counts, and auditable (the hash rides along).
+  // Scale shape: TakeOrderedAndProject — each scan task keeps a k-item
+  // heap over a narrow projection and the driver merges k×partitions
+  // candidates; no global sort, no shuffle of the corpus. At 100 TB with
+  // large k, swap the limit for `WHERE skey < 2^60·k/N` (same scan-only
+  // cost, approximately-exact size) — the hash key serves both forms.
+  // --------------------------------------------------------------------
+  private val SampleK = 64
+
+  private val sampleHash = Op("sample_hash",
+    s"""SELECT doc_id, source, ${h60Sql("concat('samp:', CAST(doc_id AS VARCHAR))")} AS skey
+       |FROM documents
+       |ORDER BY skey, doc_id LIMIT $SampleK""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        h60(concat(lit("samp:"), col("doc_id").cast("string"))).as("skey"))
+      .orderBy("skey", "doc_id")
+      .limit(SampleK)
+  }
+
+  // --------------------------------------------------------------------
   // feature_scale — per-group min-max normalization of a numeric feature
   // (customer balance within its nation), emitted on a 0..10000 integer
   // scale: the feature-engineering primitive before quantile/embedding
@@ -396,5 +422,5 @@ object Pipeline {
 
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
-    interleaveSources, corpusShuffle, featureScale)
+    interleaveSources, corpusShuffle, sampleHash, featureScale)
 }

@@ -283,6 +283,54 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // As-of join with a staleness bound — the point-in-time feature-join
+  // variant every training pipeline needs: a match older than the
+  // tolerance (30 days) is as good as no match, so it surfaces NULL
+  // instead of leaking stale state into features. Same union-tag +
+  // running-last plan as join_asof (ONE shuffle on the key, linear);
+  // the bound is a post-window filter on the carried match timestamp,
+  // so the tolerance costs nothing extra at any scale. Oracle: DuckDB
+  // ASOF LEFT JOIN with the same CASE bound.
+  private val joinAsofTolerance = Op("join_asof_tolerance",
+    """WITH od AS (
+      |  SELECT * FROM orders
+      |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                             ORDER BY o_orderkey DESC) = 1)
+      |SELECT e.event_id, e.user_id,
+      |  CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
+      |       THEN o.o_orderkey END AS o_orderkey,
+      |  CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
+      |       THEN o.o_totalprice END AS o_totalprice
+      |FROM events e ASOF LEFT JOIN od o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events")
+    val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").desc)
+    val od = t(s, d, "orders")
+      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1)
+    val tagged = od.select(col("o_custkey").as("k"), col("o_orderdate").as("tt"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+      .unionByName(e.select(col("user_id").as("k"), col("ts").as("tt"),
+        lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice")))
+    val w = Window.partitionBy("k").orderBy(col("tt").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = col("m_odate") >= col("tt") - expr("INTERVAL 30 DAYS")
+    tagged
+      .withColumn("m_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("m_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .withColumn("m_odate",
+        last(when(col("tag") === 0, col("tt")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        when(fresh, col("m_orderkey")).as("o_orderkey"),
+        when(fresh, col("m_totalprice")).as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
   // --------------------------------------------------------------------
   // Sorts / limits / top-k.
   // --------------------------------------------------------------------
@@ -547,7 +595,7 @@ object Relational {
     Op("agg_group", aggGroupSql)(aggGroup), recursiveCte,
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
-    joinCross, joinTheta, joinAsof, joinRangeBucketed, joinNullsafe,
+    joinCross, joinTheta, joinAsof, joinAsofTolerance, joinRangeBucketed, joinNullsafe,
     sortMulti, limitTopk, limitOffset, limitKeyset, topkPerGroup,
     setUnion, setIntersect, setExcept, setUnionByname,
     subqueryExists, subqueryInNull, joinLateral, reshapeUnpivot,

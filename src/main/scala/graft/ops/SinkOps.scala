@@ -388,6 +388,44 @@ object SinkOps {
   }
 
   // --------------------------------------------------------------------
+  // join_bucket_colocated — the payoff of sink_bucketed's layout: BOTH
+  // sides of a fact⋈dim join written bucketed (same bucket count, same
+  // key), so the join AND the downstream aggregate on that key run with
+  // ZERO shuffle — bucket i of orders joins bucket i of customer
+  // in-place, and HashAggregate's required distribution is already
+  // satisfied by the bucketing. The only exchange in the whole plan is
+  // the final presentation sort's range partitioning (pinned in
+  // PlanAuditSpec with broadcast disabled, so the shuffle-free path is
+  // the SortMergeJoin itself, not a broadcast accident).
+  //
+  // At 100 TB this is THE co-located join strategy: pay the shuffle once
+  // at ingest, then every (join ∘ aggregate) on the bucket key is
+  // scan-local forever — the batch analog of co-partitioned state.
+  // --------------------------------------------------------------------
+  private val joinBucketColocated = Op("join_bucket_colocated",
+    """SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val root = freshScratch("join_bucket_colocated")
+    val (ot, ct) = ("graft_colo_orders", "graft_colo_customer")
+    s.sql(s"DROP TABLE IF EXISTS $ot"); s.sql(s"DROP TABLE IF EXISTS $ct")
+    t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$root/orders").format("parquet").mode("overwrite")
+      .saveAsTable(ot)
+    t(s, d, "customer").select("c_custkey", "c_name")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$root/customer").format("parquet").mode("overwrite")
+      .saveAsTable(ct)
+    val o = s.table(ot); val c = s.table(ct)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_custkey")
+  }
+
+  // --------------------------------------------------------------------
   // scan_schema_evolution — schema drift: two batches of the same table
   // land with DIFFERENT column sets (a new column appeared mid-stream, the
   // normal state of a long-lived 100 TB dataset). mergeSchema=true unions
@@ -589,5 +627,6 @@ object SinkOps {
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
     sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson, scanOrc,
     scanText, scanXml, scanFederated, scanSchemaEvolution, sinkZorder,
-    sinkScd2, sinkCompact, sinkDeleteWhere, sinkStreamUpsert)
+    sinkScd2, sinkCompact, sinkDeleteWhere, sinkStreamUpsert,
+    joinBucketColocated)
 }

@@ -227,6 +227,51 @@ object Text {
   }
 
   // --------------------------------------------------------------------
+  // text_diversity — lexical-diversity quality signals per doc: type-token
+  // ratio and the repeat probability (the Simpson-index complement — the
+  // chance two token draws without replacement are the SAME type), both
+  // in exact integer/decimal arithmetic so every engine and partition
+  // count agrees bit-for-bit (entropy's ln() would not). High rep_p or
+  // low TTR flags template/boilerplate docs that repetition_filter's
+  // run-length view misses (scattered repeats, not runs).
+  //
+  // Scale shape: explode → two hash aggregates with map-side combine,
+  // keyed (doc_id, token) then doc_id — linear, no HOF quadratic in doc
+  // length (counting each distinct token via filter() would be O(u·n)
+  // per doc in the scan stage).
+  // --------------------------------------------------------------------
+  private val textDiversity = Op("text_diversity",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+      |  FROM cnt GROUP BY 1)
+      |SELECT doc_id, n_tok, n_types,
+      |  CAST(CAST(n_types AS DECIMAL(18,9)) / n_tok AS DOUBLE) AS ttr,
+      |  CAST(CAST(rep2 AS DECIMAL(18,9)) / nullif(n_tok * (n_tok - 1), 0) AS DOUBLE)
+      |    AS rep_p
+      |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("rep2"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        (col("n_types").cast(DecimalType(18, 9)) / col("n_tok"))
+          .cast("double").as("ttr"),
+        (col("rep2").cast(DecimalType(18, 9))
+          / nullif(col("n_tok") * (col("n_tok") - 1), lit(0)))
+          .cast("double").as("rep_p"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
   // text_ngram_freq — corpus-wide bigram frequencies, top 50: vocabulary /
   // collocation analysis over the whole corpus (the frequency table behind
   // tokenizer training and contamination checks). One generator per doc +
@@ -439,5 +484,5 @@ object Text {
   }
 
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
-    textNormalize, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur)
+    textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur)
 }

@@ -364,4 +364,38 @@ class PlanAuditSpec extends SparkSpec {
     // aggregate's hash distribution comes from the bucket layout
     "Exchange".r.findAllIn(plan).size shouldBe 1
   }
+
+  test("join_bucket_colocated: both sides bucketed; join AND aggregate run shuffle-free") {
+    // broadcast disabled so the shuffle-free path is the bucketed
+    // SortMergeJoin itself, not a small-dim broadcast accident
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = SparkEntry.queries("join_bucket_colocated")(alt, dir)
+      .queryExecution.executedPlan.toString
+    "Bucketed: true".r.findAllIn(plan).size shouldBe 2
+    plan should include("SortMergeJoin")
+    // the only exchange in the whole plan is the presentation sort
+    "Exchange rangepartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Exchange hashpartitioning"
+  }
+
+  test("decontaminate_fuzzy broadcasts the benchmark bands and shingle sets") {
+    val plan = planOf("decontaminate_fuzzy")
+    // band probe + verification join-back both probe broadcast eval-side
+    // state — the training corpus itself never shuffles against it
+    "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("stream_topk pushes the rank filter into the window (WindowGroupLimit)") {
+    // each shuffle partition keeps only its local top-k per window before
+    // the exchange — without this the window materializes every
+    // (window × type) count on one partition chain
+    planOf("stream_topk") should include("WindowGroupLimit")
+  }
+
+  test("sample_hash plans TakeOrderedAndProject (per-partition heaps, no global sort)") {
+    planOf("sample_hash") should include("TakeOrderedAndProject")
+  }
 }
