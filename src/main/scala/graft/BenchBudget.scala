@@ -31,6 +31,7 @@ object BenchBudget {
     "doc_fingerprint" -> 3.45,
     "dq_check" -> 2.3, "embed_normalize" -> 1.41, "etl_pipeline" -> 0.79,
     "event_attribution" -> 1.18, "event_funnel" -> 1.66, "event_markov" -> 1.33,
+    "event_pattern" -> 3.11,
     "event_sequences" -> 1.07, "event_streak" -> 1.41, "feature_scale" -> 1.09,
     "filter_pred" -> 0.75, "fn_array" -> 1.15, "fn_bitwise" -> 0.87,
     "fn_cast_null" -> 1.41, "fn_date" -> 1.44, "fn_digest" -> 0.93,
@@ -69,7 +70,8 @@ object BenchBudget {
     "sink_upsert" -> 1.32, "sink_zorder" -> 2.83, "skew_report" -> 0.75,
     "snapshot_diff" -> 0.96, "sort_multi" -> 1.14, "stream_dedup" -> 0.96,
     "stream_interval_join" -> 0.99, "stream_interval_join_left" -> 1.05, "stream_session" -> 2.07,
-    "stream_sliding" -> 1.18, "stream_topk" -> 1.05, "stream_tumbling" -> 0.83,
+    "stream_sliding" -> 1.18, "stream_throttle" -> 2.04, "stream_topk" -> 1.05,
+    "stream_tumbling" -> 0.83,
     "subquery_exists" -> 1.61,
     "subquery_in_null" -> 0.75, "subquery_scalar" -> 1.12, "text_cooccur" -> 1.83, "text_diversity" -> 2.25,
     "text_filter" -> 1.34, "text_ngram_freq" -> 4.92, "text_normalize" -> 1.49,
@@ -79,6 +81,6 @@ object BenchBudget {
     "vec_quantize" -> 1.35, "vocab_topk" -> 0.75, "win_analytic" -> 1.33,
     "win_cume" -> 2.41, "win_frame_range" -> 1.71, "win_frame_rows" -> 1.56,
     "win_frame_time" -> 1.78, "win_ntile" -> 2.37, "win_rank" -> 1.44,
-    "win_rolling_median" -> 0.82
+    "win_rolling_median" -> 0.82, "win_running_distinct" -> 2.22
   )
 }

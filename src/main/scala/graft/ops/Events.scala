@@ -196,6 +196,51 @@ object Events {
   }
 
   // --------------------------------------------------------------------
+  // event_pattern — CEP / MATCH_RECOGNIZE shape: a purchase "converts"
+  // iff a click of the same user happened within the preceding 10
+  // minutes AND no error intervened after that click. Sequence, time
+  // bound, and NEGATION in ONE user-keyed window pass: carry the max
+  // preceding click/error timestamps (max over a ts-ordered frame IS
+  // the latest — and being order-insensitive, ties can't diverge
+  // between engines), then the match is a row-local predicate. No
+  // per-row NFA, no self-joins: the 100 TB cost is one shuffle on
+  // user_id, and both carries share the same sort. The streaming twin
+  // of this shape is flatMapGroupsWithState (streaming/CustomState).
+  // --------------------------------------------------------------------
+  private val eventPattern = Op("event_pattern",
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  event_type FROM events),
+      |w AS (SELECT *,
+      |  max(CASE WHEN event_type = 'click' THEN ts END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click,
+      |  max(CASE WHEN event_type = 'error' THEN ts END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error
+      |  FROM e)
+      |SELECT event_id, user_id,
+      |  (last_click IS NOT NULL AND last_click >= ts - INTERVAL 10 MINUTE
+      |   AND (last_error IS NULL OR last_error <= last_click)) AS converted
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "events")
+      .select("event_id", "user_id", "ts", "event_type")
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("last_error",
+        max(when(col("event_type") === "error", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (col("last_click").isNotNull
+          && col("last_click") >= col("ts") - expr("INTERVAL 10 MINUTES")
+          && (col("last_error").isNull || col("last_error") <= col("last_click")))
+          .as("converted"))
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------------------
   // retention_cohort — cohort analysis: users grouped by first-active week,
   // counted in each subsequent week they return. Two keyed aggregates (user
   // distinct-weeks, then per-user min) + one count-distinct per cell; weeks
@@ -488,6 +533,72 @@ object Events {
   }
 
   // --------------------------------------------------------------------
+  // win_running_distinct — cumulative distinct count per user over time
+  // (the "new behavior" detector: how many DIFFERENT event types has
+  // this user shown by each event?). The scalable formulation: flag
+  // each (user, type)'s FIRST occurrence with one keyed row_number,
+  // then running-sum the flags along the user's stream — state per row
+  // is one bit, not a growing set (size(collect_set() OVER ...) would
+  // buffer the set per frame and is exactly what this shape avoids at
+  // 100 TB). Two window passes, both hashed on user_id subsets.
+  // --------------------------------------------------------------------
+  private val winRunningDistinct = Op("win_running_distinct",
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  event_type FROM events),
+      |f AS (SELECT *, (row_number() OVER (PARTITION BY user_id, event_type
+      |                                    ORDER BY ts, event_id) = 1) AS fst
+      |      FROM e)
+      |SELECT event_id, user_id,
+      |  CAST(sum(CASE WHEN fst THEN 1 ELSE 0 END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_types_seen
+      |FROM f ORDER BY event_id""".stripMargin) { (s, d) =>
+    val firstW = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val runW = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select("event_id", "user_id", "ts", "event_type")
+      .withColumn("fst", row_number().over(firstW) === 1)
+      .withColumn("n_types_seen",
+        sum(when(col("fst"), 1L).otherwise(0L)).over(runW))
+      .select("event_id", "user_id", "n_types_seen")
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------------------
+  // stream_throttle — rate limiting / telemetry sampling: keep only the
+  // FIRST event per (user, 5-minute bucket), dropping the rest. The
+  // keyed-window twin of stream_dedup with a time-bucketed key — at
+  // 100 TB one shuffle on (user, bucket) and per-group state of one
+  // row; the streaming twin is dropDuplicatesWithinWatermark on the
+  // composite key. Bucket = the same epoch-aligned window() /
+  // time_bucket both engines already share (stream_sliding).
+  // --------------------------------------------------------------------
+  private val streamThrottle = Op("stream_throttle",
+    """SELECT event_id, user_id,
+      |  CAST(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+      |       AS TIMESTAMP) AS ws
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id, time_bucket(INTERVAL '5 minutes',
+      |                                          CAST(ts AS TIMESTAMP))
+      |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val bucketed = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        window(col("ts"), "5 minutes").getField("start").as("ws"))
+    val w = Window.partitionBy("user_id", "ws")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    bucketed
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_id", "user_id", "ws")
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------------------
   // event_markov — first-order behavior model: the event-type transition
   // matrix (from → to counts over each user's time-ordered stream) with
   // per-source-state transition probability in integer basis points —
@@ -563,6 +674,7 @@ object Events {
   }
 
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
-    funnel, retention, intervalJoin, intervalJoinLeft, eventSequences,
-    attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak)
+    funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
+    attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
+    winRunningDistinct, streamThrottle)
 }
