@@ -70,6 +70,65 @@ object Streams {
     instantTs(events).withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Rate limiting (twin of the batch stream_throttle op): at most one
+    * event per (user, 5-minute bucket) within the watermark horizon.
+    * State = one row per active (user, bucket) key, expired once the
+    * watermark passes the bucket — bounded on an unbounded stream.
+    * WHICH representative survives is arrival-order-dependent here
+    * (dropDuplicates keeps the first-arrived); the batch twin pins the
+    * (ts, event_id)-minimum. The invariant both share — and what the
+    * parity test asserts — is the KEY SET: exactly one survivor per
+    * (user, bucket) that has any event. */
+  def throttle(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    instantTs(events).withWatermark("ts", watermark)
+      .withColumn("ws", window(col("ts"), "5 minutes").getField("start"))
+      .dropDuplicatesWithinWatermark("user_id", "ws")
+      .select("event_id", "user_id", "ws")
+
+  /** One micro-batch's (window-start, type) counts — the algebraic
+    * partial the top-k state merges (twin of the batch stream_topk op's
+    * aggregate stage). */
+  private[streaming] def topkCounts(batch: DataFrame): DataFrame =
+    instantTs(batch)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge a batch's count partials into the state: counts are algebraic,
+    * so merge = SUM on the (ws, event_type) key — redelivery is NOT
+    * idempotent for raw counts, so callers pair this with exactly-once
+    * batch tracking (the FileStreamParitySpec drive relies on
+    * foreachBatch's per-epoch batchId). */
+  def topkMergeCounts(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.as("s"); val d = delta.as("d")
+    s.join(d, col("s.ws") === col("d.ws")
+        && col("s.event_type") === col("d.event_type"), "full_outer")
+      .select(coalesce(col("d.ws"), col("s.ws")).as("ws"),
+        coalesce(col("d.event_type"), col("s.event_type")).as("event_type"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"))
+  }
+
+  /** Streaming per-window top-k (twin of the batch stream_topk op):
+    * foreachBatch folds each micro-batch's count partials into a
+    * (ws, type, n) state table — bounded by |windows × types|, never
+    * stream volume — and [[topkView]] ranks that bounded state. Rank
+    * over an agg isn't expressible as one streaming plan in append
+    * mode; state-fold + view is the standard decomposition. */
+  def topkSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(topkMergeCounts(readState(), topkCounts(batch)))
+    }
+
+  /** Read side of [[topkSink]]: the top-k types per window over the
+    * bounded count state — same rank/tiebreak as the batch op. */
+  def topkView(state: DataFrame, k: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ws").orderBy(col("n").desc, col("event_type").asc)
+    state.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Stream-stream interval join (twin of the batch stream_interval_join):
     * purchases matched to the same user's clicks in the preceding
     * `window`. BOTH sides carry watermarks and the join condition bounds

@@ -365,4 +365,101 @@ class FileStreamParitySpec extends SparkSpec {
       streamed should not be empty
     } finally q.stop()
   }
+
+  test("file-source Streams.throttle: one survivor per (user, bucket) across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // time-ordered thirds: a 5-min bucket spans at most one chunk boundary
+    // and its state is always younger than the 10-min watermark lag when
+    // its tail arrives — so the at-most-one guarantee is exact here
+    val cuts = ev.agg(percentile(unix_micros(col("ts").cast("timestamp")),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
+      .collect()(0).getSeq[Double](0).map(_.toLong)
+    val chunks: Seq[DataFrame] = Seq(
+      ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
+        && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)))
+    val staged = Files.createTempDirectory("events_throttle_stream")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"thr_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.throttle(stream)
+      .writeStream.format("memory").queryName("t_file_throttle")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .distinct.size should be >= 2
+      val out = spark.table("t_file_throttle").cache()
+      // WHICH event survives is arrival-order-dependent in streaming (the
+      // batch twin pins the (ts, event_id) minimum) — the shared invariant
+      // is the throttled KEY SET: exactly one survivor per active bucket
+      val streamedKeys = canon(out.select("user_id", "ws").collect())
+      val batchKeys = canon(graft.SparkEntry.queries("stream_throttle")(spark, dir01)
+        .select("user_id", "ws").collect())
+      streamedKeys shouldBe batchKeys
+      out.count() shouldBe streamedKeys.size.toLong // one row per key
+      out.count() should be < ev.count() // the throttle actually dropped rows
+    } finally q.stop()
+  }
+
+  test("file-source top-k sink: count-state fold over hash-split micro-batches equals the batch twin") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.StructType
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split chunks (every micro-batch spans the full time range):
+    // count partials are algebraic, so delivery order must wash out
+    val staged = Files.createTempDirectory("events_topk_stream")
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"topk_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    val stateRoot = Files.createTempDirectory("topk_state").toString
+    val stateSchema = StructType.fromDDL("ws TIMESTAMP, event_type STRING, n BIGINT")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+      .write.parquet(s"$stateRoot/v0")
+    var v = 0
+    def readState(): DataFrame = spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.topkSink(stream)(readState _)(writeState)
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+    v should be >= 3 // one state version per micro-batch
+    // the ranked view over the folded state equals the oracle-checked
+    // batch op over the same full log
+    val streamed = canon(graft.streaming.Streams.topkView(readState())
+      .select("ws", "event_type", "n", "rn").collect())
+    val batch = canon(graft.SparkEntry.queries("stream_topk")(spark, dir01)
+      .select("ws", "event_type", "n", "rn").collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
 }
