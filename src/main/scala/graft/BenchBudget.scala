@@ -57,6 +57,12 @@ object BenchBudget {
     "quantile_bin" -> 6.2, "recursive_cte" -> 1.82, "repetition_filter" -> 2.58,
     "reshape_unpivot" -> 7.41, "retention_cohort" -> 1.25, "sample_per_group" -> 0.75,
     "sample_hash" -> 0.75, "sample_stratified" -> 0.75,
+    "sample_balance" -> 1.55, // 3 x 0.52 s warm sf0.1 (r9 continuation 2)
+    "sql_passthrough" -> 1.89, // 3 x 0.63 s
+    "time_ohlc" -> 1.38, // 3 x 0.46 s
+    "watermark_audit" -> 1.84, // 3 x 0.61 s
+    "win_pareto" -> 2.76, // 3 x 0.92 s
+    "join_dpp" -> 5.52, // 3 x 1.84 s (rebuilds its partitioned scratch both runs)
     "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,

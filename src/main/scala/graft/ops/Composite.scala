@@ -390,6 +390,66 @@ object Composite {
       .orderBy("n_name")
   }
 
+  // --------------------------------------------------------------------
+  // win_pareto — ABC (Pareto) revenue classification per nation: rank
+  // customers by revenue within their nation, take the running revenue
+  // share, class A = the customers that make up the first 80% of
+  // national revenue, B to 95%, C the tail. The inventory-management /
+  // account-tiering report every BI stack ships.
+  //
+  // Determinism: revenue and both window sums are exact DECIMAL (order-
+  // independent), and the share is a division of two exactly-agreed
+  // decimals CAST TO DOUBLE FIRST — one correctly-rounded IEEE divide on
+  // identical operands gives identical bits on both engines (dividing in
+  // decimal would hit engine-specific scale rules instead).
+  //
+  // Scale shape: one map-side-combinable aggregate to (nation, customer)
+  // rows, then both windows share ONE hash-partition exchange on n_name
+  // (running sum + partition total reuse the same sort). Partitioned by
+  // nation — no global single-partition window; a hot nation is bounded
+  // by its customer count, not its order count, because the window runs
+  // over the AGGREGATED rows.
+  // --------------------------------------------------------------------
+  private val winPareto = Op("win_pareto",
+    """WITH rev AS (
+      |  SELECT n_name, c_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revd
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT n_name, c_custkey, revd,
+      |    SUM(revd) OVER (PARTITION BY n_name ORDER BY revd DESC, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd,
+      |    SUM(revd) OVER (PARTITION BY n_name) AS totd
+      |  FROM rev)
+      |SELECT n_name, c_custkey, CAST(revd AS DOUBLE) AS revenue,
+      |  CAST(cumd AS DOUBLE) / CAST(totd AS DOUBLE) AS cum_share,
+      |  CASE WHEN CAST(cumd AS DOUBLE) / CAST(totd AS DOUBLE) <= 0.80 THEN 'A'
+      |       WHEN CAST(cumd AS DOUBLE) / CAST(totd AS DOUBLE) <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS abc
+      |FROM cum ORDER BY n_name, c_custkey""".stripMargin) { (s, d) =>
+    val rev = t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revd"))
+    val running = Window.partitionBy("n_name")
+      .orderBy(col("revd").desc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy("n_name")
+    val share = col("cumd").cast("double") / col("totd").cast("double")
+    rev
+      .withColumn("cumd", sum("revd").over(running))
+      .withColumn("totd", sum("revd").over(total))
+      .select(col("n_name"), col("c_custkey"),
+        col("revd").cast("double").as("revenue"),
+        share.as("cum_share"),
+        when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").as("abc"))
+      .orderBy("n_name", "c_custkey")
+  }
+
   val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted, joinScd2Lookup,
-    graphTriangles, aggLinearFit)
+    graphTriangles, aggLinearFit, winPareto)
 }

@@ -673,8 +673,105 @@ object Events {
       .orderBy("user_id")
   }
 
+  // --------------------------------------------------------------------
+  // time_ohlc — resample the value series into daily OHLC bars per event
+  // type (financial bars / telemetry downsampling). Open and close come
+  // from min/max over the struct (ts, event_id, value): (ts, event_id)
+  // is a unique total order, so the lexicographic struct extreme IS the
+  // first/last observation of the bar — which makes the whole op ONE
+  // partial+final aggregate (struct extremes aren't hash-bufferable, so
+  // Spark plans SortAggregate: a per-partition sort on the group key,
+  // but still map-side partial combine). At 100 TB the one exchange
+  // carries |days × types| partials per upstream partition; the
+  // window-function formulation would instead shuffle and sort EVERY
+  // event, twice (asc + desc row_number).
+  // --------------------------------------------------------------------
+  private val timeOhlc = Op("time_ohlc",
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |  (MIN(struct_pack(ts := ts, event_id := event_id, value := value))).value AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  (MAX(struct_pack(ts := ts, event_id := event_id, value := value))).value AS close,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("volume"))
+      .orderBy("day", "event_type")
+  }
+
+  // --------------------------------------------------------------------
+  // watermark_audit — watermark-sizing replay: for each event, lateness
+  // = (running max event-time over EARLIER-ARRIVING events of the same
+  // user) − its own event-time, bucketed into the watermark-delay bands
+  // a streaming deployment picks from (on-time, <1m, <5m, <1h, ≥1h).
+  // The histogram says exactly what fraction of events a given
+  // withWatermark delay in streaming/Streams.scala would drop as
+  // too-late. The fixture log is stored in perfect event-time order
+  // (zero inversions — verified), so the replay models transport: each
+  // event ARRIVES at ts + a deterministic salted-hash jitter of up to
+  // 10 min (the standard at-least-once-delivery skew), which is how you
+  // size a watermark from a historical log when the ingest timestamps
+  // weren't recorded. All arithmetic is int64 epoch-µs — no float, no
+  // interval-type divergence between engines. The running max is keyed
+  // on user_id (arrival order is only meaningful per key), so the
+  // window state partitions across executors like any keyed stream.
+  // --------------------------------------------------------------------
+  private val watermarkAudit = Op("watermark_audit",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + (CAST(concat('0x', substr(md5(concat('jit:', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      |         % 600) * 1000000 AS aus
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, tus,
+      |    MAX(tus) OVER (PARTITION BY user_id ORDER BY aus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM e),
+      |l AS (SELECT user_id,
+      |        CASE WHEN hwm IS NULL OR hwm <= tus THEN 0 ELSE hwm - tus END AS late_us
+      |      FROM a)
+      |SELECT CASE WHEN late_us = 0 THEN '0_on_time'
+      |  WHEN late_us < 60000000 THEN '1_lt_1m'
+      |  WHEN late_us < 300000000 THEN '2_lt_5m'
+      |  WHEN late_us < 3600000000 THEN '3_lt_1h'
+      |  ELSE '4_ge_1h' END AS bucket,
+      |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    import graft.ops.Text.h60
+    val tus = unix_micros(col("ts").cast("timestamp"))
+    val jitterS = h60(concat(lit("jit:"), col("event_id").cast("string"))) % 600
+    val arrival = Window.partitionBy("user_id").orderBy("aus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), tus.as("tus"),
+        (tus + jitterS * 1000000L).as("aus"))
+      .withColumn("hwm", max("tus").over(arrival))
+      .withColumn("late_us",
+        when(col("hwm").isNull || col("hwm") <= col("tus"), 0L)
+          .otherwise(col("hwm") - col("tus")))
+      .withColumn("bucket",
+        when(col("late_us") === 0, "0_on_time")
+          .when(col("late_us") < 60000000L, "1_lt_1m")
+          .when(col("late_us") < 300000000L, "2_lt_5m")
+          .when(col("late_us") < 3600000000L, "3_lt_1h")
+          .otherwise("4_ge_1h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      .orderBy("bucket")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
-    winRunningDistinct, streamThrottle)
+    winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit)
 }

@@ -420,7 +420,44 @@ object Pipeline {
       .orderBy("c_custkey")
   }
 
+  // --------------------------------------------------------------------
+  // sample_balance — class-balanced downsampling: every language keeps
+  // exactly min-class-count docs, chosen by deterministic hash order
+  // (the label-balancing step before classifier training / eval-set
+  // construction). The cap k is DATA-DRIVEN — min over the per-class
+  // counts — not a constant like sample_per_group's: computed as a
+  // 1-row aggregate and broadcast, never collected to the driver.
+  // Scale shape: one count aggregate (map-side combine), one window
+  // rank per class (shuffle on lang), one broadcast of the 1-row cap.
+  // If a stratum is ever pathologically hot, pre-thin it with the
+  // sample_stratified hash-Bernoulli gate before the exact rank.
+  // --------------------------------------------------------------------
+  private val sampleBalance = Op("sample_balance",
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    ${h60Sql("concat('bal:', CAST(doc_id AS VARCHAR))")} AS skey
+       |  FROM documents),
+       |k AS (SELECT MIN(cnt) AS k
+       |      FROM (SELECT COUNT(*) AS cnt FROM d GROUP BY lang)),
+       |r AS (SELECT doc_id, lang,
+       |        row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn
+       |      FROM d)
+       |SELECT doc_id, lang FROM r, k WHERE rn <= k.k
+       |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        h60(concat(lit("bal:"), col("doc_id").cast("string"))).as("skey"))
+    val cap = broadcast(
+      docs.groupBy("lang").agg(count(lit(1)).as("cnt")).agg(min("cnt").as("k")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    docs.withColumn("rn", row_number().over(w))
+      .crossJoin(cap) // 1-row balanced-size cap, broadcast by construction
+      .filter(col("rn") <= col("k"))
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+  }
+
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
-    interleaveSources, corpusShuffle, sampleHash, featureScale)
+    interleaveSources, corpusShuffle, sampleHash, featureScale, sampleBalance)
 }

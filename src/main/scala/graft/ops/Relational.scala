@@ -591,6 +591,28 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "measure")
   }
 
+  // R2 parity, end to end: the reference's extraction entry point takes
+  // USER-TYPED SQL and executes it verbatim on the source engine
+  // (reference src/etl/ETLProcess.java:84-86, run at :163-164). Here the
+  // IDENTICAL string runs through spark.sql over registered views — Spark
+  // SQL is the executor that SQL Server was — and doubles as the oracle,
+  // so there is one source of truth and zero translation between engine
+  // and check. The query itself exercises the delegation surface a user
+  // actually types: derived-table join + two aggregate levels. Exact-
+  // decimal money discipline as everywhere (Op.scala).
+  private val passthroughSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(spend) AS DOUBLE) AS segment_spend
+      |FROM customer
+      |JOIN (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |      FROM orders GROUP BY o_custkey) s ON c_custkey = s.o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  private val sqlPassthrough = Op("sql_passthrough", passthroughSql) { (s, d) =>
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(passthroughSql)
+  }
+
   val ops: Seq[Op] = Seq(
     Op("agg_group", aggGroupSql)(aggGroup), recursiveCte,
     scanParquet, scanProjected, filterPred,
@@ -598,6 +620,6 @@ object Relational {
     joinCross, joinTheta, joinAsof, joinAsofTolerance, joinRangeBucketed, joinNullsafe,
     sortMulti, limitTopk, limitOffset, limitKeyset, topkPerGroup,
     setUnion, setIntersect, setExcept, setUnionByname,
-    subqueryExists, subqueryInNull, joinLateral, reshapeUnpivot,
+    subqueryExists, subqueryInNull, joinLateral, reshapeUnpivot, sqlPassthrough,
   )
 }

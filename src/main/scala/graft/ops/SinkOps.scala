@@ -624,9 +624,46 @@ object SinkOps {
       .orderBy("k")
   }
 
+  // --------------------------------------------------------------------
+  // join_dpp — dynamic partition pruning: the fact table is laid out
+  // partitioned by order year (the standard date-partitioned lake
+  // layout); the dim side arrives with a predicate the fact scan cannot
+  // see statically (parity of the year, known only on the dim). Spark
+  // injects a DynamicPruningExpression subquery into the fact scan: the
+  // dim's broadcast result prunes fact PARTITION DIRECTORIES at runtime,
+  // so pruned years are never listed, opened, or read. At 100 TB with
+  // date-partitioned facts this is the difference between scanning the
+  // lake and scanning the selected slice — static pushdown can't do it
+  // because the year set lives in another table. PlanAuditSpec pins
+  // `dynamicpruningexpression` on the fact scan (and the broadcast
+  // reuse that makes it free).
+  // --------------------------------------------------------------------
+  private val joinDpp = Op("join_dpp",
+    """WITH dim AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders)
+      |SELECT dim.y, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN dim ON year(o_orderdate) = dim.y
+      |WHERE dim.y % 2 = 0
+      |GROUP BY dim.y ORDER BY dim.y""".stripMargin) { (s, d) =>
+    val root = freshScratch("join_dpp")
+    val o = t(s, d, "orders").withColumn("y", year(col("o_orderdate")))
+    o.write.partitionBy("y").parquet(root + "/fact")
+    o.select("y").distinct().write.parquet(root + "/dim")
+    val fact = s.read.parquet(root + "/fact")
+    val dim = s.read.parquet(root + "/dim")
+      .filter(col("y") % 2 === 0).withColumnRenamed("y", "dy")
+    fact.join(dim, fact("y") === dim("dy"))
+      .groupBy(col("dy"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+      .select(col("dy").cast("long").as("y"), col("n"), col("sum_price"))
+      .orderBy("y")
+  }
+
   val ops: Seq[Op] = Seq(sinkAppend, sinkInsertIfAbsent, sinkUpsert,
     sinkPartitioned, sinkBucketed, etlPipeline, scanCsv, scanJson, scanOrc,
     scanText, scanXml, scanFederated, scanSchemaEvolution, sinkZorder,
     sinkScd2, sinkCompact, sinkDeleteWhere, sinkStreamUpsert,
-    joinBucketColocated)
+    joinBucketColocated, joinDpp)
 }

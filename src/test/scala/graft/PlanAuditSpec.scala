@@ -304,7 +304,8 @@ class PlanAuditSpec extends SparkSpec {
       "anomaly_mad" -> "1-row median/MAD scalar broadcast back over the scan",
       "knn_classify" -> "5-row probe-seed broadcast against the corpus scan (classifier seeds are bounded by construction)",
       "tf_idf" -> "1-row corpus-size scalar broadcast over the tf/df join",
-      "skew_report" -> "1-row corpus-total scalar broadcast over the 25-row top-k")
+      "skew_report" -> "1-row corpus-total scalar broadcast over the 25-row top-k",
+      "sample_balance" -> "1-row min-class-count cap broadcast over the ranked classes")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
@@ -397,5 +398,59 @@ class PlanAuditSpec extends SparkSpec {
 
   test("sample_hash plans TakeOrderedAndProject (per-partition heaps, no global sort)") {
     planOf("sample_hash") should include("TakeOrderedAndProject")
+  }
+
+  test("join_dpp: runtime partition pruning reaches the fact scan") {
+    val plan = planOf("join_dpp")
+    // the dim-side predicate prunes fact PARTITION DIRECTORIES at runtime
+    plan should include("dynamicpruningexpression")
+    // and the pruning is on the partition column, not a post-scan filter
+    plan should include("PartitionFilters")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("time_ohlc is one partial+final aggregate — no window function, no per-event shuffle") {
+    val plan = planOf("time_ohlc")
+    // struct extremes plan SortAggregate (not hash-bufferable) but still
+    // combine map-side: the one hash exchange carries group partials
+    plan should include("partial_min(struct(ts")
+    plan should not include "Window"
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("win_pareto: running share and partition total reuse ONE exchange on the nation key") {
+    val plan = planOf("win_pareto")
+    // both window frames (running share + partition total) sit back to
+    // back over ONE hashpartitioning(n_name) exchange; the only other
+    // hash exchange is the aggregate's partial→final on (n_name,
+    // c_custkey) — and no single-partition (global) window anywhere
+    "Window".r.findAllIn(plan).size shouldBe 2
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+    plan should not include "SinglePartition"
+  }
+
+  test("watermark_audit: the replay window is keyed on user_id, never a global arrival order") {
+    val plan = planOf("watermark_audit")
+    plan should include("Window")
+    plan should include("Exchange hashpartitioning(user_id")
+    plan should not include "SinglePartition"
+  }
+
+  test("sample_balance: the data-driven cap arrives as a 1-row broadcast, not a shuffle") {
+    val plan = planOf("sample_balance")
+    // the 1-row min-class-count cap joins as a broadcast nested loop (a
+    // declared entry in the inventory sweep); the only hash exchange is
+    // the per-class window rank
+    plan should include("BroadcastNestedLoopJoin")
+    "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("sql_passthrough: user SQL plans partial+final aggregation like the DataFrame path") {
+    val plan = planOf("sql_passthrough")
+    // the SQL front door must lose nothing: map-side combine on both
+    // aggregate levels, equi-join (no nested loop)
+    "HashAggregate".r.findAllIn(plan).size should be >= 4
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
   }
 }

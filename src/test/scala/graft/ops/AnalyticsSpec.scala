@@ -169,4 +169,89 @@ class AnalyticsSpec extends SparkSpec {
     got shouldBe expect
     got.values.map(_._1).max should be >= 2L // streaks actually exist
   }
+
+  test("time_ohlc: every bar recomputes from the raw event stream") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val raw = Tables(spark, dir, "events")
+      .select("ts", "event_id", "event_type", "value").collect()
+      .map(r => (epochUs(r.get(0)), nLong(r, 1), r.getString(2), nDouble(r, 3)))
+    val expect = raw.groupBy { case (tus, _, ty, _) =>
+      (java.time.Instant.ofEpochSecond(tus / 1000000).atOffset(java.time.ZoneOffset.UTC)
+        .toLocalDate.toString, ty)
+    }.map { case (k, evs) =>
+      val byTime = evs.sortBy { case (tus, id, _, _) => (tus, id) }
+      val vol = evs.map { case (_, _, _, v) =>
+        new JBD(v).setScale(2, RoundingMode.HALF_UP) }
+        .reduce(_ add _).doubleValue
+      k -> ((byTime.head._4, evs.map(_._4).max, evs.map(_._4).min,
+        byTime.last._4, evs.length.toLong, vol))
+    }
+    val got = SparkEntry.queries("time_ohlc")(spark, dir).collect()
+      .map(r => (r.get(0).toString, r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    got shouldBe expect
+    // bars are real aggregates, not passthrough rows
+    got.values.exists(b => b._1 != b._4) shouldBe true // open != close somewhere
+  }
+
+  test("watermark_audit: the jittered-replay histogram recomputes per event") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = Tables(spark, dir, "events")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (nLong(r, 0), nLong(r, 1), epochUs(r.get(2))))
+    val lateness = raw.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val arrival = evs.map { case (u, id, tus) =>
+        (u, id, tus, tus + (h60(s"jit:$id") % 600) * 1000000L)
+      }.sortBy { case (_, id, _, aus) => (aus, id) }
+      arrival.zipWithIndex.map { case ((u, _, tus, _), i) =>
+        val hwm = arrival.take(i).map(_._3).maxOption.getOrElse(Long.MinValue)
+        (u, if (hwm <= tus) 0L else hwm - tus)
+      }
+    }
+    def bucket(l: Long): String =
+      if (l == 0) "0_on_time" else if (l < 60000000L) "1_lt_1m"
+      else if (l < 300000000L) "2_lt_5m" else if (l < 3600000000L) "3_lt_1h"
+      else "4_ge_1h"
+    val expect = lateness.groupBy { case (_, l) => bucket(l) }
+      .map { case (b, xs) => b -> ((xs.length.toLong, xs.map(_._1).distinct.length.toLong)) }
+    val got = SparkEntry.queries("watermark_audit")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe expect
+    // the transport model genuinely produces late data (the whole point)
+    got.keySet.exists(_ != "0_on_time") shouldBe true
+  }
+
+  test("win_pareto: shares and ABC classes recompute from exact decimal revenue") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val natOf = Tables(spark, dir, "nation").collect()
+      .map(r => nLong(r, 0) -> r.getString(1)).toMap
+    val custNat = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => nLong(r, 0) -> natOf(nLong(r, 1))).toMap
+    val rev = Tables(spark, dir, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (nLong(r, 0), new JBD(nDouble(r, 1)).setScale(2, RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (c, xs) => (custNat(c), c) -> xs.map(_._2).reduce(_ add _) }
+    val expect = rev.groupBy(_._1._1).flatMap { case (nat, custs) =>
+      val ordered = custs.toSeq.sortBy { case ((_, c), r) => (r.negate, c) }
+      val tot = ordered.map(_._2).reduce(_ add _).doubleValue
+      ordered.scanLeft(new JBD(0)) { case (cum, (_, r)) => cum add r }.tail
+        .zip(ordered).map { case (cum, ((_, c), r)) =>
+          val share = cum.doubleValue / tot
+          (nat, c) -> ((r.doubleValue, share,
+            if (share <= 0.80) "A" else if (share <= 0.95) "B" else "C"))
+        }
+    }
+    val got = SparkEntry.queries("win_pareto")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getString(4)))).toMap
+    got shouldBe expect
+    // all three classes occur (the fixture revenue is Pareto-ish enough)
+    got.values.map(_._3).toSet shouldBe Set("A", "B", "C")
+  }
 }

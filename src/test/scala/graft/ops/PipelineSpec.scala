@@ -89,4 +89,27 @@ class PipelineSpec extends SparkSpec {
       r.getBoolean(3) shouldBe (r.getString(2) == "ok")
     }
   }
+
+  test("sample_balance: every class keeps exactly min-class-count docs, chosen by hash order") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (nLong(r, 0), r.getString(1)))
+    val k = raw.groupBy(_._2).values.map(_.length).min
+    val expect = raw.groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
+      docs.sortBy { case (id, _) => (h60(s"bal:$id"), id) }.take(k)
+        .map { case (id, _) => (id, lang) }
+    }.toSet
+    val got = graft.SparkEntry.queries("sample_balance")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    got.toSet shouldBe expect
+    // balanced by construction: every language contributes exactly k
+    got.groupBy(_._2).values.map(_.length).toSet shouldBe Set(k)
+    // and the cap binds (some language was actually downsampled)
+    raw.groupBy(_._2).values.map(_.length).max should be > k
+  }
 }
