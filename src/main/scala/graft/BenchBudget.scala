@@ -63,6 +63,10 @@ object BenchBudget {
     "watermark_audit" -> 1.84, // 3 x 0.61 s
     "win_pareto" -> 2.76, // 3 x 0.92 s
     "join_dpp" -> 5.52, // 3 x 1.84 s (rebuilds its partitioned scratch both runs)
+    "interval_merge" -> 2.4, // 3 x 0.80 s warm sf0.1 (r9 continuation 2)
+    "rate_alert" -> 2.13, // 3 x 0.71 s
+    "win_ema" -> 1.97, // 3 x 0.66 s
+    "agg_weighted_median" -> 4.11, // 3 x 1.37 s (bucketed two-phase selection)
     "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,

@@ -681,6 +681,74 @@ object Aggregates {
       .orderBy("day")
   }
 
+  // --------------------------------------------------------------------
+  // agg_weighted_median — quantity-weighted median price per return
+  // flag: the smallest price whose cumulative quantity reaches half the
+  // group's total (lower weighted median — the robust "typical traded
+  // price" statistic plain percentile() can't express, since each row
+  // counts q times). All the selection arithmetic is int64 (2·cum ≥ W);
+  // the price itself passes through untouched — nothing to diverge
+  // between engines. l_quantity is integral by fixture contract; round()
+  // before the BIGINT cast because Spark CAST truncates while DuckDB
+  // rounds (divergent ONLY on non-integral input, but make it
+  // unrepresentable).
+  //
+  // Scale shape — the naive formulation (one ordered window per flag) is
+  // the low-cardinality-window funnel feature_scale's note warns about:
+  // 3 flags ⟹ the ENTIRE fact table flows through 3 window tasks. The
+  // engine instead selects in two phases: (1) bucket prices (fixed width
+  // 64, monotone in price) and hash-aggregate per-(flag, bucket) weights
+  // — fact-scale work, all map-side combinable; (2) find each flag's
+  // median BUCKET plus the cumulative weight before it on the tiny
+  // bucket table, broadcast those 3 rows back, and run the exact ordered
+  // selection over the median bucket's rows ONLY (~1/|buckets| of the
+  // data). The oracle keeps the naive SQL — same selection, provably.
+  // --------------------------------------------------------------------
+  private val aggWeightedMedian = Op("agg_weighted_median",
+    """WITH r AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+      |    CAST(round(l_quantity) AS BIGINT) AS q, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, price, q,
+      |    SUM(q) OVER (PARTITION BY flag ORDER BY price, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(q) OVER (PARTITION BY flag) AS w
+      |  FROM r)
+      |SELECT flag, MIN(price) AS wmedian_price, MIN(w) AS total_weight
+      |FROM c WHERE 2 * cw >= w GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+    val r = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),
+        round(col("l_quantity")).cast("long").as("q"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bkt", floor(col("price") / lit(64.0)).cast("long"))
+    // phase 1: per-(flag, bucket) weights — the only fact-scale aggregate
+    val bw = r.groupBy("flag", "bkt").agg(sum("q").as("wb"))
+    // phase 2: median bucket per flag on the small bucket table; carry the
+    // cumulative weight BEFORE the bucket and the flag total
+    val bcum = Window.partitionBy("flag").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val btot = Window.partitionBy("flag")
+    val med = bw
+      .withColumn("cum", sum("wb").over(bcum))
+      .withColumn("w", sum("wb").over(btot))
+      .filter(lit(2) * col("cum") >= col("w"))
+      .groupBy(col("flag").as("mflag"))
+      .agg(min(struct(col("bkt").as("mbkt"),
+        (col("cum") - col("wb")).as("cum_before"), col("w").as("w"))).as("m"))
+      .select(col("mflag"), col("m.mbkt"), col("m.cum_before"), col("m.w"))
+    // phase 3: exact ordered selection over the median bucket's rows only
+    val inOrd = Window.partitionBy("flag")
+      .orderBy(col("price").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.join(broadcast(med), col("flag") === col("mflag") && col("bkt") === col("mbkt"))
+      .withColumn("cw", sum("q").over(inOrd) + col("cum_before"))
+      .filter(lit(2) * col("cw") >= col("w"))
+      .groupBy("flag")
+      .agg(min("price").as("wmedian_price"), min("w").as("total_weight"))
+      .orderBy("flag")
+  }
+
   val ops: Seq[Op] = Seq(
     aggCustomUdaf, aggMinmaxBy, aggHistogram,
     aggDistinct, aggApproxDistinct, aggSketchPartial, typedAgg, aggRollup,
@@ -688,7 +756,7 @@ object Aggregates {
     aggPivot, aggPercentile, aggPercentileApprox, quantileBin, aggCollect, aggStats,
     aggMode, aggFiltered, aggBitmapDistinct,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
-    winRollingMedian,
+    winRollingMedian, aggWeightedMedian,
     subqueryScalar,
   )
 }

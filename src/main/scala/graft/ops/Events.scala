@@ -770,8 +770,170 @@ object Events {
       .orderBy("bucket")
   }
 
+  // --------------------------------------------------------------------
+  // interval_merge — merge overlapping per-user intervals: each event
+  // opens an interval [ts, ts + props.k minutes] (props.k is the
+  // payload's duration field); touching/overlapping intervals of one
+  // user coalesce into islands (the booking/availability/coverage
+  // kernel, and the generalization of gap-based sessionization to
+  // events WITH duration). Same two-windows-one-shuffle shape as
+  // sessionize: island flag = start beyond the running max end over
+  // earlier intervals, island id = running sum of flags — both windows
+  // share the (user, start, event_id) sort. All arithmetic is int64
+  // epoch-µs. At 100 TB: one user-keyed exchange; per-user state is the
+  // running max end (one value), never a buffered interval set.
+  // --------------------------------------------------------------------
+  private val intervalMerge = Op("interval_merge",
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS sus,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + CAST(json_extract(props, '$.k') AS INT) * CAST(60000000 AS BIGINT) AS eus
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, sus, eus,
+      |    MAX(eus) OVER (PARTITION BY user_id ORDER BY sus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+      |  FROM iv),
+      |f AS (
+      |  SELECT user_id, event_id, sus, eus,
+      |    CASE WHEN mprev IS NULL OR sus > mprev THEN 1 ELSE 0 END AS flag
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, sus, eus,
+      |    SUM(flag) OVER (PARTITION BY user_id ORDER BY sus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |  MIN(sus) AS start_us, MAX(eus) AS end_us, COUNT(*) AS n_events
+      |FROM g GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin) { (s, d) =>
+    val ord = Window.partitionBy("user_id").orderBy(col("sus").asc, col("event_id").asc)
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sus = unix_micros(col("ts").cast("timestamp"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), sus.as("sus"),
+        (sus + get_json_object(col("props"), "$.k").cast("int") * lit(60000000L)).as("eus"))
+      .withColumn("mprev", max("eus").over(prior))
+      .withColumn("flag",
+        when(col("mprev").isNull || col("sus") > col("mprev"), 1).otherwise(0))
+      .withColumn("island", sum("flag").over(cum).cast("long"))
+      .groupBy("user_id", "island")
+      .agg(min("sus").as("start_us"), max("eus").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "island")
+  }
+
+  // --------------------------------------------------------------------
+  // rate_alert — activity-spike detection: per (user, hour) event count
+  // vs the user's trailing 24-CALENDAR-hour baseline, alert when the
+  // hour runs over 3× the baseline average. The baseline is a RANGE
+  // frame over the hour index, so missing (zero-activity) hours weigh
+  // in as zero instead of the frame silently stretching to the last 24
+  // OBSERVED hours — the sparse-series trap win_rolling_median's doc
+  // warns about. Alert arithmetic is all-integer (24·n > 3·prev_sum ⟺
+  // n > 3·prev_sum/24): no float threshold to diverge between engines.
+  // Cold start (no prior activity in range) is by definition not an
+  // alert. Scale: one (user, hour) map-side-combined aggregate, one
+  // user-keyed window over the AGGREGATED rows.
+  // --------------------------------------------------------------------
+  private val rateAlert = Op("rate_alert",
+    """WITH h AS (
+      |  SELECT user_id,
+      |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS hidx,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, hidx, n,
+      |    SUM(n) OVER (PARTITION BY user_id ORDER BY hidx
+      |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prev_sum
+      |  FROM h)
+      |SELECT user_id, CAST(hidx AS BIGINT) AS hidx, n,
+      |  COALESCE(prev_sum, 0) AS baseline_sum,
+      |  prev_sum IS NOT NULL AND 24 * n > 3 * prev_sum AS alert
+      |FROM b ORDER BY user_id, hidx""".stripMargin) { (s, d) =>
+    val base = Window.partitionBy("user_id").orderBy(col("hidx"))
+      .rangeBetween(-24, -1)
+    t(s, d, "events")
+      .groupBy(col("user_id"),
+        // integer division (`div`, not `/`): Column./ promotes to double
+        expr("unix_micros(cast(date_trunc('hour', ts) as timestamp)) div 3600000000")
+          .as("hidx"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_sum", sum("n").over(base))
+      .select(col("user_id"), col("hidx"), col("n"),
+        coalesce(col("prev_sum"), lit(0L)).as("baseline_sum"),
+        (col("prev_sum").isNotNull && lit(24) * col("n") > lit(3) * col("prev_sum"))
+          .as("alert"))
+      .orderBy("user_id", "hidx")
+  }
+
+  // --------------------------------------------------------------------
+  // win_ema — trailing exponentially-weighted moving average of the
+  // value series per user, with DYADIC weights (2^-lag over the last 8
+  // observations). The weight choice is the determinism trick: value is
+  // 2dp → integer cents, cents × powers of two and their sums are exact
+  // int64 arithmetic, and the single final divide is one correctly-
+  // rounded IEEE op on exactly-agreed integers — so the EMA is
+  // bit-identical on both engines and at ANY partitioning (a float
+  // alpha^k recurrence would accumulate engine/order-specific rounding,
+  // the same libm hazard tf_idf/lm_score avoid). Partial windows (first
+  // 7 rows of a user) renormalize over the weights present. One
+  // user-keyed window, 8 lag frames over one shared sort.
+  // --------------------------------------------------------------------
+  private val winEma = {
+    // weight for lag j is 2^(7-j); den counts 100× the present weights
+    // (cents → currency units)
+    val numSql = (0 to 7).map { j =>
+      val w = 1 << (7 - j)
+      if (j == 0) s"cents * $w"
+      else s"CASE WHEN lag(cents, $j) OVER w IS NULL THEN 0 ELSE lag(cents, $j) OVER w * $w END"
+    }.mkString(" + ")
+    val denSql = (0 to 7).map { j =>
+      val w = 1 << (7 - j)
+      if (j == 0) s"${w * 100}"
+      else s"CASE WHEN lag(cents, $j) OVER w IS NULL THEN 0 ELSE ${w * 100} END"
+    }.mkString(" + ")
+    Op("win_ema",
+      s"""WITH c AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |e AS (
+         |  SELECT event_id, user_id, value,
+         |    $numSql AS num,
+         |    $denSql AS den
+         |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id, value,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ema
+         |FROM e ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val lagged = (0 to 7).map { j =>
+        if (j == 0) col("cents") else lag("cents", j).over(w)
+      }
+      val num = (0 to 7).map { j =>
+        val wt = 1 << (7 - j)
+        if (j == 0) col("cents") * wt
+        else when(lagged(j).isNull, 0L).otherwise(lagged(j) * wt)
+      }.reduce(_ + _)
+      val den = (0 to 7).map { j =>
+        val wt = (1 << (7 - j)) * 100
+        if (j == 0) lit(wt.toLong)
+        else when(lagged(j).isNull, 0L).otherwise(lit(wt.toLong))
+      }.reduce(_ + _)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("num", num)
+        .withColumn("den", den)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("num").cast("double") / col("den").cast("double")).as("ema"))
+        .orderBy("event_id")
+    }
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
-    winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit)
+    winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
+    intervalMerge, rateAlert, winEma)
 }

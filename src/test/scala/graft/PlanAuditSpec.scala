@@ -445,6 +445,44 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 2
   }
 
+  test("interval_merge: both windows and the island aggregate ride ONE user-keyed exchange") {
+    val plan = planOf("interval_merge")
+    "Window".r.findAllIn(plan).size shouldBe 2
+    // running-max-end + island-sum windows share the (user, start) sort,
+    // and the per-island aggregate keeps the user partitioning — the
+    // only other exchange is the presentation sort's range partitioning
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should not include "SinglePartition"
+  }
+
+  test("win_ema: all 8 lag frames collapse into ONE window over one sort") {
+    val plan = planOf("win_ema")
+    "Window".r.findAllIn(plan).size shouldBe 1
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should not include "SinglePartition"
+  }
+
+  test("agg_weighted_median: fact-scale work is hash-aggregated; ordered windows see only bucket rows") {
+    val plan = planOf("agg_weighted_median")
+    // the fact table meets ONLY the (flag, bucket) partial+final hash
+    // aggregate and the broadcast median-bucket filter — the three
+    // windows (bucket cum, bucket total, in-bucket selection) run over
+    // the bucket table / one bucket's rows, never the whole fact
+    "HashAggregate".r.findAllIn(plan).size should be >= 4
+    "Window".r.findAllIn(plan).size shouldBe 3
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("rate_alert: baseline window runs over the AGGREGATED hourly rows, keyed on user") {
+    val plan = planOf("rate_alert")
+    "Window".r.findAllIn(plan).size shouldBe 1
+    // (user, hour) partial+final agg exchange + the user re-key for the
+    // 24h range frame — never a window over raw events
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+    plan should not include "SinglePartition"
+  }
+
   test("sql_passthrough: user SQL plans partial+final aggregation like the DataFrame path") {
     val plan = planOf("sql_passthrough")
     // the SQL front door must lose nothing: map-side combine on both

@@ -58,4 +58,34 @@ class StatsPlanningSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
   }
+
+  test("runtime bloom filter: a selective dim predicate injects might_contain into the fact side") {
+    // The row-level complement of join_dpp's partition-level pruning: when
+    // the fact is NOT partitioned on the join key, Spark can still build a
+    // bloom filter from the filtered dim side and semi-filter fact rows
+    // BEFORE the join shuffle — at 100 TB this is what keeps a selective
+    // dim join from shuffling the whole fact table. Local file sizes are
+    // far under the production thresholds, so the thresholds are lowered
+    // to let the optimizer make the same decision it would at scale
+    // (broadcast disabled: with a broadcast join Spark rightly skips the
+    // bloom — the hashed relation already filters at the join).
+    val dir = java.nio.file.Files.createTempDirectory("bloom_demo").toString
+    spark.range(1000000).select(col("id").as("k"), (col("id") % 97).as("m"))
+      .write.parquet(s"$dir/fact")
+    spark.range(10000).select(col("id").as("k"), (col("id") % 5).as("cat"))
+      .write.parquet(s"$dir/dim")
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB") {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("cat") === 0)
+      val plan = fact.join(dim, "k").groupBy("cat")
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      plan should include("might_contain") // the injected runtime filter probe
+      plan should include("bloom_filter_agg") // built from the filtered dim
+    }
+  }
 }

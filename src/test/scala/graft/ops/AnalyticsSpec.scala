@@ -254,4 +254,85 @@ class AnalyticsSpec extends SparkSpec {
     // all three classes occur (the fixture revenue is Pareto-ish enough)
     got.values.map(_._3).toSet shouldBe Set("A", "B", "C")
   }
+
+  test("interval_merge: islands recompute by a from-scratch sweep over each user's intervals") {
+    val raw = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")).collect()
+      .map(r => (nLong(r, 0), nLong(r, 1), epochUs(r.get(2)), r.getInt(3)))
+    val expect = raw.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val iv = evs.map { case (_, id, sus, k) => (sus, id, sus + k * 60000000L) }
+        .sortBy { case (sus, id, _) => (sus, id) }
+      // linear sweep: extend the island while start <= running max end
+      val islands = iv.foldLeft(List.empty[(Long, Long, Long)]) { // (start, maxEnd, n)
+        case ((s0, e0, n0) :: rest, (sus, _, eus)) if sus <= e0 =>
+          (s0, math.max(e0, eus), n0 + 1) :: rest
+        case (acc, (sus, _, eus)) => (sus, eus, 1L) :: acc
+      }.reverse
+      islands.zipWithIndex.map { case ((s0, e0, n0), i) =>
+        (u, (i + 1).toLong) -> ((s0, e0, n0))
+      }
+    }.toMap
+    val got = SparkEntry.queries("interval_merge")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    got shouldBe expect
+    // merging actually merged: some island holds more than one interval
+    got.values.exists(_._3 > 1) shouldBe true
+  }
+
+  test("rate_alert: baseline sums and alert flags recompute per calendar hour") {
+    val raw = Tables(spark, dir, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (nLong(r, 0), epochUs(r.get(1)) / 3600000000L))
+    val counts = raw.groupBy(identity).map { case ((u, h), xs) => (u, h) -> xs.length.toLong }
+    val expect = counts.map { case ((u, h), n) =>
+      val window = (h - 24L) to (h - 1L)
+      val present = window.flatMap(ph => counts.get((u, ph)))
+      val prev = if (present.isEmpty) None else Some(present.sum)
+      (u, h) -> ((n, prev.getOrElse(0L), prev.exists(p => 24 * n > 3 * p)))
+    }
+    val got = SparkEntry.queries("rate_alert")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    got shouldBe expect
+    got.values.exists(_._3) shouldBe true // spikes exist in the fixture
+  }
+
+  test("win_ema: the dyadic trailing average recomputes from integer cents") {
+    val raw = Tables(spark, dir, "events")
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (nLong(r, 0), nLong(r, 1), epochUs(r.get(2)), nDouble(r, 3)))
+    val expect = raw.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy { case (_, id, tus, _) => (tus, id) }
+        .map { case (_, id, _, v) => (id, math.round(v * 100)) }
+      ordered.zipWithIndex.map { case ((id, _), i) =>
+        val window = ordered.slice(math.max(0, i - 7), i + 1).reverse // j=0 first
+        val num = window.zipWithIndex.map { case ((_, c), j) => c * (1L << (7 - j)) }.sum
+        val den = window.indices.map(j => (1L << (7 - j)) * 100).sum
+        id -> num.toDouble / den.toDouble
+      }
+    }.toMap
+    val got = SparkEntry.queries("win_ema")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    got shouldBe expect
+  }
+
+  test("agg_weighted_median: the cumulative-weight selection recomputes per flag") {
+    val raw = Tables(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getString(0), nDouble(r, 1), math.round(nDouble(r, 2)),
+        nLong(r, 3), nLong(r, 4)))
+    val expect = raw.groupBy(_._1).map { case (flag, rows) =>
+      val ordered = rows.sortBy { case (_, p, _, ok, ln) => (p, ok, ln) }
+      val w = ordered.map(_._3).sum
+      var cw = 0L
+      val med = ordered.find { r => cw += r._3; 2 * cw >= w }.get._2
+      flag -> ((med, w))
+    }
+    val got = SparkEntry.queries("agg_weighted_median")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    got shouldBe expect
+  }
 }
