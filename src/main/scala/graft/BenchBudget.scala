@@ -67,6 +67,8 @@ object BenchBudget {
     "rate_alert" -> 2.13, // 3 x 0.71 s
     "win_ema" -> 1.97, // 3 x 0.66 s
     "agg_weighted_median" -> 4.11, // 3 x 1.37 s (bucketed two-phase selection)
+    "join_asof_nearest" -> 5.46, // 3 x 1.82 s warm sf0.1 (r9 continuation 2)
+    "rolling_active_users" -> 5.11, // 3 x 1.70 s
     "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,

@@ -780,15 +780,21 @@ object Events {
   // sessionize: island flag = start beyond the running max end over
   // earlier intervals, island id = running sum of flags — both windows
   // share the (user, start, event_id) sort. All arithmetic is int64
-  // epoch-µs. At 100 TB: one user-keyed exchange; per-user state is the
-  // running max end (one value), never a buffered interval set.
+  // epoch-µs. Zero-duration intervals (k = 0) cover nothing and are
+  // dropped BY CONTRACT on both engines — also exactly Spark's
+  // session_window rule (non-positive gaps are filtered), which is what
+  // lets the streaming twin (Streams.intervalMerge, dynamic-gap session
+  // windows) equal this op island-for-island. At 100 TB: one user-keyed
+  // exchange; per-user state is the running max end (one value), never
+  // a buffered interval set.
   // --------------------------------------------------------------------
   private val intervalMerge = Op("interval_merge",
     """WITH iv AS (
       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS sus,
       |    epoch_us(CAST(ts AS TIMESTAMP))
       |      + CAST(json_extract(props, '$.k') AS INT) * CAST(60000000 AS BIGINT) AS eus
-      |  FROM events),
+      |  FROM events
+      |  WHERE CAST(json_extract(props, '$.k') AS INT) >= 1),
       |m AS (
       |  SELECT user_id, event_id, sus, eus,
       |    MAX(eus) OVER (PARTITION BY user_id ORDER BY sus, event_id
@@ -810,9 +816,11 @@ object Events {
     val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sus = unix_micros(col("ts").cast("timestamp"))
+    val k = get_json_object(col("props"), "$.k").cast("int")
     t(s, d, "events")
+      .filter(k >= 1) // zero-duration intervals cover nothing (see above)
       .select(col("user_id"), col("event_id"), sus.as("sus"),
-        (sus + get_json_object(col("props"), "$.k").cast("int") * lit(60000000L)).as("eus"))
+        (sus + k * lit(60000000L)).as("eus"))
       .withColumn("mprev", max("eus").over(prior))
       .withColumn("flag",
         when(col("mprev").isNull || col("sus") > col("mprev"), 1).otherwise(0))
@@ -931,9 +939,46 @@ object Events {
     }
   }
 
+  // --------------------------------------------------------------------
+  // rolling_active_users — DAU + trailing-7-day active users per day
+  // (the DAU/WAU engagement pair): WAU(d) = distinct users active in
+  // [d-6, d]. Distinct-over-overlapping-windows doesn't decompose into
+  // partials, so the scalable exact shape is cover-explosion: dedup to
+  // (user, day) first (THE fact-scale reduction, map-side combinable),
+  // then explode each user-day into the ≤7 window days it covers,
+  // dedup (user, window-day), count. Bounded ×7 expansion of the
+  // ALREADY-DEDUPED rows — never a range self-join (quadratic in days)
+  // and never a distinct inside a sliding window frame (unbounded
+  // per-row state). Emitted only for days with activity.
+  // --------------------------------------------------------------------
+  private val rollingActiveUsers = Op("rolling_active_users",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cover AS (
+      |  SELECT DISTINCT user_id, day + k.k AS d
+      |  FROM ud CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) k(k)),
+      |act AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+      |SELECT act.day, act.dau, COUNT(*) AS wau
+      |FROM cover JOIN act ON cover.d = act.day
+      |GROUP BY act.day, act.dau ORDER BY act.day""".stripMargin) { (s, d) =>
+    val ud = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cover = ud
+      .select(col("user_id"), explode(expr("sequence(0, 6)")).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("d"))
+      .distinct()
+    val act = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    // act is |calendar days| rows — ALWAYS the broadcast side. Unhinted,
+    // the size estimator picked the cover side at small scale (7× the
+    // user-day count — the side that explodes with data volume).
+    cover.join(broadcast(act), cover("d") === act("day"))
+      .groupBy(col("day"), col("dau"))
+      .agg(count(lit(1)).as("wau"))
+      .orderBy("day")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
-    intervalMerge, rateAlert, winEma)
+    intervalMerge, rateAlert, winEma, rollingActiveUsers)
 }

@@ -591,6 +591,79 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "measure")
   }
 
+  // As-of join, NEAREST variant: match each error event to the closest
+  // same-user PURCHASE in time in EITHER direction (ties → the earlier /
+  // backward match) — the diagnostics / sensor-alignment join, where
+  // "latest before" (join_asof) is wrong for errors that precede the
+  // user's first purchase. Same union-tag one-shuffle plan as join_asof,
+  // with two frame directions over ONE sort: running last() for the
+  // backward candidate, first() from the current row forward for the
+  // forward candidate; the winner is picked row-locally by int64 µs
+  // distance. A purchase at the error's exact timestamp sorts before it
+  // (tag 0 < 1) and wins backward at distance 0. Oracle: two DuckDB
+  // ASOF joins (>= and <) + the same distance CASE — a structurally
+  // different formulation, so agreement is evidence, not tautology.
+  private val joinAsofNearest = Op("join_asof_nearest",
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id AS purchase_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |                             ORDER BY event_id DESC) = 1),
+      |err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      |b AS (
+      |  SELECT e.event_id, p.purchase_id AS bk, p.value AS bp,
+      |    epoch_us(e.ts) - epoch_us(p.ts) AS bd
+      |  FROM err e ASOF LEFT JOIN p
+      |    ON e.user_id = p.user_id AND e.ts >= p.ts),
+      |f AS (
+      |  SELECT e.event_id, p.purchase_id AS fk, p.value AS fp,
+      |    epoch_us(p.ts) - epoch_us(e.ts) AS fd
+      |  FROM err e ASOF LEFT JOIN p
+      |    ON e.user_id = p.user_id AND e.ts < p.ts)
+      |SELECT e.event_id, e.user_id,
+      |  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR bd <= fd) THEN bk ELSE fk END AS purchase_id,
+      |  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR bd <= fd) THEN bp ELSE fp END AS purchase_value,
+      |  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR bd <= fd) THEN 'back'
+      |       WHEN fk IS NOT NULL THEN 'fwd' END AS matched
+      |FROM err e
+      |LEFT JOIN b ON e.event_id = b.event_id
+      |LEFT JOIN f ON e.event_id = f.event_id
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val dedupW = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+    val p = ev.filter(col("event_type") === "purchase")
+      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1)
+    val tagged = p.select(col("user_id").as("k"), col("ts").as("tt"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        col("event_id").as("purchase_id"), col("value"))
+      .unionByName(ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("k"), col("ts").as("tt"),
+          lit(1).as("tag"), col("event_id"),
+          lit(null).cast("long").as("purchase_id"),
+          lit(null).cast("double").as("value")))
+    val ord = Window.partitionBy("k").orderBy(col("tt").asc, col("tag").asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tus = unix_micros(col("tt").cast("timestamp"))
+    val bWins = col("bk").isNotNull &&
+      (col("fk").isNull || col("bd") <= col("fd"))
+    tagged
+      .withColumn("bk", last(col("purchase_id"), ignoreNulls = true).over(back))
+      .withColumn("bp", last(col("value"), ignoreNulls = true).over(back))
+      .withColumn("bt", last(when(col("tag") === 0, col("tt")), ignoreNulls = true).over(back))
+      .withColumn("fk", first(col("purchase_id"), ignoreNulls = true).over(fwd))
+      .withColumn("fp", first(col("value"), ignoreNulls = true).over(fwd))
+      .withColumn("ft", first(when(col("tag") === 0, col("tt")), ignoreNulls = true).over(fwd))
+      .filter(col("tag") === 1)
+      .withColumn("bd", tus - unix_micros(col("bt").cast("timestamp")))
+      .withColumn("fd", unix_micros(col("ft").cast("timestamp")) - tus)
+      .select(col("event_id"), col("k").as("user_id"),
+        when(bWins, col("bk")).otherwise(col("fk")).as("purchase_id"),
+        when(bWins, col("bp")).otherwise(col("fp")).as("purchase_value"),
+        when(bWins, "back").when(col("fk").isNotNull, "fwd").as("matched"))
+      .orderBy("event_id")
+  }
+
   // R2 parity, end to end: the reference's extraction entry point takes
   // USER-TYPED SQL and executes it verbatim on the source engine
   // (reference src/etl/ETLProcess.java:84-86, run at :163-164). Here the
@@ -617,7 +690,8 @@ object Relational {
     Op("agg_group", aggGroupSql)(aggGroup), recursiveCte,
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
-    joinCross, joinTheta, joinAsof, joinAsofTolerance, joinRangeBucketed, joinNullsafe,
+    joinCross, joinTheta, joinAsof, joinAsofTolerance, joinAsofNearest,
+    joinRangeBucketed, joinNullsafe,
     sortMulti, limitTopk, limitOffset, limitKeyset, topkPerGroup,
     setUnion, setIntersect, setExcept, setUnionByname,
     subqueryExists, subqueryInNull, joinLateral, reshapeUnpivot, sqlPassthrough,

@@ -248,4 +248,29 @@ object Streams {
     incoming.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       graft.engine.Sources.jdbcUpsert(batch, cfg, table, keys, orderCol)
     }
+
+  /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
+    * windows — each event extends its session by its OWN duration
+    * (props.k minutes), so overlapping per-user intervals coalesce
+    * exactly like the batch islands. This is the session_window feature
+    * the fixed-gap twin ([[session]]) can't show: the gap is a per-row
+    * expression, not a constant. Boundary semantics: Spark merges
+    * sessions only on strict overlap (next start < current end), while
+    * the batch op also merges exact touches (start == end) — the parity
+    * drive asserts the fixture has no touch cases, making the outputs
+    * identical (and documenting the one boundary where they could
+    * differ). Watermark-expired session state is dropped as usual —
+    * bounded state on an unbounded stream. */
+  def intervalMerge(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    instantTs(events).withWatermark("ts", watermark)
+      // session_window silently filters non-positive gaps; the explicit
+      // predicate makes the zero-duration-drops-out contract visible and
+      // shared verbatim with the batch op
+      .filter(get_json_object(col("props"), "$.k").cast("int") >= 1)
+      .withColumn("gap",
+        concat(get_json_object(col("props"), "$.k").cast("int"), lit(" minutes")))
+      .groupBy(session_window(col("ts"), col("gap")), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"))
 }

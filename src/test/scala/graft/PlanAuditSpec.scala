@@ -483,6 +483,24 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "SinglePartition"
   }
 
+  test("join_asof_nearest: both direction frames share the union-tag exchange and sort") {
+    val plan = planOf("join_asof_nearest")
+    plan should include("Union")
+    // orders-dedup window + the three candidate-carry windows; only TWO
+    // hash exchanges in the whole plan (dedup key + union-tag key) — the
+    // backward and forward frames never pay a second shuffle or sort
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+    "Sort \\[".r.findAllIn(plan).size should be <= 4
+    plan should not include "SortMergeJoin"
+  }
+
+  test("rolling_active_users: the per-day table broadcasts; cover explosion is scan-stage") {
+    val plan = planOf("rolling_active_users")
+    plan should include("Generate") // explode(sequence(0,6)) — no range self-join
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("sql_passthrough: user SQL plans partial+final aggregation like the DataFrame path") {
     val plan = planOf("sql_passthrough")
     // the SQL front door must lose nothing: map-side combine on both

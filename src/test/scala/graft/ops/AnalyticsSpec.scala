@@ -260,6 +260,7 @@ class AnalyticsSpec extends SparkSpec {
       .select(col("user_id"), col("event_id"), col("ts"),
         get_json_object(col("props"), "$.k").cast("int").as("k")).collect()
       .map(r => (nLong(r, 0), nLong(r, 1), epochUs(r.get(2)), r.getInt(3)))
+      .filter(_._4 >= 1) // zero-duration intervals dropped by contract
     val expect = raw.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
       val iv = evs.map { case (_, id, sus, k) => (sus, id, sus + k * 60000000L) }
         .sortBy { case (sus, id, _) => (sus, id) }
@@ -316,6 +317,56 @@ class AnalyticsSpec extends SparkSpec {
     val got = SparkEntry.queries("win_ema")(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     got shouldBe expect
+  }
+
+  test("rolling_active_users: DAU and trailing-7-day WAU recompute from raw user-days") {
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => (nLong(r, 0), r.getAs[java.sql.Date](1).toLocalDate.toEpochDay))
+    val byDay = ud.groupBy(_._2)
+    val expect = byDay.map { case (d, xs) =>
+      val wau = ud.collect { case (u, ad) if ad >= d - 6 && ad <= d => u }.distinct.length
+      d -> ((xs.length.toLong, wau.toLong))
+    }
+    val got = SparkEntry.queries("rolling_active_users")(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date](0).toLocalDate.toEpochDay ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe expect
+    // WAU genuinely exceeds DAU somewhere (the window accumulates users)
+    got.values.exists { case (dau, wau) => wau > dau } shouldBe true
+  }
+
+  test("join_asof_nearest: the bidirectional nearest match recomputes per event") {
+    val all = Tables(spark, dir, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (nLong(r, 0), nLong(r, 1), epochUs(r.get(2)), r.getString(3), nDouble(r, 4)))
+    val orders = all.filter(_._4 == "purchase")
+      .map { case (id, u, tus, _, v) => (u, tus, id, v) }
+      .groupBy(r => (r._1, r._2)) // dedup (user, ts): keep max purchase id
+      .map(_._2.maxBy(_._3)).toSeq.groupBy(_._1)
+    val events = all.filter(_._4 == "error").map { case (id, u, tus, _, _) => (id, u, tus) }
+    val expect = events.map { case (id, u, tus) =>
+      val os = orders.getOrElse(u, Seq.empty)
+      val back = os.filter(_._2 <= tus).sortBy(o => (o._2, o._3)).lastOption
+      val fwd = os.filter(_._2 > tus).sortBy(o => (o._2, o._3)).headOption
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (tus - b._2 <= f._2 - tus) Some((b, "back")) else Some((f, "fwd"))
+        case (Some(b), None) => Some((b, "back"))
+        case (None, Some(f)) => Some((f, "fwd"))
+        case _ => None
+      }
+      id -> pick.map { case (o, dir0) => (o._3, o._4, dir0) }
+    }.toMap
+    val got = SparkEntry.queries("join_asof_nearest")(spark, dir).collect()
+      .map { r =>
+        val m = if (r.isNullAt(2)) None
+          else Some((r.getLong(2), r.getDouble(3), r.getString(4)))
+        r.getLong(0) -> m
+      }.toMap
+    got shouldBe expect
+    // both directions genuinely occur
+    got.values.flatten.map(_._3).toSet shouldBe Set("back", "fwd")
   }
 
   test("agg_weighted_median: the cumulative-weight selection recomputes per flag") {

@@ -462,4 +462,72 @@ class FileStreamParitySpec extends SparkSpec {
     streamed shouldBe batch
     streamed should not be empty
   }
+
+  test("file-source Streams.intervalMerge: dynamic-gap sessions equal the batch islands") {
+    import java.nio.file.{Files, Paths}
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // guard for the one boundary where Spark's session merge (strict
+    // overlap) and the batch op (touch merges too) could differ: assert
+    // the fixture has NO exact-touch interval boundary — with that, the
+    // two definitions provably coincide
+    val prior = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("sus").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touches = ev
+      .filter(get_json_object(col("props"), "$.k").cast("int") >= 1) // op contract
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("sus"),
+        (unix_micros(col("ts").cast("timestamp"))
+          + get_json_object(col("props"), "$.k").cast("int") * lit(60000000L)).as("eus"))
+      .withColumn("mprev", max("eus").over(prior))
+      .filter(col("sus") === col("mprev")).count()
+    touches shouldBe 0L
+    // time-ordered thirds + far-future sentinel (append mode only emits a
+    // session once the watermark proves it closed — same discipline as
+    // the fixed-gap session drive)
+    val cuts = ev.agg(percentile(unix_micros(col("ts").cast("timestamp")),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
+      .collect()(0).getSeq[Double](0).map(_.toLong)
+    val sentinel = ev.orderBy(col("ts").desc).limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", col("ts") + expr("INTERVAL 4 DAYS"))
+    val staged = Files.createTempDirectory("events_ivm_stream")
+    val chunks: Seq[DataFrame] = Seq(
+      ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
+        && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)),
+      sentinel)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"ivm_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.intervalMerge(stream)
+      .writeStream.format("memory").queryName("t_file_ivm")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 4
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .distinct.size should be >= 2
+      val streamed = canon(spark.table("t_file_ivm")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "start", "end", "n_events").collect())
+      val batch = graft.SparkEntry.queries("interval_merge")(spark, dir01)
+        .select("user_id", "start_us", "end_us", "n_events").collect()
+        .map(_.toSeq).toSet
+      streamed shouldBe batch // the oracle-checked batch islands, exactly
+      streamed should not be empty
+    } finally q.stop()
+  }
 }
