@@ -69,6 +69,9 @@ object BenchBudget {
     "agg_weighted_median" -> 4.11, // 3 x 1.37 s (bucketed two-phase selection)
     "join_asof_nearest" -> 5.46, // 3 x 1.82 s warm sf0.1 (r9 continuation 2)
     "rolling_active_users" -> 5.11, // 3 x 1.70 s
+    "oov_rate" -> 2.27, // 3 x 0.76 s
+    "corpus_gini" -> 1.69, // 3 x 0.56 s
+    "skyline_pareto" -> 2.18, // 3 x 0.73 s
     "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,

@@ -425,8 +425,10 @@ object Composite {
       |    SUM(revd) OVER (PARTITION BY n_name) AS totd
       |  FROM rev)
       |SELECT n_name, c_custkey, CAST(revd AS DOUBLE) AS revenue,
-      |  CAST(cumd AS DOUBLE) / CAST(totd AS DOUBLE) AS cum_share,
-      |  CASE WHEN CAST(cumd AS DOUBLE) / CAST(totd AS DOUBLE) <= 0.80 THEN 'A'
+      |  CASE WHEN totd = 0 THEN NULL
+      |       ELSE CAST(cumd AS DOUBLE) / CAST(totd AS DOUBLE) END AS cum_share,
+      |  CASE WHEN totd = 0 THEN 'C'
+      |       WHEN CAST(cumd AS DOUBLE) / CAST(totd AS DOUBLE) <= 0.80 THEN 'A'
       |       WHEN CAST(cumd AS DOUBLE) / CAST(totd AS DOUBLE) <= 0.95 THEN 'B'
       |       ELSE 'C' END AS abc
       |FROM cum ORDER BY n_name, c_custkey""".stripMargin) { (s, d) =>
@@ -439,17 +441,73 @@ object Composite {
       .orderBy(col("revd").desc, col("c_custkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = Window.partitionBy("n_name")
-    val share = col("cumd").cast("double") / col("totd").cast("double")
+    // guard the zero-total partition (ANSI divide throws, and a share of
+    // a zero pie is undefined): share NULL, class falls to the tail 'C'
+    // on both engines — the NullInputSpec sweep caught the unguarded form
+    val share = when(col("totd") === 0, lit(null).cast("double"))
+      .otherwise(col("cumd").cast("double") / col("totd").cast("double"))
     rev
       .withColumn("cumd", sum("revd").over(running))
       .withColumn("totd", sum("revd").over(total))
       .select(col("n_name"), col("c_custkey"),
         col("revd").cast("double").as("revenue"),
         share.as("cum_share"),
-        when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").as("abc"))
+        when(col("totd") === 0, "C")
+          .when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").as("abc"))
       .orderBy("n_name", "c_custkey")
   }
 
+  // --------------------------------------------------------------------
+  // skyline_pareto — the skyline (Pareto-front) query: customer profile
+  // points (f = order count, m = total spend) not dominated by any other
+  // point (f' ≥ f, m' ≥ m, strictly better in one) — the multi-criteria
+  // "best tradeoffs" query (best frequency-for-spend customers) that no
+  // single ORDER BY can express.
+  //
+  // Scale shape: dominance collapses per f-value first — only the max-m
+  // point of each f can survive — so the fact-scale work is two hash
+  // aggregates (customer profile, then per-f max). The skyline test is a
+  // running max over f DESCENDING on the per-f table, which is bounded
+  // by |distinct order counts| (dozens, a value-bounded domain like
+  // skew_report's top-25) — the ONE place a single-partition window is
+  // justified, and why this op scales even though skyline is famously
+  // quadratic in its naive form. Survivor points broadcast back to count
+  // the customers sitting exactly on the front. Oracle: NOT EXISTS
+  // dominance over the per-f maxima — the textbook quadratic definition,
+  // structurally unrelated to the running-max formulation.
+  // --------------------------------------------------------------------
+  private val skylinePareto = Op("skyline_pareto",
+    """WITH rev AS (
+      |  SELECT o_custkey, COUNT(*) AS f,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      |  FROM orders GROUP BY o_custkey),
+      |fm AS (SELECT f, MAX(m) AS mx FROM rev GROUP BY f),
+      |sky AS (
+      |  SELECT f, mx FROM fm a
+      |  WHERE NOT EXISTS (SELECT 1 FROM fm b
+      |                    WHERE b.f > a.f AND b.mx >= a.mx))
+      |SELECT s.f, CAST(s.mx AS DOUBLE) AS m, COUNT(*) AS n_customers
+      |FROM sky s JOIN rev r ON r.f = s.f AND r.m = s.mx
+      |GROUP BY s.f, s.mx ORDER BY s.f""".stripMargin) { (s, d) =>
+    val rev = t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m"))
+    val fm = rev.groupBy("f").agg(max("m").as("mx"))
+    // single-partition window: justified — fm is bounded by the distinct
+    // order-count domain (dozens of rows at ANY corpus size)
+    val higher = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = fm.withColumn("hmx", max("mx").over(higher))
+      .filter(col("hmx").isNull || col("hmx") < col("mx"))
+      .select(col("f").as("sf"), col("mx"))
+    rev.join(broadcast(sky), col("f") === col("sf") && col("m") === col("mx"))
+      .groupBy(col("f"), col("mx"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(col("f"), col("mx").cast("double").as("m"), col("n_customers"))
+      .orderBy("f")
+  }
+
   val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted, joinScd2Lookup,
-    graphTriangles, aggLinearFit, winPareto)
+    graphTriangles, aggLinearFit, winPareto, skylinePareto)
 }

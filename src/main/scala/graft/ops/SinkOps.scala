@@ -649,8 +649,13 @@ object SinkOps {
     val o = t(s, d, "orders").withColumn("y", year(col("o_orderdate")))
     o.write.partitionBy("y").parquet(root + "/fact")
     o.select("y").distinct().write.parquet(root + "/dim")
-    val fact = s.read.parquet(root + "/fact")
-    val dim = s.read.parquet(root + "/dim")
+    // explicit schemas on both read-backs: a zero-row partitioned write
+    // creates no partition directories and inference over the empty
+    // layout fails (sink_partitioned's lesson; EmptyInputSpec caught the
+    // inferring form here) — and inference is a needless listing pass
+    val fact = s.read.schema(o.schema).parquet(root + "/fact")
+    val dim = s.read.schema(org.apache.spark.sql.types.StructType.fromDDL("y INT"))
+      .parquet(root + "/dim")
       .filter(col("y") % 2 === 0).withColumnRenamed("y", "dy")
     fact.join(dim, fact("y") === dim("dy"))
       .groupBy(col("dy"))

@@ -483,6 +483,90 @@ object Text {
       .limit(50)
   }
 
+  // --------------------------------------------------------------------
+  // oov_rate — out-of-vocabulary rate per document against the corpus's
+  // own top-K term-frequency vocabulary: the coverage statistic that
+  // decides tokenizer vocab size and flags domain-mismatched docs. K is
+  // a config knob; 16 here because the fixture's whole vocabulary is 31
+  // words (a production corpus would use 32k-class sizes) — what matters
+  // is the SHAPE, and that the OOV mass is real (CurateSpec asserts it).
+  // OOV counting is int-exact; the rate is one IEEE divide of exact ints.
+  // Scale: the vocab is a TakeOrderedAndProject top-k (per-partition
+  // heaps — |vocab| rows shuffle, never the token stream) broadcast
+  // back over the per-doc token explode; one (doc, in-vocab) aggregate
+  // with map-side combine. Never a window, never a token-keyed shuffle.
+  // --------------------------------------------------------------------
+  private val oovRate = Op("oov_rate",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |vocab AS (
+      |  SELECT w FROM tok GROUP BY w
+      |  ORDER BY COUNT(*) DESC, w LIMIT 16)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  COUNT(*) FILTER (v.w IS NULL) AS n_oov,
+      |  CAST(COUNT(*) FILTER (v.w IS NULL) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+      |FROM tok t LEFT JOIN vocab v ON t.w = v.w
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val tok = t(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(16)
+      .select(col("w").as("vw"))
+    tok.join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("vw").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // corpus_gini — source-diversity per language: Gini impurity and the
+  // effective source count (1/Σ share²) of the per-language source
+  // distribution — the mixture-health metric behind "is this slice all
+  // one crawl?" curation checks. Entropy's ln() is a cross-engine libm
+  // hazard (the tf_idf/lm_score lesson); Gini needs only Σc² — kept
+  // EXACT in DECIMAL(38,0) (int64 c² overflows once a source holds >3B
+  // docs) — and one final IEEE divide of exactly-agreed decimals.
+  // Scale: two map-side-combinable hash aggregates, |langs × sources|
+  // then |langs| rows; nothing else moves.
+  // --------------------------------------------------------------------
+  private val corpusGini = Op("corpus_gini",
+    """WITH cs AS (
+      |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS t,
+      |    COUNT(*) AS n_sources,
+      |    SUM(CAST(c AS DECIMAL(38,0)) * c) AS sq
+      |  FROM cs GROUP BY lang)
+      |SELECT lang, t AS n_docs, n_sources,
+      |  (CAST(t AS DOUBLE) * CAST(t AS DOUBLE) - CAST(sq AS DOUBLE))
+      |    / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS gini,
+      |  CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(sq AS DOUBLE) AS effective_sources
+      |FROM g ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    // t and sq are EXACT aggregates (int64 / decimal); the ratio is then a
+    // fixed dag of IEEE ops on exactly-agreed operands — identical bits on
+    // both engines regardless of magnitude (t² in double rounds, but
+    // IDENTICALLY). Multiplying the decimals instead would trip DECIMAL(38)
+    // precision rules that differ by engine.
+    val cs = t(s, d, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val td = col("t").cast("double")
+    cs.groupBy("lang")
+      .agg(sum("c").cast("long").as("t"),
+        count(lit(1)).as("n_sources"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("sq"))
+      .select(col("lang"), col("t").as("n_docs"), col("n_sources"),
+        ((td * td - col("sq").cast("double")) / (td * td)).as("gini"),
+        (td * td / col("sq").cast("double")).as("effective_sources"))
+      .orderBy("lang")
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
-    textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur)
+    textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
+    oovRate, corpusGini)
 }

@@ -501,6 +501,25 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("oov_rate: the top-K vocab is a per-partition heap broadcast over the token stream") {
+    val plan = planOf("oov_rate")
+    plan should include("TakeOrderedAndProject") // vocab top-K, no global sort
+    plan should include("BroadcastHashJoin") // vocab probes map-side
+    plan should not include "SortMergeJoin" // the token stream never shuffles for the join
+  }
+
+  test("skyline_pareto: fact-scale work is aggregates + a broadcast of the front") {
+    val plan = planOf("skyline_pareto")
+    // two fact-scale hash aggs (customer profile partial+final, per-f max)
+    "HashAggregate".r.findAllIn(plan).size should be >= 4
+    plan should include("BroadcastHashJoin") // front points broadcast back
+    plan should not include "SortMergeJoin"
+    // the single-partition running-max window exists but ONLY over the
+    // value-bounded per-f table — asserted bounded by CurateSpec's
+    // brute-force equality; here we pin there is exactly one Window
+    "Window".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("sql_passthrough: user SQL plans partial+final aggregation like the DataFrame path") {
     val plan = planOf("sql_passthrough")
     // the SQL front door must lose nothing: map-side combine on both

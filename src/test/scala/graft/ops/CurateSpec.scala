@@ -559,6 +559,65 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("oov_rate: per-doc OOV counts recompute against the driver-built top-K vocab") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => nLong(r, 0) -> r.getString(1).split(" ", -1).toSeq)
+    val vocab = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => (w, xs.length) }.toSeq
+      .sortBy { case (w, n) => (-n, w) }.take(16).map(_._1).toSet
+    val expect = docs.map { case (id, ws) =>
+      val oov = ws.count(!vocab(_))
+      id -> ((ws.length.toLong, oov.toLong, oov.toDouble / ws.length.toDouble))
+    }.toMap
+    val got = SparkEntry.queries("oov_rate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe expect
+    got.values.exists(_._2 > 0) shouldBe true // OOV mass exists
+  }
+
+  test("corpus_gini: impurity and effective sources recompute from raw counts") {
+    val counts = graft.Tables(spark, dir, "documents")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case ((l, s), xs) => (l, s) -> xs.length.toLong }
+    val expect = counts.groupBy(_._1._1).map { case (lang, cs) =>
+      val t = cs.values.sum.toDouble
+      val sq = cs.values.map(c => BigDecimal(c) * BigDecimal(c)).sum.toDouble
+      lang -> ((cs.values.sum, cs.size.toLong, (t * t - sq) / (t * t), t * t / sq))
+    }
+    val got = SparkEntry.queries("corpus_gini")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    got shouldBe expect
+    // diversity is real: every language draws from more than one source
+    got.values.foreach { case (_, nSrc, gini, eff) =>
+      nSrc should be > 1L
+      gini should be > 0.0
+      eff should be > 1.0
+    }
+  }
+
+  test("skyline_pareto: the front equals brute-force dominance over customer profiles") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val pts = graft.Tables(spark, dir, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => nLong(r, 0) -> new JBD(nDouble(r, 1)).setScale(2, RoundingMode.HALF_UP))
+      .groupBy(_._1).values
+      .map(xs => (xs.length.toLong, xs.map(_._2).reduce(_ add _))).toSeq
+    def dominates(a: (Long, JBD), b: (Long, JBD)): Boolean =
+      a._1 >= b._1 && a._2.compareTo(b._2) >= 0 &&
+        (a._1 > b._1 || a._2.compareTo(b._2) > 0)
+    val front = pts.filter(p => !pts.exists(q => dominates(q, p)))
+    val expect = front.groupBy(identity)
+      .map { case ((f, m), xs) => (f, m.doubleValue) -> xs.length.toLong }
+    val got = SparkEntry.queries("skyline_pareto")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    got shouldBe expect
+    got.size should be > 1 // a front, not a single maximum
+  }
+
   test("fn_encode: codecs match the JDK reference and both decode legs round-trip") {
     import java.nio.charset.StandardCharsets.UTF_8
     val rows = SparkEntry.queries("fn_encode")(spark, dir).collect()
