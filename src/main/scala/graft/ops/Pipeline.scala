@@ -457,7 +457,35 @@ object Pipeline {
       .orderBy("lang", "doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // sample_weighted — Bernoulli sampling with per-doc inclusion
+  // probability ∝ document length (longer docs carry more training
+  // signal; the importance-sampling knob next to sample_stratified's
+  // per-class rates). p = min(n_chars·10, 8000) basis points of 10000
+  // (fixture docs run 48-553 chars → 5-80% keep rates),
+  // decided by the salted 60-bit hash — deterministic across engines /
+  // partitionings / retries, auditable after the fact (p rides along).
+  // The exact-size weighted variant (A-ES keys h^(1/w)) is deliberately
+  // NOT used: pow() is libm, not correctly rounded, so its keys differ
+  // across engines — the Bernoulli form needs only integer compares.
+  // Pure scan-stage predicate: free at any scale.
+  // --------------------------------------------------------------------
+  private val sampleWeighted = Op("sample_weighted",
+    s"""SELECT doc_id, n_chars,
+       |  LEAST(n_chars * 10, 8000) AS p_bp
+       |FROM documents
+       |WHERE ${h60Sql("concat('wsamp:', CAST(doc_id AS VARCHAR))")} % 10000
+       |      < LEAST(n_chars * 10, 8000)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pBp = least(col("n_chars") * 10, lit(8000))
+    t(s, d, "documents")
+      .filter(h60(concat(lit("wsamp:"), col("doc_id").cast("string"))) % 10000 < pBp)
+      .select(col("doc_id"), col("n_chars"), pBp.as("p_bp"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
-    interleaveSources, corpusShuffle, sampleHash, featureScale, sampleBalance)
+    interleaveSources, corpusShuffle, sampleHash, featureScale, sampleBalance,
+    sampleWeighted)
 }

@@ -112,4 +112,26 @@ class PipelineSpec extends SparkSpec {
     // and the cap binds (some language was actually downsampled)
     raw.groupBy(_._2).values.map(_.length).max should be > k
   }
+
+  test("sample_weighted: membership recomputes from the hash and the length-derived rate") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (nLong(r, 0), nLong(r, 1)))
+    val expect = raw.flatMap { case (id, nc) =>
+      val p = math.min(nc * 10, 8000L)
+      if (h60(s"wsamp:$id") % 10000 < p) Some(id -> ((nc, p))) else None
+    }.toMap
+    val got = graft.SparkEntry.queries("sample_weighted")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe expect
+    // the weighting is real: kept docs are longer on average than the corpus
+    val kept = got.values.map(_._1)
+    kept.sum.toDouble / kept.size should be >
+      raw.map(_._2).sum.toDouble / raw.length
+  }
 }
