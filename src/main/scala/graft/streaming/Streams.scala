@@ -249,6 +249,72 @@ object Streams {
       graft.engine.Sources.jdbcUpsert(batch, cfg, table, keys, orderCol)
     }
 
+  /** Streaming twin of the batch time_ohlc op: daily OHLC bars per event
+    * type as ONE streaming aggregate — the struct-extreme open/close
+    * trick carries over verbatim (min/max state over (ts, event_id,
+    * value) structs is per-group constant size), so the bar state is
+    * |days × types| rows and append mode emits each bar exactly once,
+    * when the watermark closes its day. */
+  def ohlc(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    instantTs(events).withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"),
+        graft.ops.dsum(col("value")).as("volume"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"), col("volume"))
+
+  /** One micro-batch's (user, hour) counts — the algebraic partial the
+    * rate-alert state merges (twin of the batch rate_alert's aggregate
+    * stage; same integer hour index). */
+  private[streaming] def hourCounts(batch: DataFrame): DataFrame =
+    instantTs(batch)
+      .groupBy(col("user_id"),
+        expr("unix_micros(cast(date_trunc('hour', ts) as timestamp)) div 3600000000")
+          .as("hidx"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge a batch's hourly count partials into the (user, hidx, n)
+    * state — counts are algebraic, so merge = SUM on the key. Same
+    * exactly-once caveat as [[topkMergeCounts]]. */
+  def rateAlertMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.as("s"); val d = delta.as("d")
+    s.join(d, col("s.user_id") === col("d.user_id")
+        && col("s.hidx") === col("d.hidx"), "full_outer")
+      .select(coalesce(col("d.user_id"), col("s.user_id")).as("user_id"),
+        coalesce(col("d.hidx"), col("s.hidx")).as("hidx"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"))
+  }
+
+  /** foreachBatch fold for the rate-alert state (twin of the batch
+    * rate_alert op): state is bounded by |users × active hours|, never
+    * stream volume; [[rateAlertView]] computes the alerts over it. */
+  def rateAlertSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(rateAlertMerge(readState(), hourCounts(batch)))
+    }
+
+  /** Read side of [[rateAlertSink]]: the trailing-24-calendar-hour
+    * baseline compare over the bounded count state — the same RANGE
+    * frame and integer threshold as the batch op. */
+  def rateAlertView(state: DataFrame): DataFrame = {
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("hidx")).rangeBetween(-24, -1)
+    state.withColumn("prev_sum", sum("n").over(base))
+      .select(col("user_id"), col("hidx"), col("n"),
+        coalesce(col("prev_sum"), lit(0L)).as("baseline_sum"),
+        (col("prev_sum").isNotNull && lit(24) * col("n") > lit(3) * col("prev_sum"))
+          .as("alert"))
+  }
+
   /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
     * windows — each event extends its session by its OWN duration
     * (props.k minutes), so overlapping per-user intervals coalesce

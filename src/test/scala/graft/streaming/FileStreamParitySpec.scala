@@ -463,6 +463,104 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source Streams.ohlc: daily bars emitted on watermark close equal the batch bars") {
+    import java.nio.file.{Files, Paths}
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    val cuts = ev.agg(percentile(unix_micros(col("ts").cast("timestamp")),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("qs"))
+      .collect()(0).getSeq[Double](0).map(_.toLong)
+    // sentinel in its own far-future day AND a marker type, so its bar is
+    // identifiable; its arrival closes every real day's bars
+    val sentinel = ev.orderBy(col("ts").desc).limit(1)
+      .withColumn("event_type", lit("zzz_sentinel"))
+      .withColumn("ts", col("ts") + expr("INTERVAL 3 DAYS"))
+    val staged = Files.createTempDirectory("events_ohlc_stream")
+    val chunks: Seq[DataFrame] = Seq(
+      ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
+        && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)),
+      sentinel)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"ohlc_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.ohlc(stream)
+      .writeStream.format("memory").queryName("t_file_ohlc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 4
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .distinct.size should be >= 2
+      val streamed = canon(spark.table("t_file_ohlc")
+        .filter(col("event_type") =!= "zzz_sentinel").collect())
+      // batch twin's DateType day → midnight instant, matching window.start
+      val batch = canon(
+        graft.SparkEntry.queries("time_ohlc")(spark, dir01)
+          .select(col("day").cast("timestamp").as("ws"), col("event_type"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("n"), col("volume")).collect())
+      streamed shouldBe batch
+      streamed should not be empty
+    } finally q.stop()
+  }
+
+  test("file-source rate-alert sink: hourly-count fold over hash-split batches equals the batch op") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.StructType
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    val staged = Files.createTempDirectory("events_rate_stream")
+    // hash-split chunks: hourly counts are algebraic, delivery order must
+    // wash out (same discipline as the top-k drive)
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"rate_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    val stateRoot = Files.createTempDirectory("rate_state").toString
+    val stateSchema = StructType.fromDDL("user_id BIGINT, hidx BIGINT, n BIGINT")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+      .write.parquet(s"$stateRoot/v0")
+    var v = 0
+    def readState(): DataFrame = spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.rateAlertSink(stream)(readState _)(writeState)
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+    v should be >= 3
+    val streamed = graft.streaming.Streams.rateAlertView(readState())
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("rate_alert")(spark, dir01)
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source Streams.intervalMerge: dynamic-gap sessions equal the batch islands") {
     import java.nio.file.{Files, Paths}
     val dir01 = "/root/testdata/sf0.01"
