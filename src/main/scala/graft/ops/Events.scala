@@ -976,9 +976,106 @@ object Events {
       .orderBy("day")
   }
 
+  // --------------------------------------------------------------------
+  // time_weighted_avg — the telemetry TWA: each reading holds until the
+  // next one, so its weight is its holding DURATION, not 1 (the gauge
+  // statistic a plain avg gets wrong on irregular sampling; win_ema is
+  // the decay-weighted cousin). All-exact arithmetic: durations are
+  // int64 µs from lead(), value is integer cents, the weighted sum
+  // accumulates in DECIMAL(38,0) (cents × month-µs × many events passes
+  // int64), and the TWA is a fixed dag of IEEE ops on exactly-agreed
+  // aggregates. A user whose intervals all have zero duration (all
+  // events at one instant) has no defined TWA → NULL, guarded on both
+  // engines (the ANSI divide-by-zero lesson from win_pareto). One
+  // user-keyed window + one map-side-combinable aggregate.
+  // --------------------------------------------------------------------
+  private val timeWeightedAvg = Op("time_weighted_avg",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, cents,
+      |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, COUNT(*) AS n_intervals,
+      |    CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+      |    SUM(CAST(cents AS DECIMAL(38,0)) * dur) AS wsum
+      |  FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_intervals, total_dur_us,
+      |  CASE WHEN total_dur_us = 0 THEN NULL
+      |       ELSE CAST(wsum AS DOUBLE) / CAST(total_dur_us AS DOUBLE) / 100 END AS twa
+      |FROM g ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dur",
+        unix_micros(lead("ts", 1).over(w).cast("timestamp"))
+          - unix_micros(col("ts").cast("timestamp")))
+      .filter(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dur").cast("long").as("total_dur_us"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("dur")).as("wsum"))
+      .select(col("user_id"), col("n_intervals"), col("total_dur_us"),
+        when(col("total_dur_us") === 0, lit(null).cast("double"))
+          .otherwise(col("wsum").cast("double") / col("total_dur_us").cast("double") / 100)
+          .as("twa"))
+      .orderBy("user_id")
+  }
+
+  // --------------------------------------------------------------------
+  // cohort_ltv — retention_cohort's revenue twin: users grouped by
+  // first-active week, value summed per (cohort, week offset), plus the
+  // CUMULATIVE revenue curve per cohort (the LTV chart every growth
+  // dashboard draws). Offsets are exact integer week arithmetic on
+  // epoch-µs (date_diff('week') counts boundary crossings differently
+  // per engine — avoided). Scale: first-week min + (cohort, offset)
+  // sum both map-side-combine; the cumulative window runs over the
+  // |cohorts × offsets| table (calendar-bounded, tiny at any volume).
+  // --------------------------------------------------------------------
+  private val cohortLtv = Op("cohort_ltv",
+    """WITH fw AS (
+      |  SELECT user_id,
+      |    MIN(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cw
+      |  FROM events GROUP BY user_id),
+      |j AS (
+      |  SELECT fw.cw,
+      |    (epoch_us(date_trunc('week', CAST(e.ts AS TIMESTAMP))) - epoch_us(fw.cw))
+      |      // 604800000000 AS off,
+      |    CAST(e.value AS DECIMAL(18,2)) AS v
+      |  FROM events e JOIN fw ON e.user_id = fw.user_id),
+      |g AS (SELECT cw, off, SUM(v) AS rev FROM j GROUP BY cw, off)
+      |SELECT CAST(cw AS TIMESTAMP) AS cohort_week, off,
+      |  CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(SUM(rev) OVER (PARTITION BY cw ORDER BY off
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+      |FROM g ORDER BY cohort_week, off""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val ev = t(s, d, "events")
+    val fw = ev.groupBy("user_id")
+      .agg(min(date_trunc("week", col("ts"))).as("cw"))
+    val cum = Window.partitionBy("cw").orderBy("off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(fw, "user_id")
+      .select(col("cw"),
+        ((unix_micros(date_trunc("week", col("ts")).cast("timestamp"))
+          - unix_micros(col("cw").cast("timestamp"))) / lit(604800000000L))
+          .cast("long").as("off"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy("cw", "off").agg(sum("v").as("rev"))
+      .select(col("cw").as("cohort_week"), col("off"),
+        col("rev").cast("double").as("revenue"),
+        sum("rev").over(cum).cast("double").as("cum_revenue"))
+      .orderBy("cohort_week", "off")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
-    intervalMerge, rateAlert, winEma, rollingActiveUsers)
+    intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv)
 }

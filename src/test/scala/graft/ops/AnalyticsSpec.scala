@@ -369,6 +369,64 @@ class AnalyticsSpec extends SparkSpec {
     got.values.flatten.map(_._3).toSet shouldBe Set("back", "fwd")
   }
 
+  test("time_weighted_avg: the duration-weighted mean recomputes from integer cents and µs") {
+    val raw = Tables(spark, dir, "events")
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (nLong(r, 0), nLong(r, 1), epochUs(r.get(2)), nDouble(r, 3)))
+    val expect = raw.groupBy(_._1).flatMap { case (u, evs) =>
+      val ordered = evs.sortBy { case (_, id, tus, _) => (tus, id) }
+      val ivs = ordered.zip(ordered.tail).map { case ((_, _, t0, v), (_, _, t1, _)) =>
+        (math.round(v * 100), t1 - t0)
+      }
+      if (ivs.isEmpty) None
+      else {
+        val tot = ivs.map(_._2).sum
+        val wsum = ivs.map { case (c, dd) => BigDecimal(c) * BigDecimal(dd) }.sum
+        val twa = if (tot == 0) None
+          else Some(wsum.toDouble / tot.toDouble / 100)
+        Some(u -> ((ivs.length.toLong, tot, twa)))
+      }
+    }
+    val got = SparkEntry.queries("time_weighted_avg")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    got shouldBe expect
+    got.values.forall(_._3.isDefined) shouldBe true // fixture has real durations
+  }
+
+  test("cohort_ltv: per-cohort revenue curve recomputes and is cumulative") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val weekUs = 604800000000L
+    // Monday-start week truncation on epoch-µs (1970-01-01 was a Thursday
+    // → shift by 3 days before flooring)
+    def weekStart(tus: Long): Long = {
+      val shift = 3L * 86400000000L
+      ((tus + shift) / weekUs) * weekUs - shift
+    }
+    val raw = Tables(spark, dir, "events")
+      .select("user_id", "ts", "value").collect()
+      .map(r => (nLong(r, 0), epochUs(r.get(1)), nDouble(r, 2)))
+    val firstWeek = raw.groupBy(_._1).map { case (u, evs) =>
+      u -> evs.map(e => weekStart(e._2)).min
+    }
+    val rev = raw.groupBy { case (u, tus, _) =>
+      (firstWeek(u), (weekStart(tus) - firstWeek(u)) / weekUs)
+    }.map { case (k, evs) =>
+      k -> evs.map(e => new JBD(e._3).setScale(2, RoundingMode.HALF_UP)).reduce(_ add _)
+    }
+    val expect = rev.groupBy(_._1._1).flatMap { case (cw, offs) =>
+      val ordered = offs.toSeq.sortBy(_._1._2)
+      ordered.scanLeft(new JBD(0)) { case (c, (_, r)) => c add r }.tail
+        .zip(ordered).map { case (cum, ((_, off), r)) =>
+          (cw, off) -> ((r.doubleValue, cum.doubleValue))
+        }
+    }
+    val got = SparkEntry.queries("cohort_ltv")(spark, dir).collect()
+      .map(r => (epochUs(r.get(0)), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    got shouldBe expect
+  }
+
   test("agg_weighted_median: the cumulative-weight selection recomputes per flag") {
     val raw = Tables(spark, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice", "l_quantity",
