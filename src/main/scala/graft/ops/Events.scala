@@ -1073,9 +1073,38 @@ object Events {
       .orderBy("cohort_week", "off")
   }
 
+  // --------------------------------------------------------------------
+  // activity_profile — the hour-of-week load matrix: event share per
+  // (ISO day-of-week × hour-of-day) in integer basis points — the
+  // capacity-planning / anomaly-baseline profile behind every traffic
+  // dashboard. Day-of-week numbering is the cross-engine trap: Spark's
+  // dayofweek() is Sunday=1 while DuckDB's dayofweek() is Sunday=0 —
+  // both sides use the ISO convention instead (Spark weekday()+1 ==
+  // DuckDB isodow(), Monday=1). Shares are integer division (n·10⁴ div
+  // total) — no float. One map-side-combining aggregate to ≤168 rows;
+  // the share window runs over that bounded matrix only.
+  // --------------------------------------------------------------------
+  private val activityProfile = Op("activity_profile",
+    """WITH a AS (
+      |  SELECT isodow(CAST(ts AS TIMESTAMP)) AS dow,
+      |    hour(CAST(ts AS TIMESTAMP)) AS hod, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT dow, hod, n, n * 10000 // SUM(n) OVER () AS share_bp
+      |FROM a ORDER BY dow, hod""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy((expr("weekday(ts)") + 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(Window.partitionBy()))
+      .withColumn("share_bp", expr("n * 10000 div total"))
+      .select("dow", "hod", "n", "share_bp")
+      .orderBy("dow", "hod")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
-    intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv)
+    intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
+    activityProfile)
 }

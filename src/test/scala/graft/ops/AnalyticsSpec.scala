@@ -427,6 +427,23 @@ class AnalyticsSpec extends SparkSpec {
     got shouldBe expect
   }
 
+  test("activity_profile: the hour-of-week matrix recomputes with ISO day numbering") {
+    val raw = Tables(spark, dir, "events").select("ts").collect()
+      .map { r =>
+        val tus = epochUs(r.get(0))
+        val days = tus / 86400000000L
+        (((days + 3) % 7 + 1), tus % 86400000000L / 3600000000L) // epoch day 0 = Thursday
+      }
+    val total = raw.length.toLong
+    val expect = raw.groupBy(identity).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.length.toLong * 10000 / total))
+    }
+    val got = SparkEntry.queries("activity_profile")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    got shouldBe expect
+    got.keys.map(_._1).toSet shouldBe (1L to 7L).toSet // all ISO days present
+  }
+
   test("agg_weighted_median: the cumulative-weight selection recomputes per flag") {
     val raw = Tables(spark, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice", "l_quantity",
