@@ -76,6 +76,7 @@ object BenchBudget {
     "time_weighted_avg" -> 2.64, // 3 x 0.88 s
     "cohort_ltv" -> 4.14, // 3 x 1.38 s
     "activity_profile" -> 1.73, // 3 x 0.58 s
+    "join_interval_overlap" -> 3.44, // 3 x 1.15 s
     "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,

@@ -664,6 +664,56 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // Interval-overlap join with BOTH sides unbounded — join_range_bucketed's
+  // two-sided sibling (there, one side is a fixed band table): every
+  // (error-window, purchase-window) pair of the same user whose intervals
+  // [ts, ts + props.k min] genuinely overlap — the incident-correlation
+  // join ("which purchases ran inside an error window"). A naive theta
+  // join is quadratic per user; the scalable rewrite assigns each
+  // interval to its covering fixed-width time buckets (width = the max
+  // interval length, so each interval spans ≤ 2 buckets) and equi-joins
+  // on (user, bucket) with the exact overlap predicate as residual —
+  // candidate pairs are bounded by per-bucket occupancy, never per-user
+  // row counts. Bucket duplication is removed by DISTINCT on the pair.
+  // Overlap length is int64 µs. Oracle: the direct (unbucketed) range
+  // join — DuckDB's optimizer handles it at test scale, and it is
+  // formulation-independent evidence the bucketing loses nothing.
+  private val joinIntervalOverlap = Op("join_interval_overlap",
+    """WITH iv AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + CAST(json_extract(props, '$.k') AS INT) * CAST(60000000 AS BIGINT) AS e
+      |  FROM events
+      |  WHERE CAST(json_extract(props, '$.k') AS INT) >= 1)
+      |SELECT a.event_id AS error_id, b.event_id AS purchase_id,
+      |  LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+      |FROM iv a JOIN iv b
+      |  ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+      |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+      |ORDER BY error_id, purchase_id""".stripMargin) { (s, d) =>
+    val BucketUs = 100L * 60 * 1000000 // = the max interval length (k <= 100 min)
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val sus = unix_micros(col("ts").cast("timestamp"))
+    def side(tpe: String, pfx: String) =
+      t(s, d, "events")
+        .filter(col("event_type") === tpe && k >= 1)
+        .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_u"),
+          sus.as(s"${pfx}_s"), (sus + k * lit(60000000L)).as(s"${pfx}_e"))
+        .withColumn("bkt", explode(expr(
+          // integer div (Column./ promotes to double); span <= 2 buckets
+          s"sequence(${pfx}_s div $BucketUs, (${pfx}_e - 1) div $BucketUs)")))
+    val a = side("error", "a")
+    val b = side("purchase", "b")
+    a.join(b, col("a_u") === col("b_u") && a("bkt") === b("bkt")
+        && col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a_id").as("error_id"), col("b_id").as("purchase_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_us"))
+      .distinct() // an overlapping pair can meet in both covering buckets
+      .orderBy("error_id", "purchase_id")
+  }
+
   // R2 parity, end to end: the reference's extraction entry point takes
   // USER-TYPED SQL and executes it verbatim on the source engine
   // (reference src/etl/ETLProcess.java:84-86, run at :163-164). Here the
@@ -691,7 +741,7 @@ object Relational {
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     joinCross, joinTheta, joinAsof, joinAsofTolerance, joinAsofNearest,
-    joinRangeBucketed, joinNullsafe,
+    joinRangeBucketed, joinIntervalOverlap, joinNullsafe,
     sortMulti, limitTopk, limitOffset, limitKeyset, topkPerGroup,
     setUnion, setIntersect, setExcept, setUnionByname,
     subqueryExists, subqueryInNull, joinLateral, reshapeUnpivot, sqlPassthrough,

@@ -520,6 +520,17 @@ class PlanAuditSpec extends SparkSpec {
     "Window".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("join_interval_overlap: candidates form via an equi-join on (user, bucket), never a theta join") {
+    val plan = planOf("join_interval_overlap")
+    // the overlap predicate rides as a RESIDUAL on a hash-able equi-join;
+    // a naive formulation would plan BroadcastNestedLoopJoin here
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("Generate") // the <=2-bucket cover explode
+    (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin")) shouldBe true
+  }
+
   test("sql_passthrough: user SQL plans partial+final aggregation like the DataFrame path") {
     val plan = planOf("sql_passthrough")
     // the SQL front door must lose nothing: map-side combine on both

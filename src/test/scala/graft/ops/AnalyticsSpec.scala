@@ -444,6 +444,27 @@ class AnalyticsSpec extends SparkSpec {
     got.keys.map(_._1).toSet shouldBe (1L to 7L).toSet // all ISO days present
   }
 
+  test("join_interval_overlap: pairs equal brute-force overlap over all interval pairs") {
+    val iv = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")).collect()
+      .filter(r => r.getInt(4) >= 1)
+      .map { r =>
+        val s = epochUs(r.get(3))
+        (nLong(r, 0), nLong(r, 1), r.getString(2), s, s + r.getInt(4) * 60000000L)
+      }
+    val errs = iv.filter(_._3 == "error")
+    val purch = iv.filter(_._3 == "purchase")
+    val expect = (for {
+      a <- errs; b <- purch
+      if a._2 == b._2 && a._4 < b._5 && b._4 < a._5
+    } yield (a._1, b._1) -> (math.min(a._5, b._5) - math.max(a._4, b._4))).toMap
+    val got = SparkEntry.queries("join_interval_overlap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe expect
+    got should not be empty
+  }
+
   test("agg_weighted_median: the cumulative-weight selection recomputes per flag") {
     val raw = Tables(spark, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice", "l_quantity",
