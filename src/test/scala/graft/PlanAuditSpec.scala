@@ -531,6 +531,27 @@ class PlanAuditSpec extends SparkSpec {
       || plan.contains("BroadcastHashJoin")) shouldBe true
   }
 
+  test("time_weighted_avg: lead window and per-user aggregate share ONE user-keyed exchange") {
+    val plan = planOf("time_weighted_avg")
+    "Window".r.findAllIn(plan).size shouldBe 1
+    // the groupBy(user) after the window reuses the window's partitioning
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should not include "SinglePartition"
+  }
+
+  test("cohort_ltv: one cumulative window over the bounded cohort matrix; all joins hash") {
+    val plan = planOf("cohort_ltv")
+    "Window".r.findAllIn(plan).size shouldBe 1
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("activity_profile: fact-scale work is the partial+final agg; the window sees <=168 rows") {
+    val plan = planOf("activity_profile")
+    "HashAggregate".r.findAllIn(plan).size shouldBe 2
+    "Window".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("sql_passthrough: user SQL plans partial+final aggregation like the DataFrame path") {
     val plan = planOf("sql_passthrough")
     // the SQL front door must lose nothing: map-side combine on both
