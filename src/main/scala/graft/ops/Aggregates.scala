@@ -499,6 +499,68 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------------
+  // agg_moments — agg_stats' higher-moment sibling: skewness and excess
+  // kurtosis of quantity per return flag, from EXACT integer power sums
+  // (quantity is integral by fixture contract: q⁴ sums stay far inside
+  // int64, so S1..S4 are order-independent and engine-identical), with
+  // the central-moment combination spelled as ONE identical IEEE dag on
+  // both engines (sqrt is correctly rounded; a running float moment
+  // accumulation would be combine-order-dependent at 100 TB). Native
+  // skewness()/kurtosis() are float-accumulating for exactly that
+  // reason — not used. Degenerate groups (zero variance) yield NULL via
+  // nullif, not an ANSI divide error. One map-side-combining aggregate.
+  // --------------------------------------------------------------------
+  private val aggMoments = Op("agg_moments",
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(q) AS s1, SUM(q*q) AS s2, SUM(q*q*q) AS s3, SUM(q*q*q*q) AS s4
+      |  FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(s1 AS DOUBLE) / n AS mean,
+      |    CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+      |    CAST(s3 AS DOUBLE) / n
+      |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      |      + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m3,
+      |    CAST(s4 AS DOUBLE) / n
+      |      - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+      |      + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |          * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+      |  FROM s)
+      |SELECT l_returnflag, n, mean,
+      |  m3 / nullif(m2 * sqrt(m2), 0) AS skewness,
+      |  m4 / nullif(m2 * m2, 0) - 3 AS kurtosis
+      |FROM d ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val q = round(col("l_quantity")).cast("long")
+    val sums = t(s, d, "lineitem")
+      .select(col("l_returnflag"), q.as("q"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("q").as("s1"), sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+    val mean = col("s1").cast("double") / col("n")
+    val m2 = col("s2").cast("double") / col("n") - mean * mean
+    val m3 = col("s3").cast("double") / col("n") -
+      lit(3) * mean * (col("s2").cast("double") / col("n")) +
+      lit(2) * mean * mean * mean
+    val m4 = col("s4").cast("double") / col("n") -
+      lit(4) * mean * (col("s3").cast("double") / col("n")) +
+      lit(6) * mean * mean * (col("s2").cast("double") / col("n")) -
+      lit(3) * mean * mean * mean * mean
+    sums
+      .withColumn("mean", mean).withColumn("m2", m2)
+      .withColumn("m3", m3).withColumn("m4", m4)
+      .select(col("l_returnflag"), col("n"), col("mean"),
+        (col("m3") / nullif(col("m2") * sqrt(col("m2")), lit(0.0))).as("skewness"),
+        (col("m4") / nullif(col("m2") * col("m2"), lit(0.0)) - 3).as("kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
   // Mode (most frequent value) per group with a deterministic tiebreak —
   // native `mode()` breaks ties arbitrarily on both engines, so the
   // verifiable form is the count + row_number rewrite: two hash aggregates
@@ -756,7 +818,7 @@ object Aggregates {
     aggPivot, aggPercentile, aggPercentileApprox, quantileBin, aggCollect, aggStats,
     aggMode, aggFiltered, aggBitmapDistinct,
     winRank, winAnalytic, winFrameRows, winFrameRange, winNtile, winCume,
-    winRollingMedian, aggWeightedMedian,
+    winRollingMedian, aggWeightedMedian, aggMoments,
     subqueryScalar,
   )
 }

@@ -566,7 +566,41 @@ object Text {
       .orderBy("lang")
   }
 
+  // --------------------------------------------------------------------
+  // feature_hash — the hashing trick: fixed-width token-count features
+  // per document (bucket = salted 60-bit hash of the token mod 16) with
+  // NO vocabulary pass — the classic Vowpal-Wabbit / scikit
+  // HashingVectorizer feature stage, and the only vectorizer that works
+  // single-pass on an unbounded vocabulary at 100 TB (tf_idf/vocab_topk
+  // are its two-pass vocabulary-holding cousins). 16 buckets here to
+  // match the fixture's 31-word vocabulary; production uses 2^18+. The
+  // bucket counters are plain conditional counts inside ONE map-side-
+  // combining hash aggregate — no explode-shuffle, no pivot, and the
+  // engine-portable md5 bucket assignment makes features reproducible
+  // across engines/partitionings/retries.
+  // --------------------------------------------------------------------
+  private val featureHash = {
+    val fCols = (0 until 16).map(b => s"COUNT(*) FILTER (b = $b) AS f$b").mkString(",\n      |  ")
+    Op("feature_hash",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, ${h60Sql("concat('fh:', w)")} % 16 AS b FROM tok)
+         |SELECT doc_id,
+         |  $fCols
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aggs = (0 until 16).map(b => count(when(col("b") === b, 1)).as(s"f$b"))
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .select(col("doc_id"), (h60(concat(lit("fh:"), col("w"))) % 16).as("b"))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("doc_id")
+    }
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
-    oovRate, corpusGini)
+    oovRate, corpusGini, featureHash)
 }

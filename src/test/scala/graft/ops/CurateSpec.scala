@@ -618,6 +618,60 @@ class CurateSpec extends SparkSpec {
     got.size should be > 1 // a front, not a single maximum
   }
 
+  test("feature_hash: bucket counts recompute from md5 and rows sum to token counts") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => nLong(r, 0) -> r.getString(1).split(" ", -1).toSeq)
+    val expect = docs.map { case (id, ws) =>
+      val counts = Array.fill(16)(0L)
+      ws.foreach(w => counts((h60(s"fh:$w") % 16).toInt) += 1)
+      id -> counts.toSeq
+    }.toMap
+    val got = SparkEntry.queries("feature_hash")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    got shouldBe expect
+    // features sum back to the doc's token count (nothing dropped)
+    docs.foreach { case (id, ws) => got(id).sum shouldBe ws.length.toLong }
+    // and the trick actually spreads mass: several buckets are live
+    got.values.head.count(_ >= 0) shouldBe 16
+    expect.values.flatMap(_.zipWithIndex.filter(_._1 > 0).map(_._2)).toSet.size should be > 4
+  }
+
+  test("agg_moments: skewness and kurtosis recompute from exact integer power sums") {
+    val raw = graft.Tables(spark, dir, "lineitem")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => r.getString(0) -> math.round(nDouble(r, 1)))
+    val expect = raw.groupBy(_._1).map { case (flag, xs) =>
+      val q = xs.map(_._2)
+      val n = q.length.toLong
+      val (s1, s2, s3, s4) =
+        (q.sum, q.map(x => x * x).sum, q.map(x => x * x * x).sum,
+          q.map(x => x * x * x * x).sum)
+      // the SAME IEEE dag as both engines (JVM doubles are IEEE too)
+      val mean = s1.toDouble / n
+      val m2 = s2.toDouble / n - mean * mean
+      val m3 = s3.toDouble / n - 3 * mean * (s2.toDouble / n) + 2 * mean * mean * mean
+      val m4 = s4.toDouble / n - 4 * mean * (s3.toDouble / n) +
+        6 * mean * mean * (s2.toDouble / n) - 3 * mean * mean * mean * mean
+      flag -> ((n, mean, m3 / (m2 * math.sqrt(m2)), m4 / (m2 * m2) - 3))
+    }
+    val got = SparkEntry.queries("agg_moments")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    got shouldBe expect
+    // quantity is near-uniform → low skew, platykurtic (sanity, not vacuous)
+    got.values.foreach { case (_, _, sk, ku) =>
+      math.abs(sk) should be < 0.5
+      ku should be < 0.0
+    }
+  }
+
   test("fn_encode: codecs match the JDK reference and both decode legs round-trip") {
     import java.nio.charset.StandardCharsets.UTF_8
     val rows = SparkEntry.queries("fn_encode")(spark, dir).collect()
