@@ -815,12 +815,10 @@ object Events {
     val ord = Window.partitionBy("user_id").orderBy(col("sus").asc, col("event_id").asc)
     val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sus = unix_micros(col("ts").cast("timestamp"))
-    val k = get_json_object(col("props"), "$.k").cast("int")
     t(s, d, "events")
-      .filter(k >= 1) // zero-duration intervals cover nothing (see above)
-      .select(col("user_id"), col("event_id"), sus.as("sus"),
-        (sus + k * lit(60000000L)).as("eus"))
+      .filter(intervalK >= 1) // zero-duration intervals cover nothing (see above)
+      .select(col("user_id"), col("event_id"), intervalStartUs.as("sus"),
+        intervalEndUs.as("eus"))
       .withColumn("mprev", max("eus").over(prior))
       .withColumn("flag",
         when(col("mprev").isNull || col("sus") > col("mprev"), 1).otherwise(0))
@@ -859,19 +857,10 @@ object Events {
       |  COALESCE(prev_sum, 0) AS baseline_sum,
       |  prev_sum IS NOT NULL AND 24 * n > 3 * prev_sum AS alert
       |FROM b ORDER BY user_id, hidx""".stripMargin) { (s, d) =>
-    val base = Window.partitionBy("user_id").orderBy(col("hidx"))
-      .rangeBetween(-24, -1)
-    t(s, d, "events")
-      .groupBy(col("user_id"),
-        // integer division (`div`, not `/`): Column./ promotes to double
-        expr("unix_micros(cast(date_trunc('hour', ts) as timestamp)) div 3600000000")
-          .as("hidx"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("prev_sum", sum("n").over(base))
-      .select(col("user_id"), col("hidx"), col("n"),
-        coalesce(col("prev_sum"), lit(0L)).as("baseline_sum"),
-        (col("prev_sum").isNotNull && lit(24) * col("n") > lit(3) * col("prev_sum"))
-          .as("alert"))
+    rateAlertOver(
+        t(s, d, "events")
+          .groupBy(col("user_id"), hourIdx.as("hidx"))
+          .agg(count(lit(1)).as("n")))
       .orderBy("user_id", "hidx")
   }
 

@@ -645,22 +645,33 @@ object Relational {
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val tus = unix_micros(col("tt").cast("timestamp"))
-    val bWins = col("bk").isNotNull &&
-      (col("fk").isNull || col("bd") <= col("fd"))
+    // Each purchase candidate is carried ATOMICALLY (id + value + ts in
+    // one struct): separate last()/first() per column would desync on a
+    // purchase with a NULL value — ignoreNulls skips the value but not
+    // the id, pairing the matched id with a FARTHER purchase's value
+    // (the oracle's ASOF join returns the matched row's NULL). NULL-ts
+    // rows take no part on either side, matching the oracle's ASOF
+    // predicates, which are never true for NULL — a NULL-ts purchase is
+    // no candidate, and a NULL-ts error surfaces an unmatched row.
+    val pRow = when(col("tag") === 0 && col("tt").isNotNull,
+      struct(col("purchase_id"), col("value"), col("tt").as("pt")))
+    val valid = col("tt").isNotNull
+    val bWins = col("b").isNotNull &&
+      (col("f").isNull || col("bd") <= col("fd"))
     tagged
-      .withColumn("bk", last(col("purchase_id"), ignoreNulls = true).over(back))
-      .withColumn("bp", last(col("value"), ignoreNulls = true).over(back))
-      .withColumn("bt", last(when(col("tag") === 0, col("tt")), ignoreNulls = true).over(back))
-      .withColumn("fk", first(col("purchase_id"), ignoreNulls = true).over(fwd))
-      .withColumn("fp", first(col("value"), ignoreNulls = true).over(fwd))
-      .withColumn("ft", first(when(col("tag") === 0, col("tt")), ignoreNulls = true).over(fwd))
+      .withColumn("b", last(pRow, ignoreNulls = true).over(back))
+      .withColumn("f", first(pRow, ignoreNulls = true).over(fwd))
       .filter(col("tag") === 1)
-      .withColumn("bd", tus - unix_micros(col("bt").cast("timestamp")))
-      .withColumn("fd", unix_micros(col("ft").cast("timestamp")) - tus)
+      .withColumn("bd", tus - unix_micros(col("b.pt").cast("timestamp")))
+      .withColumn("fd", unix_micros(col("f.pt").cast("timestamp")) - tus)
       .select(col("event_id"), col("k").as("user_id"),
-        when(bWins, col("bk")).otherwise(col("fk")).as("purchase_id"),
-        when(bWins, col("bp")).otherwise(col("fp")).as("purchase_value"),
-        when(bWins, "back").when(col("fk").isNotNull, "fwd").as("matched"))
+        when(valid,
+          when(bWins, col("b.purchase_id")).otherwise(col("f.purchase_id")))
+          .as("purchase_id"),
+        when(valid, when(bWins, col("b.value")).otherwise(col("f.value")))
+          .as("purchase_value"),
+        when(valid && bWins, "back")
+          .when(valid && col("f").isNotNull, "fwd").as("matched"))
       .orderBy("event_id")
   }
 
@@ -693,13 +704,11 @@ object Relational {
       |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
       |ORDER BY error_id, purchase_id""".stripMargin) { (s, d) =>
     val BucketUs = 100L * 60 * 1000000 // = the max interval length (k <= 100 min)
-    val k = get_json_object(col("props"), "$.k").cast("int")
-    val sus = unix_micros(col("ts").cast("timestamp"))
     def side(tpe: String, pfx: String) =
       t(s, d, "events")
-        .filter(col("event_type") === tpe && k >= 1)
+        .filter(col("event_type") === tpe && intervalK >= 1)
         .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_u"),
-          sus.as(s"${pfx}_s"), (sus + k * lit(60000000L)).as(s"${pfx}_e"))
+          intervalStartUs.as(s"${pfx}_s"), intervalEndUs.as(s"${pfx}_e"))
         .withColumn("bkt", explode(expr(
           // integer div (Column./ promotes to double); span <= 2 buckets
           s"sequence(${pfx}_s div $BucketUs, (${pfx}_e - 1) div $BucketUs)")))

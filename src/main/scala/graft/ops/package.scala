@@ -14,6 +14,37 @@ package object ops {
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** The events-interval contract shared by interval_merge,
+    * join_interval_overlap, the streaming twin (Streams.intervalMerge),
+    * and the parity drive's touch-guard: an event opens
+    * [ts, ts + props.k minutes), and zero-duration intervals (k < 1)
+    * cover nothing — dropped on every engine (also exactly Spark's
+    * session_window non-positive-gap rule, which is what makes the
+    * streaming twin equal the batch islands). ONE definition so the
+    * four sites provably cannot drift. */
+  val IntervalMinuteUs = 60000000L
+  def intervalK: Column = get_json_object(col("props"), "$.k").cast("int")
+  def intervalStartUs: Column = unix_micros(col("ts").cast("timestamp"))
+  def intervalEndUs: Column = intervalStartUs + intervalK * lit(IntervalMinuteUs)
+
+  /** The rate-alert hour index + baseline view shared by the batch op
+    * (ops.Events.rateAlert) and the streaming state fold
+    * (Streams.hourCounts/rateAlertView): one definition of the hour
+    * bucket and of the trailing-24-calendar-hour RANGE-frame alert, so
+    * the stream-vs-batch parity the drive asserts cannot drift. */
+  def hourIdx: Column =
+    // integer division (`div`, not `/`): Column./ promotes to double
+    expr("unix_micros(cast(date_trunc('hour', ts) as timestamp)) div 3600000000")
+  def rateAlertOver(counts: DataFrame): DataFrame = {
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("hidx")).rangeBetween(-24, -1)
+    counts.withColumn("prev_sum", sum("n").over(base))
+      .select(col("user_id"), col("hidx"), col("n"),
+        coalesce(col("prev_sum"), lit(0L)).as("baseline_sum"),
+        (col("prev_sum").isNotNull && lit(24) * col("n") > lit(3) * col("prev_sum"))
+          .as("alert"))
+  }
+
   def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
   /** Round-robin exchange used in the sketch-heavy document ops, for two

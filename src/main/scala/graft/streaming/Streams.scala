@@ -275,9 +275,7 @@ object Streams {
     * stage; same integer hour index). */
   private[streaming] def hourCounts(batch: DataFrame): DataFrame =
     instantTs(batch)
-      .groupBy(col("user_id"),
-        expr("unix_micros(cast(date_trunc('hour', ts) as timestamp)) div 3600000000")
-          .as("hidx"))
+      .groupBy(col("user_id"), graft.ops.hourIdx.as("hidx"))
       .agg(count(lit(1)).as("n"))
 
   /** Merge a batch's hourly count partials into the (user, hidx, n)
@@ -303,17 +301,11 @@ object Streams {
     }
 
   /** Read side of [[rateAlertSink]]: the trailing-24-calendar-hour
-    * baseline compare over the bounded count state — the same RANGE
-    * frame and integer threshold as the batch op. */
-  def rateAlertView(state: DataFrame): DataFrame = {
-    val base = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("hidx")).rangeBetween(-24, -1)
-    state.withColumn("prev_sum", sum("n").over(base))
-      .select(col("user_id"), col("hidx"), col("n"),
-        coalesce(col("prev_sum"), lit(0L)).as("baseline_sum"),
-        (col("prev_sum").isNotNull && lit(24) * col("n") > lit(3) * col("prev_sum"))
-          .as("alert"))
-  }
+    * baseline compare over the bounded count state — LITERALLY the batch
+    * op's view ([[graft.ops.rateAlertOver]]), shared so stream-vs-batch
+    * parity cannot drift. */
+  def rateAlertView(state: DataFrame): DataFrame =
+    graft.ops.rateAlertOver(state)
 
   /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
     * windows — each event extends its session by its OWN duration
@@ -331,10 +323,9 @@ object Streams {
     instantTs(events).withWatermark("ts", watermark)
       // session_window silently filters non-positive gaps; the explicit
       // predicate makes the zero-duration-drops-out contract visible and
-      // shared verbatim with the batch op
-      .filter(get_json_object(col("props"), "$.k").cast("int") >= 1)
-      .withColumn("gap",
-        concat(get_json_object(col("props"), "$.k").cast("int"), lit(" minutes")))
+      // IS the batch op's (graft.ops.intervalK — one shared definition)
+      .filter(graft.ops.intervalK >= 1)
+      .withColumn("gap", concat(graft.ops.intervalK, lit(" minutes")))
       .groupBy(session_window(col("ts"), col("gap")), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("start"),

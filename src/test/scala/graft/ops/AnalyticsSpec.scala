@@ -465,6 +465,41 @@ class AnalyticsSpec extends SparkSpec {
     got should not be empty
   }
 
+  test("join_asof_nearest: NULL purchase values stay paired with their id; NULL-ts rows never match") {
+    // the fixture has no NULL value/ts, so this builds one: the review
+    // scenario where per-column last(ignoreNulls) would pair a matched id
+    // with a FARTHER purchase's value, and where a NULL-ts row would
+    // spuriously collect a forward match from the top of the sort
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def t(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000)
+    val rows = Seq(
+      Row(1L, t(100), 1L, "purchase", 5.0, "{}"),
+      Row(2L, t(200), 1L, "purchase", null, "{}"), // nearer to E but value NULL
+      Row(3L, t(210), 1L, "error", 1.0, "{}"), // must match P2 WITH its NULL
+      Row(4L, null, 1L, "error", 1.0, "{}"), // NULL ts: never matches
+      Row(5L, t(50), 2L, "error", 1.0, "{}"),
+      Row(6L, null, 2L, "purchase", 9.0, "{}")) // NULL ts: no candidate
+    import scala.jdk.CollectionConverters._
+    val dir2 = java.nio.file.Files.createTempDirectory("asof_null").toString
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](rows.asJava), schema)
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val got = SparkEntry.queries("join_asof_nearest")(spark, dir2).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) null else r.getLong(2)),
+          (if (r.isNullAt(3)) null else r.getDouble(3)),
+          (if (r.isNullAt(4)) null else r.getString(4)))).toMap
+    got shouldBe Map(
+      3L -> ((2L, null, "back")), // P2's id WITH P2's NULL value
+      4L -> ((null, null, null)),
+      5L -> ((null, null, null)))
+  }
+
   test("agg_weighted_median: the cumulative-weight selection recomputes per flag") {
     val raw = Tables(spark, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice", "l_quantity",

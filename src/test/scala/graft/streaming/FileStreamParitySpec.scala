@@ -26,6 +26,26 @@ class FileStreamParitySpec extends SparkSpec {
       case x => x
     }).toSet
 
+  /** Stage time-ordered chunk files for a maxFilesPerTrigger=1 file
+    * source: one parquet part per chunk, mtimes spaced a minute apart so
+    * the source's modification-time ordering matches chunk order — the
+    * discipline every drive below relies on, pinned in ONE place. */
+  private def stageChunks(prefix: String, chunks: Seq[DataFrame]): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val staged = Files.createTempDirectory(prefix)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"${prefix}_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+    staged
+  }
+
   test("file-source interval join: micro-batch watermark advance, equals the batch join") {
     import java.nio.file.{Files, Paths}
     val dir01 = "/root/testdata/sf0.01"
@@ -144,18 +164,8 @@ class FileStreamParitySpec extends SparkSpec {
     // time range, so later micro-batches genuinely deliver OLDER events
     // for keys already in state — the version comparison, not arrival
     // order, must decide every merge
-    val staged = Files.createTempDirectory("events_cdc_stream")
     val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory(s"cdc_chunk$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dest = staged.resolve(s"chunk$i.parquet")
-      Files.copy(Paths.get(part), dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
-    }
+    val staged = stageChunks("events_cdc_stream", chunks)
     // the state table round-trips through parquet like a real materialized
     // view; versioned dirs because a lazy read from the dir being
     // overwritten would corrupt itself
@@ -213,23 +223,13 @@ class FileStreamParitySpec extends SparkSpec {
     val sentinel = ev.orderBy(col("ts").desc).limit(1)
       .withColumn("user_id", lit(-1L))
       .withColumn("ts", col("ts") + expr("INTERVAL 2 DAYS"))
-    val staged = Files.createTempDirectory("events_sess_stream")
     val chunks: Seq[DataFrame] = Seq(
       ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
         && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)),
       sentinel)
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory(s"sess_chunk$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dest = staged.resolve(s"chunk$i.parquet")
-      Files.copy(Paths.get(part), dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
-    }
+    val staged = stageChunks("events_sess_stream", chunks)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged.toString)
     val q = graft.streaming.Streams.session(stream)
@@ -268,23 +268,13 @@ class FileStreamParitySpec extends SparkSpec {
       .collect()(0).getLong(0)
     val sentinel = ev.orderBy(col("ts").desc).limit(1)
       .withColumn("ts", col("ts") + expr("INTERVAL 2 DAYS"))
-    val staged = Files.createTempDirectory("events_slide_stream")
     val chunks: Seq[DataFrame] = Seq(
       ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
         && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)),
       sentinel)
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory(s"slide_chunk$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dest = staged.resolve(s"chunk$i.parquet")
-      Files.copy(Paths.get(part), dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
-    }
+    val staged = stageChunks("events_slide_stream", chunks)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged.toString)
     val q = graft.streaming.Streams.sliding(stream)
@@ -331,17 +321,7 @@ class FileStreamParitySpec extends SparkSpec {
       thirds(0).union(thirds(0).filter(col("event_id") % 7 === 0)),
       thirds(1).union(thirds(1).filter(col("event_id") % 7 === 0)).union(lastOf0),
       thirds(2).union(thirds(2).filter(col("event_id") % 7 === 0)))
-    val staged = Files.createTempDirectory("events_dedup_stream")
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory(s"dedup_chunk$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dest = staged.resolve(s"chunk$i.parquet")
-      Files.copy(Paths.get(part), dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
-    }
+    val staged = stageChunks("events_dedup_stream", chunks)
     // the staged log genuinely carries duplicates
     val stagedN = spark.read.parquet(staged.toString).count()
     stagedN should be > ev.count()
@@ -381,17 +361,7 @@ class FileStreamParitySpec extends SparkSpec {
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
         && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)))
-    val staged = Files.createTempDirectory("events_throttle_stream")
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory(s"thr_chunk$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dest = staged.resolve(s"chunk$i.parquet")
-      Files.copy(Paths.get(part), dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
-    }
+    val staged = stageChunks("events_throttle_stream", chunks)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged.toString)
     val q = graft.streaming.Streams.throttle(stream)
@@ -423,18 +393,8 @@ class FileStreamParitySpec extends SparkSpec {
     val ev = graft.Tables(spark, dir01, "events").cache()
     // hash-split chunks (every micro-batch spans the full time range):
     // count partials are algebraic, so delivery order must wash out
-    val staged = Files.createTempDirectory("events_topk_stream")
     val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory(s"topk_chunk$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dest = staged.resolve(s"chunk$i.parquet")
-      Files.copy(Paths.get(part), dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
-    }
+    val staged = stageChunks("events_topk_stream", chunks)
     val stateRoot = Files.createTempDirectory("topk_state").toString
     val stateSchema = StructType.fromDDL("ws TIMESTAMP, event_type STRING, n BIGINT")
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
@@ -475,23 +435,13 @@ class FileStreamParitySpec extends SparkSpec {
     val sentinel = ev.orderBy(col("ts").desc).limit(1)
       .withColumn("event_type", lit("zzz_sentinel"))
       .withColumn("ts", col("ts") + expr("INTERVAL 3 DAYS"))
-    val staged = Files.createTempDirectory("events_ohlc_stream")
     val chunks: Seq[DataFrame] = Seq(
       ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
         && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)),
       sentinel)
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory(s"ohlc_chunk$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dest = staged.resolve(s"chunk$i.parquet")
-      Files.copy(Paths.get(part), dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
-    }
+    val staged = stageChunks("events_ohlc_stream", chunks)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged.toString)
     val q = graft.streaming.Streams.ohlc(stream)
@@ -521,20 +471,10 @@ class FileStreamParitySpec extends SparkSpec {
     import org.apache.spark.sql.types.StructType
     val dir01 = "/root/testdata/sf0.01"
     val ev = graft.Tables(spark, dir01, "events").cache()
-    val staged = Files.createTempDirectory("events_rate_stream")
     // hash-split chunks: hourly counts are algebraic, delivery order must
     // wash out (same discipline as the top-k drive)
     val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory(s"rate_chunk$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dest = staged.resolve(s"chunk$i.parquet")
-      Files.copy(Paths.get(part), dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
-    }
+    val staged = stageChunks("events_rate_stream", chunks)
     val stateRoot = Files.createTempDirectory("rate_state").toString
     val stateSchema = StructType.fromDDL("user_id BIGINT, hidx BIGINT, n BIGINT")
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
@@ -590,23 +530,13 @@ class FileStreamParitySpec extends SparkSpec {
     val sentinel = ev.orderBy(col("ts").desc).limit(1)
       .withColumn("user_id", lit(-1L))
       .withColumn("ts", col("ts") + expr("INTERVAL 4 DAYS"))
-    val staged = Files.createTempDirectory("events_ivm_stream")
     val chunks: Seq[DataFrame] = Seq(
       ev.filter(unix_micros(col("ts").cast("timestamp")) < cuts(0)),
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(0)
         && unix_micros(col("ts").cast("timestamp")) < cuts(1)),
       ev.filter(unix_micros(col("ts").cast("timestamp")) >= cuts(1)),
       sentinel)
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val tmp = Files.createTempDirectory(s"ivm_chunk$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dest = staged.resolve(s"chunk$i.parquet")
-      Files.copy(Paths.get(part), dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
-    }
+    val staged = stageChunks("events_ivm_stream", chunks)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged.toString)
     val q = graft.streaming.Streams.intervalMerge(stream)
