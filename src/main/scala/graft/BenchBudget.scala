@@ -79,6 +79,7 @@ object BenchBudget {
     "join_interval_overlap" -> 3.44, // 3 x 1.15 s
     "agg_moments" -> 2.21, // 3 x 0.74 s
     "feature_hash" -> 2.3, // 3 x 0.77 s
+    "attribution_first_touch" -> 2.27, // 3 x 0.76 s
     "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,

@@ -376,6 +376,55 @@ object Events {
   // Total order inside a user: (ts, event_id) — event_id breaks ts ties
   // identically on both engines.
   // --------------------------------------------------------------------
+  // --------------------------------------------------------------------
+  // attribution_first_touch — event_attribution's other half of THE
+  // marketing-attribution debate: credit each purchase to the user's
+  // FIRST click (discovery touch) instead of the most recent one, with
+  // a 7-day lookback bound — a first touch older than the window is
+  // treated as a new journey (NULL credit), the staleness discipline
+  // join_asof_tolerance established. Same single user-keyed window pass
+  // (first_value IGNORE NULLS carries the atomic click struct), same
+  // one-shuffle scale shape as event_attribution. The values-desync
+  // lesson from join_asof_nearest applies here too: id + ts are carried
+  // in ONE struct, never as separate ignoreNulls frames.
+  // --------------------------------------------------------------------
+  private val attributionFirstTouch = Op("attribution_first_touch",
+    """WITH u AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER w AS click_id,
+      |    first_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+      |      OVER w AS click_ts
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |  CASE WHEN click_ts >= ts - INTERVAL 7 DAY THEN click_id END AS first_click_id,
+      |  CASE WHEN click_ts >= ts - INTERVAL 7 DAY
+      |       THEN epoch_us(ts) - epoch_us(click_ts) END AS journey_us
+      |FROM u WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickRow = when(col("event_type") === "click",
+      struct(col("event_id").as("cid"), col("ts").as("cts")))
+    val fresh = col("c.cts") >= col("ts") - expr("INTERVAL 7 DAYS")
+    t(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("c", first(clickRow, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        when(fresh, col("c.cid")).as("first_click_id"),
+        when(fresh,
+          unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(col("c.cts").cast("timestamp"))).as("journey_us"))
+      .orderBy("purchase_id")
+  }
+
   private val attribution = Op("event_attribution",
     """WITH u AS (
       |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
@@ -1092,7 +1141,7 @@ object Events {
 
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
-    attribution, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
+    attribution, attributionFirstTouch, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
     activityProfile)

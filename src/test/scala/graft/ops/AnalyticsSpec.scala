@@ -500,6 +500,33 @@ class AnalyticsSpec extends SparkSpec {
       5L -> ((null, null, null)))
   }
 
+  test("attribution_first_touch: credit recomputes as the user's first click within 7 days") {
+    val evs = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (nLong(r, 0), nLong(r, 1), r.getString(2), epochUs(r.get(3))))
+    val firstClick = evs.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.filter(_._3 == "click").sortBy(e => (e._4, e._2)).headOption
+    }
+    val weekUs = 7L * 86400000000L
+    val expect = evs.filter(_._3 == "purchase").map { case (u, id, _, pts) =>
+      val credit = firstClick(u)
+        .filter { case (_, cid, _, cts) =>
+          // the running first_value sees only clicks at/before the purchase
+          (cts < pts || (cts == pts && cid < id)) && cts >= pts - weekUs }
+      id -> credit.map { case (_, cid, _, cts) => (cid, pts - cts) }
+    }.toMap
+    val got = SparkEntry.queries("attribution_first_touch")(spark, dir).collect()
+      .map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None
+          else Some((r.getLong(3), r.getLong(4))))
+      }.toMap
+    got shouldBe expect
+    // both outcomes occur: credited journeys AND stale/uncredited ones
+    got.values.exists(_.isDefined) shouldBe true
+    got.values.exists(_.isEmpty) shouldBe true
+  }
+
   test("agg_weighted_median: the cumulative-weight selection recomputes per flag") {
     val raw = Tables(spark, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice", "l_quantity",
