@@ -777,7 +777,7 @@ object Aggregates {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
       |    SUM(q) OVER (PARTITION BY flag) AS w
       |  FROM r)
-      |SELECT flag, MIN(price) AS wmedian_price, MIN(w) AS total_weight
+      |SELECT flag, MIN(price) AS wmedian_price, CAST(MIN(w) AS BIGINT) AS total_weight
       |FROM c WHERE 2 * cw >= w GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
     val r = t(s, d, "lineitem")
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),

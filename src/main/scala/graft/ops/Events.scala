@@ -775,10 +775,10 @@ object Events {
   // window state partitions across executors like any keyed stream.
   // --------------------------------------------------------------------
   private val watermarkAudit = Op("watermark_audit",
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
       |    epoch_us(CAST(ts AS TIMESTAMP))
-      |      + (CAST(concat('0x', substr(md5(concat('jit:', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      |      + (${graft.ops.Text.h60Sql("concat('jit:', CAST(event_id AS VARCHAR))")}
       |         % 600) * 1000000 AS aus
       |  FROM events),
       |a AS (
@@ -903,7 +903,7 @@ object Events {
       |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prev_sum
       |  FROM h)
       |SELECT user_id, CAST(hidx AS BIGINT) AS hidx, n,
-      |  COALESCE(prev_sum, 0) AS baseline_sum,
+      |  CAST(COALESCE(prev_sum, 0) AS BIGINT) AS baseline_sum,
       |  prev_sum IS NOT NULL AND 24 * n > 3 * prev_sum AS alert
       |FROM b ORDER BY user_id, hidx""".stripMargin) { (s, d) =>
     rateAlertOver(
@@ -1127,7 +1127,7 @@ object Events {
       |  SELECT isodow(CAST(ts AS TIMESTAMP)) AS dow,
       |    hour(CAST(ts AS TIMESTAMP)) AS hod, COUNT(*) AS n
       |  FROM events GROUP BY 1, 2)
-      |SELECT dow, hod, n, n * 10000 // SUM(n) OVER () AS share_bp
+      |SELECT dow, hod, n, CAST(n * 10000 // SUM(n) OVER () AS BIGINT) AS share_bp
       |FROM a ORDER BY dow, hod""".stripMargin) { (s, d) =>
     t(s, d, "events")
       .groupBy((expr("weekday(ts)") + 1).cast("long").as("dow"),

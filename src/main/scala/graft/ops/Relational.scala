@@ -703,7 +703,9 @@ object Relational {
       |  ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
       |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
       |ORDER BY error_id, purchase_id""".stripMargin) { (s, d) =>
-    val BucketUs = 100L * 60 * 1000000 // = the max interval length (k <= 100 min)
+    // bucket width = the contract max interval length, so span <= 2 buckets
+    // (IntervalContractSpec asserts max(props.k) <= MaxIntervalMinutes)
+    val BucketUs = MaxIntervalMinutes * IntervalMinuteUs
     def side(tpe: String, pfx: String) =
       t(s, d, "events")
         .filter(col("event_type") === tpe && intervalK >= 1)

@@ -23,6 +23,11 @@ package object ops {
     * streaming twin equal the batch islands). ONE definition so the
     * four sites provably cannot drift. */
   val IntervalMinuteUs = 60000000L
+  /** Contract upper bound on props.k (minutes). join_interval_overlap's
+    * bucket width equals this so every interval spans ≤ 2 buckets (its
+    * ≤2-bucket candidate-bound guarantee degrades silently if an interval
+    * ever exceeds it) — IntervalContractSpec asserts the fixtures obey it. */
+  val MaxIntervalMinutes = 100L
   def intervalK: Column = get_json_object(col("props"), "$.k").cast("int")
   def intervalStartUs: Column = unix_micros(col("ts").cast("timestamp"))
   def intervalEndUs: Column = intervalStartUs + intervalK * lit(IntervalMinuteUs)

@@ -43,6 +43,41 @@ class SinkPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("upsert tiebreak is partition- and arrival-order-independent") {
+    // The all-remaining-columns-desc tiebreak (Sinks.scala) is load-bearing:
+    // the reference's "later row wins" is arrival order, which a distributed
+    // merge cannot see — so when two incoming rows for one key TIE on
+    // orderCol, the winner must be a pure function of row VALUES, never of
+    // partitioning or input order. The generator's narrow domains (k 0-5,
+    // v 0-3) make such ties common; assert non-vacuity, then permute the
+    // input every way a cluster could (reversed arrival, co-prime partition
+    // counts, single partition) and require bit-identical output.
+    samples(6).foreach { case (existing, incoming) =>
+      val ex = existing.toDF("k", "name", "v")
+        .groupBy("k").agg(
+          org.apache.spark.sql.functions.first("name").as("name"),
+          org.apache.spark.sql.functions.first("v").as("v"))
+      val inc = incoming.toDF("k", "name", "v")
+      val base = rowSet(Sinks.upsert(ex, inc, keys = Seq("k"), orderCol = "v"))
+      Seq(
+        incoming.reverse.toDF("k", "name", "v"),
+        inc.repartition(7),
+        incoming.reverse.toDF("k", "name", "v").repartition(3),
+        inc.coalesce(1)
+      ).foreach { permuted =>
+        withClue(s"ex=$existing inc=$incoming: ") {
+          rowSet(Sinks.upsert(ex, permuted, keys = Seq("k"), orderCol = "v")) shouldBe base
+        }
+      }
+    }
+    // non-vacuity: at least one sampled batch must actually exercise the
+    // tiebreak (two rows, same key, same orderCol value, different payload)
+    val hasTie = samples(6).exists { case (_, incoming) =>
+      incoming.groupBy(r => (r._1, r._3)).exists(_._2.map(_._2).distinct.size > 1)
+    }
+    assert(hasTie, "generator no longer produces orderCol ties — widen domains")
+  }
+
   test("upsert is idempotent and leaves at most one row per key") {
     samples(5).foreach { case (existing, incoming) =>
       val ex = existing.toDF("k", "name", "v")

@@ -63,7 +63,7 @@ def main(sf_dir, out_dir, only=()):
         try:
             gcols, g, gtypes = fetch(
                 con, f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')")
-            wcols, w, _ = fetch(con, sql)
+            wcols, w, wtypes = fetch(con, sql)
         except Exception as e:
             print(f"FAIL {key}: exec error: {e}")
             n_fail += 1
@@ -73,6 +73,19 @@ def main(sf_dir, out_dir, only=()):
             print(f"FAIL {key}: raw DECIMAL in engine output {dec_cols} — "
                   f"driver hash canonicalization differs between its Spark "
                   f"and DuckDB paths; cast to double/bigint/varchar on both sides")
+            n_fail += 1
+            continue
+        # Symmetric gate (r9 lesson): DuckDB widens SUM(BIGINT) in windows /
+        # groups to HUGEINT (INT128), and the driver hashes that differently
+        # from Spark's BIGINT even when values match. A DECIMAL or HUGEINT
+        # column in the ORACLE schema is just as red as in the engine's.
+        odd_cols = [n for n, t in wtypes
+                    if "DECIMAL" in t.upper() or "HUGEINT" in t.upper()]
+        if odd_cols:
+            print(f"FAIL {key}: DECIMAL/HUGEINT in ORACLE output {odd_cols} — "
+                  f"driver hash canonicalization differs from Spark's "
+                  f"BIGINT/DOUBLE; CAST the oracle column (r9: rate_alert, "
+                  f"activity_profile, agg_weighted_median)")
             n_fail += 1
             continue
         if gcols != wcols:
