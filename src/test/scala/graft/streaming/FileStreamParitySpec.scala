@@ -299,6 +299,87 @@ class FileStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source CustomState.patternConverted: CEP state fold equals the batch event_pattern") {
+    import spark.implicits._
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events")
+      .withColumn("ts", col("ts").cast("timestamp")) // Event encoder wants an instant
+      .cache()
+    // same staging discipline as the session drive: three time-ordered
+    // chunks, one micro-batch each, so per-user CEP state genuinely
+    // carries ACROSS micro-batches and the watermark advances mid-stream.
+    // No sentinel needed: flatMapGroupsWithState emits matches the moment
+    // the purchase is processed, not on watermark finalization.
+    //
+    // The first cut is chosen ON PURPOSE between a converting pair's click
+    // and its purchase (a percentile cut almost never straddles a 10 min
+    // window), so at least one conversion provably rides on state carried
+    // from an earlier micro-batch — recomputed below as `carried`.
+    val log = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._3, r._1))
+    val maxTus = log.map(_._3).max
+    // local replay of the op's rule: converting purchases with a STRICTLY
+    // earlier click (a cut can only separate distinct timestamps)
+    val lc = scala.collection.mutable.Map.empty[Long, (Long, Boolean)] // user -> (clickTus, blocked)
+    val pairs = Seq.newBuilder[(Long, Long)] // (clickTus, purchaseTus)
+    log.foreach {
+      case (_, u, tus, "click") => lc(u) = (tus, false)
+      case (_, u, tus, "error") =>
+        lc.get(u).foreach { case (c, b) => lc(u) = (c, b || tus > c) }
+      case (_, u, tus, "purchase") =>
+        lc.get(u).foreach { case (c, blocked) =>
+          if (!blocked && c >= tus - 600000000L && c < tus) pairs += ((c, tus)) }
+      case _ => ()
+    }
+    val mid = pairs.result().minBy(p => math.abs(p._2 - (log.head._3 + maxTus) / 2))
+    val cutB = (mid._2 + (maxTus - mid._2) / 2) max (mid._2 + 1)
+    val cuts = Seq(mid._2, cutB) // click < cut(0) <= purchase; third chunk non-empty
+    cutB should be < maxTus
+    val chunks: Seq[DataFrame] = Seq(
+      ev.filter(unix_micros(col("ts")) < cuts(0)),
+      ev.filter(unix_micros(col("ts")) >= cuts(0) && unix_micros(col("ts")) < cuts(1)),
+      ev.filter(unix_micros(col("ts")) >= cuts(1)))
+    val staged = stageChunks("events_cep_stream", chunks)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+      .as[graft.streaming.CustomState.Event]
+    val q = graft.streaming.CustomState.patternConverted(stream)(spark)
+      .writeStream.format("memory").queryName("t_file_cep")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .distinct.size should be >= 2
+      val streamed = spark.table("t_file_cep").collect().map(_.toSeq).toSet
+      val batch = graft.SparkEntry.queries("event_pattern")(spark, dir01)
+        .collect().map(_.toSeq).toSet
+      streamed shouldBe batch // the oracle-checked batch twin
+      // non-vacuity: the fixture must exercise BOTH branches, and the
+      // cross-batch carry (a converting purchase in a LATER chunk than
+      // its click's) must actually occur
+      streamed.map(_(2)) shouldBe Set(true, false)
+      // ...and the cross-batch state carry must actually occur: at least
+      // one converted purchase whose LATEST preceding click sits in an
+      // EARLIER chunk (guaranteed by the cut construction above)
+      def chunkOf(tus: Long) = if (tus < cuts(0)) 0 else if (tus < cuts(1)) 1 else 2
+      val converted = streamed.collect { case s if s(2) == true => s(0).asInstanceOf[Long] }
+      val lastClick = scala.collection.mutable.Map.empty[Long, (Long, Long)] // user -> (tus, id)
+      var carried = 0
+      log.foreach {
+        case (id, u, tus, "click") => lastClick(u) = (tus, id)
+        case (id, u, tus, "purchase")
+          if converted(id) && lastClick.get(u).exists(c => chunkOf(c._1) < chunkOf(tus)) =>
+          carried += 1
+        case _ => ()
+      }
+      carried should be > 0
+    } finally q.stop()
+  }
+
   test("file-source Streams.dedup: duplicates collapse across micro-batches; output equals the distinct log") {
     import java.nio.file.{Files, Paths}
     val dir01 = "/root/testdata/sf0.01"
