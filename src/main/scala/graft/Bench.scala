@@ -81,8 +81,17 @@ object Bench {
       System.err.println(f"[bench] $k OVER BUDGET: $v%.2f s > ceiling $c%.2f s")
     }
     val overJson = overBudget.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val perQueryLine =
+      s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(perQueryLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$slowest,"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir"}""")
+    // The driver's artifact capture truncates the per-query line (tail-capped),
+    // so round-over-round per-query diffs need the full map ON DISK: when
+    // SPARK_GRAFT_BENCH_OUT is set, write it there (builder checks in
+    // bench/strict_rN.json per round).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), perQueryLine + "\n")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
     // strict mode (builder runs: SPARK_GRAFT_BUDGET=strict): red on budget

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *    hazards replica docs can't: exact-percentile value buffers and
   *    window partitions keyed by the 3-value o_orderstatus.
   *
-  * Usage: runMain graft.ScaleProbe <baseSfDir> <outDir> [--facts] [--all] [op ...]
+  * Usage: runMain graft.ScaleProbe <baseSfDir> <outDir> [--facts] [--all]
+  *   [--copies N] [op ...]
+  * `--copies N` overrides the 10x amplification (e.g. --copies 100 probes
+  * the per-user-window family at 100x per-key density — the keyed-window
+  * memory-cliff check VERDICT r9 asked for).
   * (ops default to the dedup/similarity/event families, or the
   * percentile/window/join families under --facts; `--all` probes the
   * ENTIRE 140-op inventory best-of-2 — the full sf1-equivalent sweep, so
@@ -29,11 +33,10 @@ import org.apache.spark.sql.functions._
   * known scale hazards).
   */
 object ScaleProbe {
-  private val Copies = 10
   private val Shift = 10000000L
 
   private def amplify(spark: SparkSession, base: String, out: String,
-      facts: Boolean): Unit = {
+      facts: Boolean, Copies: Int): Unit = {
     // the marker records WHAT produced the data: rerunning against a
     // different base (or Copies factor) must re-amplify, not silently time
     // ops on stale data labeled with the new base
@@ -67,7 +70,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val facts = args.contains("--facts")
     val all = args.contains("--all")
-    val rest = args.toSeq.filterNot(a => a == "--facts" || a == "--all")
+    val copiesIdx = args.indexOf("--copies")
+    val copies = if (copiesIdx >= 0) args(copiesIdx + 1).toInt else 10
+    val rest = args.toSeq.zipWithIndex.filterNot { case (a, i) =>
+      a == "--facts" || a == "--all" || a == "--copies" ||
+        (copiesIdx >= 0 && i == copiesIdx + 1)
+    }.map(_._1)
     val base = rest.headOption.getOrElse("/root/testdata/sf0.1")
     val out = rest.lift(1).getOrElse(
       if (facts) "/tmp/graft_probe_sf1" else "/tmp/graft_probe10x")
@@ -92,7 +100,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    amplify(spark, base, out, facts)
+    amplify(spark, base, out, facts, copies)
     val timings = ops.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -116,7 +124,7 @@ object ScaleProbe {
       name -> sec
     }
     val qs = timings.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val metric = (if (facts) "probe_sf1" else "probe10x") + (if (all) "_all" else "")
+    val metric = (if (facts) "probe_sf1" else s"probe${copies}x") + (if (all) "_all" else "")
     println(s"""{"metric":"$metric","queries":$qs,"base":"$base"}""")
     spark.stop()
     if (timings.exists(_._2 < 0)) sys.exit(1)

@@ -32,5 +32,5 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    allOps.flatMap(op => op.oracle.map(op.name -> _)).toMap
+    allOps.flatMap(op => op.oracle.map(sql => op.name -> Op.pinNullOrder(sql))).toMap
 }

@@ -723,7 +723,8 @@ object Aggregates {
     """WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day,
       |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-      |  FROM orders GROUP BY 1),
+      |  FROM orders WHERE o_orderdate IS NOT NULL
+      |  GROUP BY 1 HAVING rev IS NOT NULL),
       |w AS (
       |  SELECT day, rev,
       |    row_number() OVER (ORDER BY day) AS rn,
@@ -733,9 +734,14 @@ object Aggregates {
       |SELECT day, CAST(rev AS DOUBLE) AS rev, med7
       |FROM w WHERE rn >= 7 ORDER BY day""".stripMargin) { (s, d) =>
     val ord = Window.orderBy("day")
+    // dateless orders form no day on the series; an all-NULL-price day has
+    // no revenue reading (keeping it would make even-sized median frames,
+    // whose interpolation is engine-specific — NULL-fixture find)
     t(s, d, "orders")
+      .filter(col("o_orderdate").isNotNull)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .filter(col("rev").isNotNull)
       .withColumn("rn", row_number().over(ord))
       .withColumn("med7", percentile(col("rev"), lit(0.5)).over(ord.rowsBetween(-6, 0)))
       .filter(col("rn") >= 7)
@@ -803,7 +809,9 @@ object Aggregates {
     val inOrd = Window.partitionBy("flag")
       .orderBy(col("price").asc, col("l_orderkey").asc, col("l_linenumber").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.join(broadcast(med), col("flag") === col("mflag") && col("bkt") === col("mbkt"))
+    // null-safe (<=>): a NULL return flag is a legitimate group — plain
+    // equality would silently drop it from the join-back (NULL-fixture find)
+    r.join(broadcast(med), col("flag") <=> col("mflag") && col("bkt") <=> col("mbkt"))
       .withColumn("cw", sum("q").over(inOrd) + col("cum_before"))
       .filter(lit(2) * col("cw") >= col("w"))
       .groupBy("flag")

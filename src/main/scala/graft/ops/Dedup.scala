@@ -70,8 +70,8 @@ object Dedup {
   })
   private val hhalvesSql =
     """list_transform(sh, s -> {
-      |        'h1': CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT),
-      |        'h2': CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT)})""".stripMargin
+      |        'h1': CAST('0x' || substr(md5(s), 1, 15) AS BIGINT),
+      |        'h2': CAST('0x' || substr(md5(s), 16, 15) AS BIGINT)})""".stripMargin
 
   private def minhashes(hh: Column): Column =
     transform(sequence(lit(0), lit(NumHashes - 1)), i =>
@@ -87,7 +87,8 @@ object Dedup {
     * Jaccard runs on the 60-bit HASHED shingle sets (same value modulo md5
     * collisions, and both engines hash identically — see dedup_ngram). */
   private[ops] val minhashPairsSql: String =
-    s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS sh FROM documents),
+    s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS sh
+       |  FROM documents WHERE text IS NOT NULL),
        |hhv AS (SELECT doc_id, $hhalvesSql AS hh FROM sh),
        |hsv AS (SELECT doc_id, list_sort(list_transform(hh, p -> p.h1)) AS hs
        |        FROM hhv),
@@ -107,7 +108,12 @@ object Dedup {
        |       / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS DOUBLE) >= 0.5""".stripMargin
 
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
+    // a NULL-text doc is no near-dup candidate: Spark's concat_ws would
+    // collapse its shingle set to [""] (pairing every such doc at jaccard
+    // 1.0) while DuckDB's yields no shingles — contract: text required
+    // (NULL-fixture find; same filter in the oracle SQL twins)
+    val docs = exchange(t(s, d, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text"))
     // hh is consumed by BOTH the sketch build and the verification
     // join-back sides — exchange so the md5 digests compute once per doc
     val hh = exchange(docs.select(col("doc_id"),
@@ -373,7 +379,7 @@ object Dedup {
     s"""WITH hs AS (
        |  SELECT doc_id,
        |    list_sort(list_transform($shingles3Sql, s -> ${h60Sql("s")})) AS hs
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |keyed AS (
        |  SELECT doc_id, hs, unnest(list_slice(hs, 1, $NgramKeys)) AS k
        |  FROM hs),
@@ -395,7 +401,9 @@ object Dedup {
     // smallest-shared-key filter instead of the DISTINCT (payload kept in
     // the band join): 14 → 37 s warm — the jaccard/filter work runs on the
     // pre-dedup multi-key rows, where the DISTINCT collapsed them first.
-    val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
+    // text required — same NULL-text contract and rationale as minhashPairs
+    val docs = exchange(t(s, d, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text"))
     val hs = exchange(docs.select(col("doc_id"),
       array_sort(transform(shingles3(col("text")), s => h60(s))).as("hs")))
     val keyed = hs.select(col("doc_id"), col("hs"),

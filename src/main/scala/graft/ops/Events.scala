@@ -23,7 +23,7 @@ object Events {
     s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
        |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS we,
        |  event_type, COUNT(*) AS n, $dsumVSql
-       |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+       |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
     t(s, d, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsumV)
@@ -38,7 +38,7 @@ object Events {
     s"""SELECT CAST(tb - k.k * INTERVAL 15 MINUTE AS TIMESTAMP) AS ws,
        |  CAST(tb - k.k * INTERVAL 15 MINUTE + INTERVAL 1 HOUR AS TIMESTAMP) AS we,
        |  COUNT(*) AS n, $dsumVSql
-       |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) AS tb, value FROM events) e
+       |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) AS tb, value FROM events WHERE ts IS NOT NULL) e
        |CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
        |GROUP BY 1, 2 ORDER BY ws""".stripMargin) { (s, d) =>
     t(s, d, "events")
@@ -61,7 +61,7 @@ object Events {
     """WITH agg AS (
       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
       |    event_type, COUNT(*) AS n
-      |  FROM events GROUP BY 1, 2)
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
       |SELECT ws, event_type, n, rn FROM (
       |  SELECT ws, event_type, n,
       |    row_number() OVER (PARTITION BY ws
@@ -87,7 +87,7 @@ object Events {
        |  SELECT user_id, ts, value,
        |    CASE WHEN lag(ts) OVER w IS NULL
        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
-       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |  FROM events WHERE ts IS NOT NULL WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e)
        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
@@ -391,9 +391,9 @@ object Events {
   private val attributionFirstTouch = Op("attribution_first_touch",
     """WITH u AS (
       |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
-      |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |    first_value(CASE WHEN event_type = 'click' AND ts IS NOT NULL THEN event_id END IGNORE NULLS)
       |      OVER w AS click_id,
-      |    first_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+      |    first_value(CASE WHEN event_type = 'click' AND ts IS NOT NULL THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
       |      OVER w AS click_ts
       |  FROM events
       |  WHERE event_type IN ('click', 'purchase')
@@ -408,7 +408,11 @@ object Events {
       |ORDER BY purchase_id""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val clickRow = when(col("event_type") === "click",
+    // a NULL-ts click is no touch candidate: the struct pick would carry
+    // its NULL cts and void the user's WHOLE later attribution, and the
+    // oracle's two IGNORE NULLS frames would desync id from ts (NULL-
+    // fixture find) — both unrepresentable once it never enters the carry
+    val clickRow = when(col("event_type") === "click" && col("ts").isNotNull,
       struct(col("event_id").as("cid"), col("ts").as("cts")))
     val fresh = col("c.cts") >= col("ts") - expr("INTERVAL 7 DAYS")
     t(s, d, "events")
@@ -634,7 +638,7 @@ object Events {
       |        PARTITION BY user_id, time_bucket(INTERVAL '5 minutes',
       |                                          CAST(ts AS TIMESTAMP))
       |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-      |      FROM events)
+      |      FROM events WHERE ts IS NOT NULL)
       |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
     val bucketed = t(s, d, "events")
       .select(col("event_id"), col("user_id"), col("ts"),

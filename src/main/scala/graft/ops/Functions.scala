@@ -326,14 +326,21 @@ object Functions {
   // base columns — the components, not the parser, are the contract.
   // parse_url is a Catalyst expression: scan-stage codegen, no shuffle.
   private val fnUrl = Op("fn_url",
-    """SELECT doc_id,
-      |  'https' AS proto,
-      |  source || '.example.org' AS host,
-      |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
-      |  'lang=' || lang || '&v=1' AS query,
-      |  lang AS qp_lang,
-      |  'top' AS frag
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // All fields are parsed from ONE assembled URL, so a NULL source/lang
+    // voids the whole row (Spark concat is NULL-propagating): the oracle
+    // mirrors that all-or-nothing contract with a shared guard — per-field
+    // independence would diverge the moment any component is NULL
+    // (NULL-fixture find).
+    """WITH g AS (SELECT doc_id, source, lang,
+      |  source IS NOT NULL AND lang IS NOT NULL AS ok FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN ok THEN 'https' END AS proto,
+      |  CASE WHEN ok THEN source || '.example.org' END AS host,
+      |  CASE WHEN ok THEN '/docs/' || CAST(doc_id AS VARCHAR) END AS path,
+      |  CASE WHEN ok THEN 'lang=' || lang || '&v=1' END AS query,
+      |  CASE WHEN ok THEN lang END AS qp_lang,
+      |  CASE WHEN ok THEN 'top' END AS frag
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
     val url = concat(
       lit("https://"), col("source"), lit(".example.org/docs/"),
       col("doc_id").cast(StringType),

@@ -405,7 +405,7 @@ object Llm {
     s"""WITH cen AS (
        |  SELECT cid, cv FROM (
        |    SELECT vec_id AS cid, embedding AS cv,
-       |      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
        |    FROM $embSql)
        |  ORDER BY h, cid LIMIT $NumCentroids),
        |asg AS (
@@ -502,7 +502,7 @@ object Llm {
     // DuckDB's md5 takes VARCHAR only; payload bytes == utf8(text), so
     // md5(text) is the same digest Spark computes over the binary payload.
     val featSqls = (0 until FeatureDim).map { i =>
-      s"""CAST(CAST(concat('0x', substr(md5(text), ${6 * i + 1}, 6)) AS BIGINT)
+      s"""CAST(CAST('0x' || substr(md5(text), ${6 * i + 1}, 6) AS BIGINT)
          |     AS DOUBLE) / 16777216.0""".stripMargin
     }
     s"""SELECT doc_id, n_bytes, f[1] AS f0, f[2] AS f1, f[3] AS f2, f[4] AS f3 FROM (

@@ -29,7 +29,7 @@ object Pipeline {
   // --------------------------------------------------------------------
   private val sampleStratified = Op("sample_stratified",
     """SELECT doc_id, lang, source FROM documents
-      |WHERE CAST(concat('0x', substr(md5(concat(lang, ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100
+      |WHERE CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
       |      < CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 5 ELSE 10 END
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val rate = when(col("lang") === "en", 20)
@@ -159,7 +159,7 @@ object Pipeline {
   private val samplePerGroup = Op("sample_per_group",
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-       |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+       |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
        |             doc_id) AS rn
        |  FROM documents) WHERE rn <= $SamplePerGroupK
        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
@@ -221,7 +221,7 @@ object Pipeline {
        |ded AS (SELECT * FROM filt
        |        QUALIFY row_number() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) = 1),
        |samp AS (SELECT * FROM ded
-       |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50)
+       |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 50)
        |SELECT doc_id, lang, n_tok, (n_tok + 39) // 40 AS n_chunks
        |FROM samp ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window

@@ -253,10 +253,12 @@ object Relational {
   // at equal timestamps).
   private val joinAsof = Op("join_asof",
     """WITH od AS (
-      |  SELECT * FROM orders
+      |  SELECT * FROM orders WHERE o_orderdate IS NOT NULL
       |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
       |                             ORDER BY o_orderkey DESC) = 1)
-      |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      |SELECT e.event_id, e.user_id,
+      |  CASE WHEN e.ts IS NOT NULL THEN o.o_orderkey END AS o_orderkey,
+      |  CASE WHEN e.ts IS NOT NULL THEN o.o_totalprice END AS o_totalprice
       |FROM events e ASOF LEFT JOIN od o
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin) { (s, d) =>
@@ -274,12 +276,22 @@ object Relational {
         lit(null).cast("double").as("o_totalprice")))
     val w = Window.partitionBy("k").orderBy(col("tt").asc, col("tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The matched order rides in ONE struct: separate last(…, ignoreNulls)
+    // per column desyncs on a NULL o_totalprice (the id would come from the
+    // latest order, the price from an OLDER one that happened to be
+    // non-NULL) — the NULL-fixture sweep caught exactly that. The struct is
+    // gated on a non-NULL key and order date: a dateless order is no as-of
+    // candidate, an identityless one can't be joined (matches the oracle's
+    // ASOF predicates, never true for NULL); NULL-ts events sort first
+    // (NULLS FIRST) and see no preceding candidate — unmatched, like the
+    // oracle's CASE guard.
+    val mRow = when(col("tag") === 0 && col("tt").isNotNull && col("k").isNotNull,
+      struct(col("o_orderkey"), col("o_totalprice")))
     tagged
-      .withColumn("m_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
-      .withColumn("m_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .withColumn("m", last(mRow, ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("event_id"), col("k").as("user_id"),
-        col("m_orderkey").as("o_orderkey"), col("m_totalprice").as("o_totalprice"))
+        col("m.o_orderkey").as("o_orderkey"), col("m.o_totalprice").as("o_totalprice"))
       .orderBy("event_id")
   }
 
@@ -293,7 +305,7 @@ object Relational {
   // ASOF LEFT JOIN with the same CASE bound.
   private val joinAsofTolerance = Op("join_asof_tolerance",
     """WITH od AS (
-      |  SELECT * FROM orders
+      |  SELECT * FROM orders WHERE o_orderdate IS NOT NULL
       |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
       |                             ORDER BY o_orderkey DESC) = 1)
       |SELECT e.event_id, e.user_id,
@@ -318,12 +330,16 @@ object Relational {
         lit(null).cast("double").as("o_totalprice")))
     val w = Window.partitionBy("k").orderBy(col("tt").asc, col("tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fresh = col("m_odate") >= col("tt") - expr("INTERVAL 30 DAYS")
+    val fresh = col("m.odate") >= col("tt") - expr("INTERVAL 30 DAYS")
+    // one-struct carry + NULL gating — same discipline and rationale as
+    // join_asof above (separate ignoreNulls windows desync id/price on a
+    // NULL o_totalprice; dateless/keyless orders are no candidates)
+    val mRow = when(col("tag") === 0 && col("tt").isNotNull && col("k").isNotNull,
+      struct(col("o_orderkey"), col("o_totalprice"), col("tt").as("odate")))
     tagged
-      .withColumn("m_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
-      .withColumn("m_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
-      .withColumn("m_odate",
-        last(when(col("tag") === 0, col("tt")), ignoreNulls = true).over(w))
+      .withColumn("m", last(mRow, ignoreNulls = true).over(w))
+      .withColumn("m_orderkey", col("m.o_orderkey"))
+      .withColumn("m_totalprice", col("m.o_totalprice"))
       .filter(col("tag") === 1)
       .select(col("event_id"), col("k").as("user_id"),
         when(fresh, col("m_orderkey")).as("o_orderkey"),
@@ -606,7 +622,7 @@ object Relational {
   private val joinAsofNearest = Op("join_asof_nearest",
     """WITH p AS (
       |  SELECT user_id, ts, event_id AS purchase_id, value
-      |  FROM events WHERE event_type = 'purchase'
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
       |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
       |                             ORDER BY event_id DESC) = 1),
       |err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
@@ -621,9 +637,12 @@ object Relational {
       |  FROM err e ASOF LEFT JOIN p
       |    ON e.user_id = p.user_id AND e.ts < p.ts)
       |SELECT e.event_id, e.user_id,
-      |  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR bd <= fd) THEN bk ELSE fk END AS purchase_id,
-      |  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR bd <= fd) THEN bp ELSE fp END AS purchase_value,
-      |  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR bd <= fd) THEN 'back'
+      |  CASE WHEN e.ts IS NULL THEN NULL
+      |       WHEN bk IS NOT NULL AND (fk IS NULL OR bd <= fd) THEN bk ELSE fk END AS purchase_id,
+      |  CASE WHEN e.ts IS NULL THEN NULL
+      |       WHEN bk IS NOT NULL AND (fk IS NULL OR bd <= fd) THEN bp ELSE fp END AS purchase_value,
+      |  CASE WHEN e.ts IS NULL THEN NULL
+      |       WHEN bk IS NOT NULL AND (fk IS NULL OR bd <= fd) THEN 'back'
       |       WHEN fk IS NOT NULL THEN 'fwd' END AS matched
       |FROM err e
       |LEFT JOIN b ON e.event_id = b.event_id
@@ -653,7 +672,7 @@ object Relational {
     // rows take no part on either side, matching the oracle's ASOF
     // predicates, which are never true for NULL — a NULL-ts purchase is
     // no candidate, and a NULL-ts error surfaces an unmatched row.
-    val pRow = when(col("tag") === 0 && col("tt").isNotNull,
+    val pRow = when(col("tag") === 0 && col("tt").isNotNull && col("k").isNotNull,
       struct(col("purchase_id"), col("value"), col("tt").as("pt")))
     val valid = col("tt").isNotNull
     val bWins = col("b").isNotNull &&

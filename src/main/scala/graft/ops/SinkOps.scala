@@ -332,9 +332,14 @@ object SinkOps {
   // should align with the partition layout.
   // --------------------------------------------------------------------
   private val sinkDeleteWhere = Op("sink_delete_where",
+    // DELETE three-valued logic pinned: rows are removed where the predicate
+    // IS TRUE — a NULL-status row is NOT deleted (SQL-standard DELETE, and
+    // what the partition-dir rewrite below naturally does: NULL statuses
+    // live in the default partition, untouched). `WHERE NOT (pred)` would
+    // silently drop NULL-pred rows on the oracle side (NULL-fixture find).
     s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
-       |WHERE NOT (o_orderstatus = 'F'
-       |  AND ${graft.ops.Text.h60Sql("concat('del:', CAST(o_orderkey AS VARCHAR))")} % 10 = 0)
+       |WHERE (o_orderstatus = 'F'
+       |  AND ${graft.ops.Text.h60Sql("concat('del:', CAST(o_orderkey AS VARCHAR))")} % 10 = 0) IS NOT TRUE
        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     import graft.ops.Text.h60
     val root = freshScratch("sink_delete_where") + "/orders"
@@ -594,7 +599,7 @@ object SinkOps {
       |  SELECT user_id AS k, CAST(value AS DECIMAL(18,2)) AS v
       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
       |          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
-      |        FROM events) WHERE rn = 1)
+      |        FROM events WHERE user_id IS NOT NULL) WHERE rn = 1)
       |SELECT coalesce(w.k, c.c_custkey) AS k,
       |  CAST(CASE WHEN w.k IS NULL THEN CAST(c.c_acctbal AS DECIMAL(18,2))
       |       ELSE w.v END AS DOUBLE) AS val,
@@ -604,7 +609,13 @@ object SinkOps {
       |ORDER BY k""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
+    // a NULL-key CDC row has no identity to upsert: the keyed anti-join in
+    // Sinks.upsert can never match it, so each micro-batch would append its
+    // own NULL-key row and N-batch folding would diverge from the one-shot
+    // merge (NULL-fixture find) — keyless rows are dropped at ingest, the
+    // same rule a real CDC pipeline applies before MERGE
     val mb = t(s, d, "events")
+      .filter(col("user_id").isNotNull)
       .withColumn("__mb", ntile(3).over(
         Window.orderBy(col("ts").asc, col("event_id").asc)))
     val base = t(s, d, "customer")

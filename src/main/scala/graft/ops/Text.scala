@@ -23,9 +23,12 @@ object Text {
   /** 60-bit md5-derived hash of a string column (Spark side). */
   private[ops] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-  /** Same hash in DuckDB SQL. */
+  /** Same hash in DuckDB SQL. NULL-in → NULL-out like the Spark twin:
+    * `||` propagates NULL, while DuckDB's concat() SKIPS NULL arguments —
+    * concat('0x', md5(NULL)) would yield the string '0x' and blow up the
+    * BIGINT cast (found by the NULL-fixture sweep, round 10). */
   private[ops] def h60Sql(e: String): String =
-    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
   private[ops] def words(c: Column): Column = split(c, " ")
 
