@@ -232,8 +232,11 @@ object Composite {
   // The oracle replays the same pipeline with the orientation-free
   // a<b<c wedge labeling — same triangles, same per-node counts.
   // --------------------------------------------------------------------
-  private val graphTriangles = Op("graph_triangles",
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+  /** The mutual-top-10 co-supplier graph's oracle CTE chain (li → pw →
+    * dir → tk → e), shared verbatim by graph_triangles and graph_pagerank
+    * so the two ops provably run the same sparsified graph. */
+  private val mutualGraphCtes =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
       |pw AS (SELECT a.sk AS u, b.sk AS v, count(*) AS w
       |       FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
       |dir AS (SELECT u AS src, v AS dst, w FROM pw
@@ -243,7 +246,10 @@ object Composite {
       |           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
       |         FROM dir) WHERE rn <= 10),
       |e AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
-      |      FROM tk GROUP BY 1, 2 HAVING count(*) = 2),
+      |      FROM tk GROUP BY 1, 2 HAVING count(*) = 2)""".stripMargin
+
+  private val graphTriangles = Op("graph_triangles",
+    s"""WITH $mutualGraphCtes,
       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
       |        FROM e e1 JOIN e e2 ON e1.v = e2.u
       |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
@@ -252,14 +258,41 @@ object Composite {
       |      UNION ALL SELECT c FROM tri)
       |SELECT node, count(*) AS n_tri FROM n GROUP BY node
       |ORDER BY n_tri DESC, node""".stripMargin) { (s, d) =>
-    // pair generation WITHOUT the textbook self-join: one keyed aggregate
-    // to the per-order supplier set (collect_set combines map-side), then
-    // the ≤ C(k,2) pairs explode in the SCAN stage via an indexed HOF.
-    // Local timing is a wash vs the li⋈li form (both CPU-bound here, ~3 s
-    // at sf0.1), but this shape pays ONE exchange where the self-join
-    // pays two plus a join — the difference that matters on a cluster,
-    // where exchanges dominate. The oracle keeps the self-join form, so
-    // the two formulations cross-check.
+    val e = mutualEdges(s, d)
+    // wedge at the lowest-id vertex (degree ≤ 10, so no orientation is
+    // needed to bound fan-out), closed against the id-keyed edge list.
+    // Each self-join leg gets a RENAMED projection, not a plan alias:
+    // three `e.as(...)` legs of the same subplan misresolve under
+    // DeduplicateRelations (measured here: the aliased form silently
+    // joined the wrong attributes and tripled the triangle count) —
+    // distinct column names make every join condition unambiguous.
+    val eAB = e.select(col("u").as("a"), col("v").as("b"))
+    val eBC = e.select(col("u").as("b2"), col("v").as("c2"))
+    val eAC = e.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = eAB.join(eBC, col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c2").as("c"))
+      .join(eAC, col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+    // one generator pass (a union of three self-references would run the
+    // triangle join three times); each triangle credits its 3 vertices
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node").asc)
+  }
+
+  /** Spark-side build of the mutual-top-10 co-supplier edge list (u < v),
+    * shared by graph_triangles and graph_pagerank.
+    *
+    * Pair generation WITHOUT the textbook self-join: one keyed aggregate
+    * to the per-order supplier set (collect_set combines map-side), then
+    * the ≤ C(k,2) pairs explode in the SCAN stage via an indexed HOF.
+    * Local timing is a wash vs the li⋈li form (both CPU-bound here, ~3 s
+    * at sf0.1), but this shape pays ONE exchange where the self-join
+    * pays two plus a join — the difference that matters on a cluster,
+    * where exchanges dominate. The oracle keeps the self-join form
+    * (mutualGraphCtes), so the two formulations cross-check.
+    */
+  private def mutualEdges(s: SparkSession, d: String): DataFrame = {
     val perOrder = t(s, d, "lineitem")
       .groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_suppkey"))).as("sks"))
@@ -281,9 +314,10 @@ object Composite {
     // BOTH endpoints appears exactly twice.
     // localCheckpoint: the sparsified edge list is NODE-bounded (≤ 5·|V|
     // rows) while its lineage contains the fact-scale pair aggregate; the
-    // three triangle-join legs below are renamed projections (required
-    // for correct self-join resolution), which defeats ReuseExchange —
-    // without the checkpoint the whole fact pipeline runs three times
+    // consumers re-reference it repeatedly (three renamed triangle-join
+    // legs in graph_triangles, one per PageRank iteration in
+    // graph_pagerank — renaming defeats ReuseExchange) — without the
+    // checkpoint the whole fact pipeline runs once per reference
     // (measured at sf0.1: 3.1 s → 2.3 s; the remaining cost is the one
     // mandatory pair-aggregate pass). Two caveats localCheckpoint carries:
     // it is EAGER (the pair aggregate runs at DataFrame-construction time,
@@ -292,31 +326,150 @@ object Composite {
     // the query unrecoverable. The durable cluster-scale equivalent is a
     // reliable checkpoint() (or persist(MEMORY_AND_DISK_2)); local[n] has
     // no executor loss, so the cheap form is right here.
-    val e = tk.groupBy(
+    tk.groupBy(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .agg(count(lit(1)).as("both"))
       .filter(col("both") === 2).select("u", "v")
       .localCheckpoint()
-    // wedge at the lowest-id vertex (degree ≤ 10, so no orientation is
-    // needed to bound fan-out), closed against the id-keyed edge list.
-    // Each self-join leg gets a RENAMED projection, not a plan alias:
-    // three `e.as(...)` legs of the same subplan misresolve under
-    // DeduplicateRelations (measured here: the aliased form silently
-    // joined the wrong attributes and tripled the triangle count) —
-    // distinct column names make every join condition unambiguous.
-    val eAB = e.select(col("u").as("a"), col("v").as("b"))
-    val eBC = e.select(col("u").as("b2"), col("v").as("c2"))
-    val eAC = e.select(col("u").as("a3"), col("v").as("c3"))
-    val tri = eAB.join(eBC, col("b") === col("b2"))
-      .select(col("a"), col("b"), col("c2").as("c"))
-      .join(eAC, col("a") === col("a3") && col("c") === col("c3"))
-      .select("a", "b", "c")
-    // one generator pass (a union of three self-references would run the
-    // triangle join three times); each triangle credits its 3 vertices
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("node").asc)
+  }
+
+  // --------------------------------------------------------------------
+  // graph_pagerank — fixed-iteration PageRank on the same mutual-top-10
+  // co-supplier graph graph_triangles sparsifies (the node-importance
+  // kernel behind seed selection, crawl prioritization and influence
+  // ranking). 8 synchronous iterations, damping 0.85, uniform start.
+  //
+  // Engine parity for an ITERATIVE algorithm: FIXED-POINT INTEGER
+  // arithmetic. Rank is a BIGINT count of 1e-15 units; every step is
+  // integer division / multiplication / exact integer summation, so each
+  // iteration is bit-identical on both engines at any partitioning or
+  // aggregation order. (A decimal-quantized double formulation was tried
+  // first and diverged ~1e-13 after 8 iterations: CAST(double AS
+  // DECIMAL(28,14)) is NOT engine-identical — DuckDB scales by 1e14 in
+  // floating point while Spark expands the double's exact decimal form,
+  // so the 14th digit disagrees on arbitrary quotients and the error
+  // compounds per round. Integer fixed-point kills the class; the ~1e-15
+  // truncation bias per step is irrelevant to a ranking.)
+  //
+  // Scale shape: the fact-scale work (pair aggregate → mutual top-10) runs
+  // ONCE and is checkpointed; each iteration is then one equi-join + one
+  // keyed aggregate on a degree-≤10 edge list — O(|V|) rows per round, 8
+  // rounds. The mutual graph has no dangling nodes by construction
+  // (undirected ⇒ in-degree = out-degree ≥ 1), so no rank-leak term is
+  // needed. The oracle unrolls the same 8 iterations as chained CTEs.
+  // --------------------------------------------------------------------
+  private val PrIters = 8
+  private val PrScale = 1000000000000000L // 1e15 rank units per unit mass
+
+  private val graphPagerank = Op("graph_pagerank", {
+    val iterCtes = (0 until PrIters).map { i =>
+      s"""pr${i + 1} AS (
+         |  SELECT ed.dst AS node,
+         |    (15 * $PrScale // 100) // (SELECT n FROM nn)
+         |      + (CAST(SUM(p.r // dg.deg) AS BIGINT) * 85) // 100 AS r
+         |  FROM ed JOIN pr$i p ON p.node = ed.src
+         |          JOIN deg dg ON dg.node = ed.src
+         |  GROUP BY ed.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $mutualGraphCtes,
+       |ed AS (SELECT u AS src, v AS dst FROM e
+       |       UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |pr0 AS (SELECT node, $PrScale // (SELECT n FROM nn) AS r FROM deg),
+       |$iterCtes
+       |SELECT node, CAST(r AS DOUBLE) / $PrScale AS pagerank FROM pr$PrIters
+       |ORDER BY pagerank DESC, node""".stripMargin
+  }) { (s, d) =>
+    val e = mutualEdges(s, d)
+    val ed = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // |V| is a 1-row scalar (like the oracle's `nn` subquery): at any scale
+    // the node count of the sparsified graph is one tiny aggregate — the
+    // driver round-trip is the same one Spark's own scalar subqueries pay.
+    // max(·,1): on an EMPTY graph every frame below is already empty, so
+    // the divisor's value is irrelevant — it just must not be 0 (the
+    // oracle never evaluates its division on zero rows either).
+    val nNodes = math.max(deg.count(), 1L)
+    // the damping-reset term, computed once in the same all-integer order
+    // the oracle spells: (15·S ÷ 100) ÷ N
+    val resetUnits = 15L * PrScale / 100L / nNodes
+    // src-keyed (src, dst, deg) resolved ONCE before the loop: each
+    // iteration then needs exactly one shuffle (the dst aggregate) — the
+    // rank join reuses the edge list's src hash-partitioning.
+    val edges = ed
+      .join(deg.withColumnRenamed("node", "srcn"), col("src") === col("srcn"))
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("node"), lit(PrScale / nNodes).as("r"))
+    for (_ <- 1 to PrIters) {
+      // localCheckpoint per iteration: without it, iteration i's plan
+      // embeds all i-1 predecessors and Catalyst re-optimizes a linearly
+      // growing tree each round (the dedup_cluster lesson) — the accepted
+      // cost of a genuinely iterative algorithm.
+      ranks = edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(resetUnits) + expr("(sum(c) * 85) div 100")).as("r"))
+        .withColumnRenamed("dst", "node")
+        .localCheckpoint()
+    }
+    ranks.select(col("node"),
+        (col("r").cast("double") / lit(PrScale)).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("node").asc)
+  }
+
+  // --------------------------------------------------------------------
+  // join_bloom_prefilter — EXPLICIT runtime-filter join: the selective
+  // small side (urgent orders) is aggregated into ONE bloom-filter blob
+  // (Spark's own BloomFilterAggregate, registered via expressions.Bloom),
+  // the blob probes the fact side as a foldable literal filter BEFORE the
+  // join's exchange, and the exact join then removes the bloom's false
+  // positives — so the RESULT is exactly the plain inner join (the
+  // oracle), while the PLAN drops most non-joining fact rows at the scan.
+  //
+  // This is precisely what Catalyst's InjectRuntimeFilter plants for
+  // shuffle joins with a selective build side — but its thresholds
+  // (application side > 10 GB) are sized for clusters and never fire at
+  // test scale, and a library operator shouldn't depend on an optimizer
+  // heuristic firing. The join is hinted sort-merge to model the big-big
+  // case where the prefilter matters: with a broadcastable build side a
+  // BHJ already avoids the fact shuffle, and the bloom would be redundant.
+  //
+  // At 100 TB: the blob is ~100 KB (800k bits) — the aggregate's partials
+  // are fixed-size and OR-merge commutatively (order-independent build),
+  // the literal ships once per task like any broadcast, and the fact scan
+  // emits only might_contain survivors into the exchange — the shuffle
+  // shrinks by the build side's selectivity (~5× here: 1-URGENT is ~20%
+  // of orders), which is the entire cost of a big-big join.
+  // --------------------------------------------------------------------
+  private val BloomItems = 100000L
+  private val BloomBits = 800000L
+
+  private val joinBloomPrefilter = Op("join_bloom_prefilter",
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, d) =>
+    graft.expressions.Bloom.register(s)
+    val urgent = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_totalprice")
+    // one-row driver materialization of the blob — the same thing Spark's
+    // injected runtime filter does with its scalar subquery result
+    val blob = urgent.agg(
+        call_function(graft.expressions.Bloom.aggName,
+          xxhash64(col("o_orderkey")), lit(BloomItems), lit(BloomBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pre = t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .filter(call_function(graft.expressions.Bloom.mightName,
+        lit(blob), xxhash64(col("l_orderkey"))))
+    pre.join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   // --------------------------------------------------------------------
@@ -509,5 +662,6 @@ object Composite {
   }
 
   val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted, joinScd2Lookup,
-    graphTriangles, aggLinearFit, winPareto, skylinePareto)
+    graphTriangles, graphPagerank, joinBloomPrefilter, aggLinearFit, winPareto,
+    skylinePareto)
 }

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical monitoring operators — the two checks every production
+  * training-data pipeline runs between ingestion and training: feature
+  * DRIFT detection (has the incoming distribution shifted vs the reference
+  * window?) and A/B-style MEAN comparison (is the metric difference between
+  * two cohorts significant?).
+  *
+  * Parity discipline (the tf_idf/lm_score lesson): NO transcendental
+  * functions whose libm rounding differs across engines — drift uses total
+  * variation distance + a chi-square statistic (rational arithmetic only;
+  * PSI's ln() is NOT correctly-rounded-guaranteed across libms, so a
+  * log-based divergence could differ in the last ulp), and the t-test's
+  * only non-rational step is sqrt (IEEE-correctly-rounded everywhere).
+  * Every SUM of doubles goes through CAST(DECIMAL(28,14)) so the result is
+  * independent of aggregation order — and therefore of partition count.
+  */
+object Stats {
+
+  /** Exact order-independent sum of a double term (the dsum discipline at
+    * statistic precision). */
+  private def tsum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 14))).cast("double")
+
+  // --------------------------------------------------------------------
+  // drift_report — per-event-type distribution drift between a reference
+  // window (first half of the time range) and the current window: the
+  // `value` column is histogrammed into fixed-width bins and compared via
+  //   TVD  = ½ Σ_b |p_cur(b) - p_ref(b)|   (total variation distance)
+  //   chi² = Σ_b (p_cur-p_ref)² / ((p_ref+p_cur)/2)  (symmetrized)
+  // — the standard drift gates (TVD > 0.1 flags) in rational arithmetic.
+  //
+  // Scale shape: ONE pass over the fact table into a (type, bin) grid
+  // (conditional counts combine map-side; the grid is |types|×|bins| rows
+  // — ~100 — no matter how many events), then window + aggregate on the
+  // grid. Nothing downstream of the first aggregate scales with data.
+  // --------------------------------------------------------------------
+  private val DriftSplit = "2024-01-16"
+  private val DriftBinWidth = 25
+
+  private val driftReport = Op("drift_report",
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    CAST(floor(value / CAST($DriftBinWidth AS DOUBLE)) AS BIGINT) AS bin,
+       |    count(*) FILTER (WHERE ts <  TIMESTAMP '$DriftSplit') AS c_ref,
+       |    count(*) FILTER (WHERE ts >= TIMESTAMP '$DriftSplit') AS c_cur
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT event_type, c_ref, c_cur,
+       |    CAST(SUM(c_ref) OVER (PARTITION BY event_type) AS BIGINT) AS t_ref,
+       |    CAST(SUM(c_cur) OVER (PARTITION BY event_type) AS BIGINT) AS t_cur
+       |  FROM b),
+       |q AS (
+       |  SELECT event_type, t_ref, t_cur,
+       |    CAST(c_ref AS DOUBLE) / t_ref AS pr,
+       |    CAST(c_cur AS DOUBLE) / t_cur AS pc
+       |  FROM p WHERE t_ref > 0 AND t_cur > 0),
+       |terms AS (
+       |  SELECT event_type, t_ref, t_cur,
+       |    CAST(abs(pc - pr) AS DECIMAL(28,14)) AS tvd_t,
+       |    CAST((pc - pr) * (pc - pr) / ((pr + pc) / 2) AS DECIMAL(28,14)) AS chi_t
+       |  FROM q)
+       |SELECT event_type, max(t_ref) AS n_ref, max(t_cur) AS n_cur,
+       |  CAST(0.5 AS DOUBLE) * CAST(SUM(tvd_t) AS DOUBLE) AS tvd,
+       |  CAST(SUM(chi_t) AS DOUBLE) AS chi2,
+       |  CAST(0.5 AS DOUBLE) * CAST(SUM(tvd_t) AS DOUBLE)
+       |    > CAST(0.1 AS DOUBLE) AS drifted
+       |FROM terms GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val split = lit(DriftSplit).cast("timestamp")
+    val binned = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(DriftBinWidth).cast("double"))
+          .cast("long").as("bin"))
+      .agg(count(when(col("ts") < split, 1)).as("c_ref"),
+        count(when(col("ts") >= split, 1)).as("c_cur"))
+    val w = Window.partitionBy("event_type")
+    val q = binned
+      .withColumn("t_ref", sum("c_ref").over(w))
+      .withColumn("t_cur", sum("c_cur").over(w))
+      .filter(col("t_ref") > 0 && col("t_cur") > 0)
+      .withColumn("pr", col("c_ref").cast("double") / col("t_ref"))
+      .withColumn("pc", col("c_cur").cast("double") / col("t_cur"))
+    val tvd = lit(0.5) * tsum(abs(col("pc") - col("pr")))
+    q.groupBy("event_type")
+      .agg(max("t_ref").as("n_ref"), max("t_cur").as("n_cur"),
+        tvd.as("tvd"),
+        tsum((col("pc") - col("pr")) * (col("pc") - col("pr"))
+          / ((col("pr") + col("pc")) / lit(2))).as("chi2"),
+        (tvd > lit(0.1)).as("drifted"))
+      .orderBy("event_type")
+  }
+
+  // --------------------------------------------------------------------
+  // ab_ttest — per-day Welch two-sample t-test of `value` between the
+  // click (A) and purchase (B) cohorts: the significance gate behind every
+  // experiment dashboard. t = (m̄_a - m̄_b) / √(v_a/n_a + v_b/n_b), with
+  // Welch–Satterthwaite degrees of freedom; |t| > 1.96 flags (two-sided
+  // 5% against the normal approximation — exact CDF needs the incomplete
+  // beta, a library-specific special function, so the contract is the
+  // STATISTIC, not a p-value).
+  //
+  // Engine-identical: the five sufficient moments per (day, arm) —
+  // n, Σx, Σx² — are exact BIGINT / DECIMAL aggregates (Σx at the house
+  // DECIMAL(18,2) cents quantization, Σx² as the exact product of those
+  // decimals), so they are partition-order-independent; mean/variance/t
+  // are then a fixed scalar IEEE tree over exactly-agreed values (+, -,
+  // ×, ÷, √ are all correctly rounded). One fact pass, map-side combine,
+  // 30 result rows.
+  // --------------------------------------------------------------------
+  private val ArmA = "click"
+  private val ArmB = "purchase"
+
+  private val abTtest = Op("ab_ttest", {
+    // per-arm exact moments; x is the cents-quantized decimal value
+    def m(arm: String, suf: String) =
+      s"""count(*) FILTER (WHERE event_type = '$arm') AS n_$suf,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         |         FILTER (WHERE event_type = '$arm') AS DOUBLE) AS sx_$suf,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+         |         FILTER (WHERE event_type = '$arm') AS DOUBLE) AS sxx_$suf""".stripMargin
+    def vr(suf: String) =
+      s"(sxx_$suf - sx_$suf * sx_$suf / n_$suf) / (n_$suf - 1)"
+    s"""WITH mo AS (
+       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |    ${m(ArmA, "a")},
+       |    ${m(ArmB, "b")}
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND value IS NOT NULL
+       |    AND event_type IN ('$ArmA', '$ArmB')
+       |  GROUP BY 1),
+       |st AS (
+       |  SELECT day, n_a, n_b, sx_a / n_a AS mean_a, sx_b / n_b AS mean_b,
+       |    ${vr("a")} / n_a AS se2_a, ${vr("b")} / n_b AS se2_b
+       |  FROM mo WHERE n_a > 1 AND n_b > 1),
+       |tt AS (
+       |  SELECT day, n_a, n_b, mean_a, mean_b,
+       |    (mean_a - mean_b) / sqrt(se2_a + se2_b) AS t_stat,
+       |    (se2_a + se2_b) * (se2_a + se2_b)
+       |      / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)) AS df
+       |  FROM st WHERE se2_a + se2_b > 0)
+       |SELECT day, n_a, n_b, mean_a, mean_b, t_stat, df,
+       |  abs(t_stat) > CAST(1.96 AS DOUBLE) AS significant
+       |FROM tt ORDER BY day""".stripMargin
+  }) { (s, d) =>
+    val x = col("value").cast(DecimalType(18, 2))
+    def m(arm: String, suf: String) = Seq(
+      count(when(col("event_type") === arm, 1)).as(s"n_$suf"),
+      sum(when(col("event_type") === arm, x)).cast("double").as(s"sx_$suf"),
+      sum(when(col("event_type") === arm, x * x)).cast("double").as(s"sxx_$suf"))
+    val aggs = m(ArmA, "a") ++ m(ArmB, "b")
+    val mo = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isInCollection(Seq(ArmA, ArmB)))
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+    def vr(suf: String) =
+      (col(s"sxx_$suf") - col(s"sx_$suf") * col(s"sx_$suf") / col(s"n_$suf")) /
+        (col(s"n_$suf") - 1)
+    val st = mo.filter(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("day"), col("n_a"), col("n_b"),
+        (col("sx_a") / col("n_a")).as("mean_a"),
+        (col("sx_b") / col("n_b")).as("mean_b"),
+        (vr("a") / col("n_a")).as("se2_a"),
+        (vr("b") / col("n_b")).as("se2_b"))
+    st.filter(col("se2_a") + col("se2_b") > 0)
+      .select(col("day"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b")) / sqrt(col("se2_a") + col("se2_b")))
+          .as("t_stat"),
+        ((col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b"))
+          / (col("se2_a") * col("se2_a") / (col("n_a") - 1)
+            + col("se2_b") * col("se2_b") / (col("n_b") - 1))).as("df"))
+      .withColumn("significant", abs(col("t_stat")) > lit(1.96))
+      .orderBy("day")
+  }
+
+  val ops: Seq[Op] = Seq(driftReport, abTtest)
+}

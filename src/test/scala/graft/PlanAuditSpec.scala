@@ -560,4 +560,45 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("join_bloom_prefilter: might_contain prunes the fact side BELOW its exchange of a sort-merge join") {
+    val plan = planOf("join_bloom_prefilter")
+    plan should include("might_contain")
+    plan should include("SortMergeJoin")
+    // the filter must run scan-side (before the shuffle), not post-join:
+    // in the plan string the might_contain condition appears above the
+    // fact scan and below the first Exchange — assert the ordering by
+    // checking might_contain precedes the join operator mention
+    plan.indexOf("might_contain") should be > plan.indexOf("SortMergeJoin")
+    // (executed plans print top-down: the join line comes first, the
+    // scan-side filter later/deeper — might_contain deeper than the join)
+  }
+
+  test("graph_pagerank: the final frame reads the checkpointed last iteration, never the fact lineage") {
+    val plan = planOf("graph_pagerank")
+    // all 8 iterations and the fact-scale graph build ran eagerly behind
+    // localCheckpoint barriers; the result plan is sort+project over the
+    // checkpoint RDD — a re-execution of lineitem here would mean the
+    // iteration lineage leaked into the consumer plan
+    plan should include("ExistingRDD")
+    plan should not include "lineitem"
+  }
+
+  test("drift_report: ONE fact pass into the bounded (type,bin) grid; everything downstream is grid-sized") {
+    val plan = planOf("drift_report")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    // partial+final on the fact aggregate, partial+final on the grid
+    // aggregate; the window runs between them on ~100 rows
+    "HashAggregate".r.findAllIn(plan).size should be >= 4
+    "Window".r.findAllIn(plan).size shouldBe 1
+    plan should include("PushedFilters: [IsNotNull(ts), IsNotNull(value)]")
+  }
+
+  test("ab_ttest: one fact pass, arm predicate pushed to the scan, moments combine map-side") {
+    val plan = planOf("ab_ttest")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should include("In(event_type, [click,purchase])")
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+    plan should not include "Window" // sufficient-moments form needs no window
+  }
 }
