@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -43,6 +43,40 @@ object Stats {
   private val DriftSplit = "2024-01-16"
   private val DriftBinWidth = 25
 
+  /** The (type, bin) count grid — the drift op's only fact-scale pass,
+    * shared with the streaming twin ([[graft.streaming.Streams.driftSink]]):
+    * the grid is ALGEBRAIC (two conditional counts per key), so a stream
+    * can fold per-batch partials into it with a keyed SUM merge and the
+    * view below reproduces the batch op exactly at any batch cut. */
+  private[graft] def driftCounts(events: DataFrame): DataFrame = {
+    val split = lit(DriftSplit).cast("timestamp")
+    events.filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(DriftBinWidth).cast("double"))
+          .cast("long").as("bin"))
+      .agg(count(when(col("ts") < split, 1)).as("c_ref"),
+        count(when(col("ts") >= split, 1)).as("c_cur"))
+  }
+
+  /** TVD + χ² over a completed count grid (grid-sized input: ~100 rows). */
+  private[graft] def driftView(grid: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    val q = grid
+      .withColumn("t_ref", sum("c_ref").over(w))
+      .withColumn("t_cur", sum("c_cur").over(w))
+      .filter(col("t_ref") > 0 && col("t_cur") > 0)
+      .withColumn("pr", col("c_ref").cast("double") / col("t_ref"))
+      .withColumn("pc", col("c_cur").cast("double") / col("t_cur"))
+    val tvd = lit(0.5) * tsum(abs(col("pc") - col("pr")))
+    q.groupBy("event_type")
+      .agg(max("t_ref").as("n_ref"), max("t_cur").as("n_cur"),
+        tvd.as("tvd"),
+        tsum((col("pc") - col("pr")) * (col("pc") - col("pr"))
+          / ((col("pr") + col("pc")) / lit(2))).as("chi2"),
+        (tvd > lit(0.1)).as("drifted"))
+      .orderBy("event_type")
+  }
+
   private val driftReport = Op("drift_report",
     s"""WITH b AS (
        |  SELECT event_type,
@@ -73,29 +107,7 @@ object Stats {
        |    > CAST(0.1 AS DOUBLE) AS drifted
        |FROM terms GROUP BY event_type
        |ORDER BY event_type""".stripMargin) { (s, d) =>
-    val split = lit(DriftSplit).cast("timestamp")
-    val binned = t(s, d, "events")
-      .filter(col("ts").isNotNull && col("value").isNotNull)
-      .groupBy(col("event_type"),
-        floor(col("value") / lit(DriftBinWidth).cast("double"))
-          .cast("long").as("bin"))
-      .agg(count(when(col("ts") < split, 1)).as("c_ref"),
-        count(when(col("ts") >= split, 1)).as("c_cur"))
-    val w = Window.partitionBy("event_type")
-    val q = binned
-      .withColumn("t_ref", sum("c_ref").over(w))
-      .withColumn("t_cur", sum("c_cur").over(w))
-      .filter(col("t_ref") > 0 && col("t_cur") > 0)
-      .withColumn("pr", col("c_ref").cast("double") / col("t_ref"))
-      .withColumn("pc", col("c_cur").cast("double") / col("t_cur"))
-    val tvd = lit(0.5) * tsum(abs(col("pc") - col("pr")))
-    q.groupBy("event_type")
-      .agg(max("t_ref").as("n_ref"), max("t_cur").as("n_cur"),
-        tvd.as("tvd"),
-        tsum((col("pc") - col("pr")) * (col("pc") - col("pr"))
-          / ((col("pr") + col("pc")) / lit(2))).as("chi2"),
-        (tvd > lit(0.1)).as("drifted"))
-      .orderBy("event_type")
+    driftView(driftCounts(t(s, d, "events")))
   }
 
   // --------------------------------------------------------------------

@@ -307,6 +307,43 @@ object Streams {
   def rateAlertView(state: DataFrame): DataFrame =
     graft.ops.rateAlertOver(state)
 
+  /** Per-batch (type, bin) count partials for the drift twin — LITERALLY
+    * the batch op's grid pass ([[graft.ops.Stats.driftCounts]]), shared so
+    * the two formulations cannot drift. */
+  private[streaming] def driftCounts(batch: DataFrame): DataFrame =
+    graft.ops.Stats.driftCounts(instantTs(batch))
+
+  /** Merge a batch's drift-grid partials into the (type, bin, c_ref,
+    * c_cur) state — the grid is algebraic, so merge = keyed SUM.
+    * Null-safe key equality: a NULL event_type is a legitimate audited
+    * group in the batch op, so the merge must not fork it into duplicate
+    * state rows. Same exactly-once caveat as [[topkMergeCounts]]. */
+  def driftMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.as("s"); val d = delta.as("d")
+    s.join(d, col("s.event_type") <=> col("d.event_type")
+        && col("s.bin") <=> col("d.bin"), "full_outer")
+      .select(coalesce(col("d.event_type"), col("s.event_type")).as("event_type"),
+        coalesce(col("d.bin"), col("s.bin")).as("bin"),
+        (coalesce(col("s.c_ref"), lit(0L)) + coalesce(col("d.c_ref"), lit(0L))).as("c_ref"),
+        (coalesce(col("s.c_cur"), lit(0L)) + coalesce(col("d.c_cur"), lit(0L))).as("c_cur"))
+  }
+
+  /** foreachBatch fold for the drift-gate state (twin of the batch
+    * drift_report op): production drift checks run CONTINUOUSLY against
+    * the ingest stream, and the grid state is bounded by
+    * |types × bins| (~100 rows), never stream volume. */
+  def driftSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(driftMerge(readState(), driftCounts(batch)))
+    }
+
+  /** Read side of [[driftSink]]: TVD + χ² over the bounded grid state —
+    * LITERALLY the batch op's view ([[graft.ops.Stats.driftView]]). */
+  def driftView(state: DataFrame): DataFrame =
+    graft.ops.Stats.driftView(state)
+
   /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
     * windows — each event extends its session by its OWN duration
     * (props.k minutes), so overlapping per-user intervals coalesce
