@@ -23,6 +23,7 @@ object BenchBudget {
     "agg_percentile" -> 4.87, "agg_percentile_approx" -> 6.12, "agg_pivot" -> 1.23,
     "agg_rollup" -> 2.74, "agg_sketch_partial" -> 1.27, "agg_stats" -> 3.21,
     "anomaly_mad" -> 1.66, "cdc_apply" -> 1.56, "chunk_split" -> 0.91,
+    "conversion_latency" -> 2.03, // 3 x 0.68 s idle sf0.1 (r10)
     "corpus_shuffle" -> 0.75, "curation_pipeline" -> 2.47, "dataset_split" -> 0.75,
     "decontaminate" -> 2.49, "dedup_cluster" -> 8.21, "dedup_embed" -> 2.04,
     "dedup_embed_banded" -> 3.01, "dedup_exact" -> 0.77, "dedup_fuzzy" -> 2.29,
@@ -47,6 +48,7 @@ object BenchBudget {
     "fn_try" -> 8.95, "fn_url" -> 0.75, "fn_variant" -> 2.27,
     "gap_detect" -> 2.35, "gap_fill" -> 1.17, "graph_triangles" -> 6.38,
     "graph_pagerank" -> 11.37, // 3 x 3.79 s idle sf0.1 (r10; 8 eager iterations)
+    "heavy_hitters" -> 3.06, // 3 x 1.02 s idle sf0.1 (r10)
     "interleave_sources" -> 0.75, "join_anti" -> 0.89, "join_asof" -> 2.62,
     "join_asof_tolerance" -> 3.12, // same union-tag window plan as join_asof
 

@@ -1143,10 +1143,84 @@ object Events {
       .orderBy("dow", "hod")
   }
 
+  // --------------------------------------------------------------------
+  // conversion_latency — the funnel-latency distribution: for every
+  // purchase with a preceding click (event_attribution's carry), the
+  // click→purchase delay, summarized per purchase-day as DISCRETE
+  // percentiles (p50/p90/p99 = the k-th smallest with k = ⌈q·n⌉). The
+  // k-index is pure integer arithmetic ((q·100·n + 99) div 100 style), so
+  // both engines select the SAME element — interpolating percentiles
+  // (Spark percentile vs DuckDB quantile_cont) round engine-specifically.
+  //
+  // Scale shape: the carry is the proven per-user keyed window; the
+  // per-day rank window partitions by day — bounded here (30 × ~60 rows),
+  // but at 100 TB one day's purchases are fact-scale, so the honest
+  // cluster swap is approx_percentile sketches per day (the
+  // outlier_filter/anomaly_mad precedent) with this exact form as the
+  // small-scale oracle.
+  // --------------------------------------------------------------------
+  private val conversionLatency = Op("conversion_latency",
+    """WITH u AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    last_value(CASE WHEN event_type = 'click' AND ts IS NOT NULL
+      |                    THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+      |      OVER w AS click_ts
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pairs AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    event_id AS pid, epoch_us(ts) - epoch_us(click_ts) AS lat_us
+      |  FROM u
+      |  WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |    AND click_ts IS NOT NULL),
+      |r AS (
+      |  SELECT day, lat_us,
+      |    row_number() OVER (PARTITION BY day ORDER BY lat_us, pid) AS rn,
+      |    count(*) OVER (PARTITION BY day) AS n
+      |  FROM pairs)
+      |SELECT day, max(n) AS n_pairs,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN lat_us END) AS p50_us,
+      |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_us END) AS p90_us,
+      |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN lat_us END) AS p99_us
+      |FROM r GROUP BY day
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL-ts clicks are no carry candidates; NULL-ts purchases have no
+    // event time to pair at (the attribution_first_touch contract)
+    val clickTs = when(col("event_type") === "click" && col("ts").isNotNull,
+      col("ts"))
+    val pairs = t(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("cts", last(clickTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase"
+        && col("ts").isNotNull && col("cts").isNotNull)
+      .select(date_trunc("day", col("ts")).cast("timestamp").as("day"),
+        col("event_id").as("pid"),
+        (unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(col("cts").cast("timestamp"))).as("lat_us"))
+    val wd = Window.partitionBy("day").orderBy(col("lat_us").asc, col("pid").asc)
+    val r = pairs
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("day")))
+    def kth(k: org.apache.spark.sql.Column) =
+      max(when(col("rn") === k, col("lat_us")))
+    r.groupBy("day")
+      .agg(max("n").as("n_pairs"),
+        kth(expr("(n + 1) div 2")).as("p50_us"),
+        kth(expr("(9 * n + 9) div 10")).as("p90_us"),
+        kth(expr("(99 * n + 99) div 100")).as("p99_us"))
+      .orderBy("day")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, attributionFirstTouch, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
-    activityProfile)
+    activityProfile, conversionLatency)
 }

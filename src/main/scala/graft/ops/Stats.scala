@@ -130,6 +130,54 @@ object Stats {
   private val ArmA = "click"
   private val ArmB = "purchase"
 
+  /** Per-day sufficient moments (n, Σx, Σx² per arm) — the t-test's only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.ttestSink]]): the moments are ALGEBRAIC
+    * (counts and exact decimal sums), so a stream folds per-batch partials
+    * into them with a keyed SUM merge and [[ttestView]] reproduces the
+    * batch op exactly at any batch cut. Sums stay DECIMAL here (exact
+    * merge); the view casts to double. */
+  private[graft] def ttestMoments(events: DataFrame): DataFrame = {
+    val x = col("value").cast(DecimalType(18, 2))
+    def m(arm: String, suf: String) = Seq(
+      count(when(col("event_type") === arm, 1)).as(s"n_$suf"),
+      sum(when(col("event_type") === arm, x))
+        .cast(DecimalType(38, 2)).as(s"sx_$suf"),
+      sum(when(col("event_type") === arm, x * x))
+        .cast(DecimalType(38, 4)).as(s"sxx_$suf"))
+    val aggs = m(ArmA, "a") ++ m(ArmB, "b")
+    events
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isInCollection(Seq(ArmA, ArmB)))
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Welch t statistic over completed moments (grid-sized input: one row
+    * per day) — a fixed scalar IEEE tree over exactly-agreed values. */
+  private[graft] def ttestView(moments: DataFrame): DataFrame = {
+    def vr(suf: String) = {
+      val sx = col(s"sx_$suf").cast("double")
+      val sxx = col(s"sxx_$suf").cast("double")
+      (sxx - sx * sx / col(s"n_$suf")) / (col(s"n_$suf") - 1)
+    }
+    val st = moments.filter(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("day"), col("n_a"), col("n_b"),
+        (col("sx_a").cast("double") / col("n_a")).as("mean_a"),
+        (col("sx_b").cast("double") / col("n_b")).as("mean_b"),
+        (vr("a") / col("n_a")).as("se2_a"),
+        (vr("b") / col("n_b")).as("se2_b"))
+    st.filter(col("se2_a") + col("se2_b") > 0)
+      .select(col("day"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b")) / sqrt(col("se2_a") + col("se2_b")))
+          .as("t_stat"),
+        ((col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b"))
+          / (col("se2_a") * col("se2_a") / (col("n_a") - 1)
+            + col("se2_b") * col("se2_b") / (col("n_b") - 1))).as("df"))
+      .withColumn("significant", abs(col("t_stat")) > lit(1.96))
+      .orderBy("day")
+  }
+
   private val abTtest = Op("ab_ttest", {
     // per-arm exact moments; x is the cents-quantized decimal value
     def m(arm: String, suf: String) =
@@ -162,35 +210,7 @@ object Stats {
        |  abs(t_stat) > CAST(1.96 AS DOUBLE) AS significant
        |FROM tt ORDER BY day""".stripMargin
   }) { (s, d) =>
-    val x = col("value").cast(DecimalType(18, 2))
-    def m(arm: String, suf: String) = Seq(
-      count(when(col("event_type") === arm, 1)).as(s"n_$suf"),
-      sum(when(col("event_type") === arm, x)).cast("double").as(s"sx_$suf"),
-      sum(when(col("event_type") === arm, x * x)).cast("double").as(s"sxx_$suf"))
-    val aggs = m(ArmA, "a") ++ m(ArmB, "b")
-    val mo = t(s, d, "events")
-      .filter(col("ts").isNotNull && col("value").isNotNull
-        && col("event_type").isInCollection(Seq(ArmA, ArmB)))
-      .groupBy(date_trunc("day", col("ts")).cast("timestamp").as("day"))
-      .agg(aggs.head, aggs.tail: _*)
-    def vr(suf: String) =
-      (col(s"sxx_$suf") - col(s"sx_$suf") * col(s"sx_$suf") / col(s"n_$suf")) /
-        (col(s"n_$suf") - 1)
-    val st = mo.filter(col("n_a") > 1 && col("n_b") > 1)
-      .select(col("day"), col("n_a"), col("n_b"),
-        (col("sx_a") / col("n_a")).as("mean_a"),
-        (col("sx_b") / col("n_b")).as("mean_b"),
-        (vr("a") / col("n_a")).as("se2_a"),
-        (vr("b") / col("n_b")).as("se2_b"))
-    st.filter(col("se2_a") + col("se2_b") > 0)
-      .select(col("day"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
-        ((col("mean_a") - col("mean_b")) / sqrt(col("se2_a") + col("se2_b")))
-          .as("t_stat"),
-        ((col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b"))
-          / (col("se2_a") * col("se2_a") / (col("n_a") - 1)
-            + col("se2_b") * col("se2_b") / (col("n_b") - 1))).as("df"))
-      .withColumn("significant", abs(col("t_stat")) > lit(1.96))
-      .orderBy("day")
+    ttestView(ttestMoments(t(s, d, "events")))
   }
 
   val ops: Seq[Op] = Seq(driftReport, abTtest)

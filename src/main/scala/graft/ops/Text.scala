@@ -603,7 +603,69 @@ object Text {
     }
   }
 
+  // --------------------------------------------------------------------
+  // heavy_hitters — count-min-sketch heavy hitters over the token stream:
+  // D=4 hash rows × W=1024 buckets (md5-derived bucket hashes, engine-
+  // identical), estimate(token) = min over rows of its bucket's count,
+  // top-20 tokens by ESTIMATE with the exact count alongside so the
+  // sketch's one-sided error (est ≥ exact, overcount bounded by colliding
+  // mass) is auditable in the output.
+  //
+  // Why a sketch when vocab_topk already counts exactly: the SKETCH is
+  // the scale path — its state is 4×1024 cells regardless of corpus size,
+  // the cells are mergeable partials (counts sum across shards/streams),
+  // and at 100 TB the candidate set comes from a sample while the cell
+  // build stays one map-combined pass. Here candidates are the exact
+  // vocabulary, which doubles as the overcount audit.
+  //
+  // Plan shape: cells aggregate to ≤4096 rows and BROADCAST into the
+  // probe join; the only token-scale shuffles are the cell build and the
+  // candidate distinct — both map-side combined.
+  // --------------------------------------------------------------------
+  private val CmsD = 4
+  private val CmsW = 1024
+
+  private val heavyHitters = Op("heavy_hitters", {
+    def bucketSql(d: String, tok: String) =
+      s"${h60Sql(s"CAST($d AS VARCHAR) || ':' || $tok")} % $CmsW"
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |hashed AS (
+       |  SELECT tok, d, ${bucketSql("d", "tok")} AS bucket
+       |  FROM tok, (SELECT unnest(range(0, $CmsD)) AS d)),
+       |cells AS (SELECT d, bucket, count(*) AS cn FROM hashed GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT tok, d, bucket FROM hashed),
+       |est AS (
+       |  SELECT k.tok, min(ce.cn) AS est_n
+       |  FROM keys k JOIN cells ce ON ce.d = k.d AND ce.bucket = k.bucket
+       |  GROUP BY 1),
+       |cand AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY 1)
+       |SELECT e.tok, e.est_n, c.exact_n, e.est_n - c.exact_n AS overcount
+       |FROM est e JOIN cand c ON e.tok = c.tok
+       |ORDER BY est_n DESC, e.tok LIMIT 20""".stripMargin
+  }) { (s, d) =>
+    val tok = exchange(t(s, d, "documents").filter(col("text").isNotNull)
+      .select(explode(words(col("text"))).as("tok")))
+    def bucket(dc: Column, tc: Column): Column =
+      h60(concat(dc.cast("string"), lit(":"), tc)) % CmsW
+    val hashed = tok
+      .select(col("tok"), explode(sequence(lit(0), lit(CmsD - 1))).as("d"))
+      .withColumn("bucket", bucket(col("d"), col("tok")))
+    val cells = broadcast(
+      hashed.groupBy("d", "bucket").agg(count(lit(1)).as("cn")))
+    val est = hashed.select("tok", "d", "bucket").distinct()
+      .join(cells, Seq("d", "bucket"))
+      .groupBy("tok").agg(min("cn").as("est_n"))
+    val cand = tok.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    est.join(cand, Seq("tok"))
+      .select(col("tok"), col("est_n"), col("exact_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("est_n").desc, col("tok").asc)
+      .limit(20)
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
-    oovRate, corpusGini, featureHash)
+    oovRate, corpusGini, featureHash, heavyHitters)
 }

@@ -344,6 +344,50 @@ object Streams {
   def driftView(state: DataFrame): DataFrame =
     graft.ops.Stats.driftView(state)
 
+  /** Per-batch t-test moment partials — LITERALLY the batch op's moment
+    * pass ([[graft.ops.Stats.ttestMoments]]). */
+  private[streaming] def ttestMoments(batch: DataFrame): DataFrame =
+    graft.ops.Stats.ttestMoments(instantTs(batch))
+
+  /** Merge a batch's moment partials into the per-day (n, Σx, Σx²) state:
+    * counts and EXACT DECIMAL sums are algebraic, so merge = keyed SUM —
+    * and because the sums are decimals, the merged state is bit-identical
+    * no matter how the stream was batched (an IEEE-double running sum
+    * would drift with the cut points). Casts pin the state schema the
+    * parquet round-trip needs. Same exactly-once caveat as
+    * [[topkMergeCounts]]. */
+  def ttestMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val s = state.as("s"); val d = delta.as("d")
+    def add(c: String, dt: org.apache.spark.sql.types.DataType) =
+      (coalesce(col(s"s.$c"), lit(0).cast(dt))
+        + coalesce(col(s"d.$c"), lit(0).cast(dt))).cast(dt).as(c)
+    s.join(d, col("s.day") <=> col("d.day"), "full_outer")
+      .select(Seq(coalesce(col("d.day"), col("s.day")).as("day")) ++
+        Seq("a", "b").flatMap { arm =>
+          Seq(add(s"n_$arm", org.apache.spark.sql.types.LongType),
+            add(s"sx_$arm", DecimalType(38, 2)),
+            add(s"sxx_$arm", DecimalType(38, 4)))
+        }: _*)
+  }
+
+  /** foreachBatch fold for the experiment-significance state (twin of the
+    * batch ab_ttest op): A/B dashboards recompute significance as events
+    * arrive, and the moment state is bounded by |days|, never stream
+    * volume. */
+  def ttestSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(ttestMerge(readState(), ttestMoments(batch)))
+    }
+
+  /** Read side of [[ttestSink]]: the Welch statistic over the bounded
+    * moment state — LITERALLY the batch op's view
+    * ([[graft.ops.Stats.ttestView]]). */
+  def ttestView(state: DataFrame): DataFrame =
+    graft.ops.Stats.ttestView(state)
+
   /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
     * windows — each event extends its session by its OWN duration
     * (props.k minutes), so overlapping per-user intervals coalesce

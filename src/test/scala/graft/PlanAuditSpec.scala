@@ -594,6 +594,22 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("PushedFilters: [IsNotNull(ts), IsNotNull(value)]")
   }
 
+  test("heavy_hitters: the 4096-cell sketch broadcasts into the probe join") {
+    val plan = planOf("heavy_hitters")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // the cell build must combine map-side (partial+final)
+    "HashAggregate".r.findAllIn(plan).size should be >= 4
+  }
+
+  test("conversion_latency: keyed carry window + keyed day windows, no single-partition sort") {
+    val plan = planOf("conversion_latency")
+    plan should not include "SinglePartition"
+    plan should not include "CartesianProduct"
+    // one per-user carry window, one per-day rank/count window pass
+    "Window".r.findAllIn(plan).size should be >= 2
+  }
+
   test("ab_ttest: one fact pass, arm predicate pushed to the scan, moments combine map-side") {
     val plan = planOf("ab_ttest")
     "events.parquet".r.findAllIn(plan).size shouldBe 1

@@ -618,6 +618,45 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source t-test sink: decimal moment fold over hash-split batches equals the batch ab_ttest") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split chunks: the per-day moments are algebraic EXACT sums, so
+    // batch composition must wash out bit-for-bit — this is the property
+    // an IEEE-double running sum would NOT have (cut points would move
+    // the summation order); the decimal state makes the fold associative
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val staged = stageChunks("events_ttest_stream", chunks)
+    val stateRoot = Files.createTempDirectory("ttest_state").toString
+    val stateSchema = StructType.fromDDL(
+      "day TIMESTAMP, n_a BIGINT, sx_a DECIMAL(38,2), sxx_a DECIMAL(38,4), " +
+        "n_b BIGINT, sx_b DECIMAL(38,2), sxx_b DECIMAL(38,4)")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+      .write.parquet(s"$stateRoot/v0")
+    var v = 0
+    def readState(): DataFrame = spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.ttestSink(stream)(readState _)(writeState)
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+    v should be >= 3
+    val streamed = graft.streaming.Streams.ttestView(readState())
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("ab_ttest")(spark, dir01)
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source Streams.intervalMerge: dynamic-gap sessions equal the batch islands") {
     import java.nio.file.{Files, Paths}
     val dir01 = "/root/testdata/sf0.01"
