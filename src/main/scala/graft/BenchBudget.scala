@@ -22,7 +22,8 @@ object BenchBudget {
     "agg_linear_fit" -> 2.75, "agg_minmax_by" -> 1.0, "agg_mode" -> 1.32,
     "agg_percentile" -> 4.87, "agg_percentile_approx" -> 6.12, "agg_pivot" -> 1.23,
     "agg_rollup" -> 2.74, "agg_sketch_partial" -> 1.27, "agg_stats" -> 3.21,
-    "anomaly_mad" -> 1.66, "cdc_apply" -> 1.56, "chunk_split" -> 0.91,
+    "anomaly_mad" -> 1.66, "anomaly_seasonal" -> 1.51, // 3 x 0.50 s idle sf0.1 (r10)
+    "cdc_apply" -> 1.56, "chunk_split" -> 0.91,
     "conversion_latency" -> 2.03, // 3 x 0.68 s idle sf0.1 (r10)
     "corpus_shuffle" -> 0.75, "curation_pipeline" -> 2.47, "dataset_split" -> 0.75,
     "decontaminate" -> 2.49, "dedup_cluster" -> 8.21, "dedup_embed" -> 2.04,

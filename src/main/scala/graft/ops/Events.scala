@@ -1144,6 +1144,49 @@ object Events {
   }
 
   // --------------------------------------------------------------------
+  // anomaly_seasonal — seasonal-baseline anomaly gate: each calendar
+  // HOUR's event count is compared to the mean count of its hour-of-week
+  // cell (same weekday × hour across the observed weeks) and flagged when
+  // it exceeds 3× that baseline. rate_alert's baseline is the user's own
+  // trailing 24 h (burst detection); this one is the CALENDAR's seasonal
+  // norm (load anomalies a trailing window normalizes away — a busy
+  // Monday 9am is only anomalous vs other Monday 9ams).
+  //
+  // Parity: the 3×-mean comparison is cross-multiplied to pure integers
+  // (n · cell_n > 3 · cell_total) — no mean is ever materialized as a
+  // float, the rate_alert discipline.
+  //
+  // Scale shape: ONE map-side-combining fact aggregate to ≤ |hours| rows
+  // (24·365 per year — calendar-bounded at any fact scale); the cell
+  // window runs over that bounded table partitioned by (dow, hod).
+  // --------------------------------------------------------------------
+  private val anomalySeasonal = Op("anomaly_seasonal",
+    """WITH h AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hts, count(*) AS n
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT hts, n, isodow(hts) AS dow, hour(hts) AS hod,
+      |    CAST(SUM(n) OVER cell AS BIGINT) AS cell_total,
+      |    count(*) OVER cell AS cell_n
+      |  FROM h
+      |  WINDOW cell AS (PARTITION BY isodow(hts), hour(hts)))
+      |SELECT hts, dow, hod, n, cell_total, cell_n,
+      |  n * cell_n > 3 * cell_total AS flagged
+      |FROM c ORDER BY hts""".stripMargin) { (s, d) =>
+    val h = t(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp").as("hts"))
+      .agg(count(lit(1)).as("n"))
+    val cell = Window.partitionBy("dow", "hod")
+    h.withColumn("dow", (expr("weekday(hts)") + 1).cast("long"))
+      .withColumn("hod", hour(col("hts")).cast("long"))
+      .withColumn("cell_total", sum("n").over(cell))
+      .withColumn("cell_n", count(lit(1)).over(cell))
+      .withColumn("flagged", col("n") * col("cell_n") > lit(3) * col("cell_total"))
+      .select("hts", "dow", "hod", "n", "cell_total", "cell_n", "flagged")
+      .orderBy("hts")
+  }
+
+  // --------------------------------------------------------------------
   // conversion_latency — the funnel-latency distribution: for every
   // purchase with a preceding click (event_attribution's carry), the
   // click→purchase delay, summarized per purchase-day as DISCRETE
@@ -1222,5 +1265,5 @@ object Events {
     attribution, attributionFirstTouch, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
-    activityProfile, conversionLatency)
+    activityProfile, conversionLatency, anomalySeasonal)
 }

@@ -610,6 +610,14 @@ class PlanAuditSpec extends SparkSpec {
     "Window".r.findAllIn(plan).size should be >= 2
   }
 
+  test("anomaly_seasonal: one map-combined fact agg; the cell window runs on the calendar-bounded hour table") {
+    val plan = planOf("anomaly_seasonal")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    "HashAggregate".r.findAllIn(plan).size shouldBe 2 // partial+final fact agg
+    "Window".r.findAllIn(plan).size shouldBe 1
+    plan should not include "SinglePartition"
+  }
+
   test("ab_ttest: one fact pass, arm predicate pushed to the scan, moments combine map-side") {
     val plan = planOf("ab_ttest")
     "events.parquet".r.findAllIn(plan).size shouldBe 1
