@@ -25,7 +25,9 @@ object BenchBudget {
     "anomaly_mad" -> 1.66, "anomaly_seasonal" -> 1.51, // 3 x 0.50 s idle sf0.1 (r10)
     "cdc_apply" -> 1.56, "chunk_split" -> 0.91,
     "conversion_latency" -> 2.03, // 3 x 0.68 s idle sf0.1 (r10)
-    "corpus_shuffle" -> 0.75, "curation_pipeline" -> 2.47, "dataset_split" -> 0.75,
+    "corpus_shuffle" -> 0.75, "curation_pipeline" -> 2.47,
+    "dataset_card" -> 1.94, // 3 x 0.65 s idle sf0.1 (r10)
+    "dataset_split" -> 0.75,
     "decontaminate" -> 2.49, "dedup_cluster" -> 8.21, "dedup_embed" -> 2.04,
     "dedup_embed_banded" -> 3.01, "dedup_exact" -> 0.77, "dedup_fuzzy" -> 2.29,
     "dedup_incremental" -> 0.9, "dedup_minhash" -> 2.88, "dedup_ngram" -> 2.16,

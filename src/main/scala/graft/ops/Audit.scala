@@ -537,7 +537,95 @@ object Audit {
       .orderBy("day")
   }
 
+  // --------------------------------------------------------------------
+  // dataset_card — the publishable corpus datasheet: one (metric, value)
+  // row per headline statistic a dataset release documents (doc counts,
+  // null coverage, char/token volume, language/source cardinality,
+  // median length, exact-duplicate mass). Every metric is an EXACT
+  // INTEGER — no ratio or float ever leaves the op, so the card is
+  // bit-reproducible on any engine at any partitioning (downstream
+  // renderers divide for display).
+  //
+  // Scale shape: 3 passes — (1) ONE fused aggregate for the seven
+  // single-pass metrics (the two COUNT DISTINCTs ride the same Expand;
+  // at 100 TB swap them for approx_count_distinct), (2) the discrete
+  // median via TakeOrderedAndProject over the (n_chars, doc_id) order —
+  // per-partition heaps of k, honest only while k fits the driver, so
+  // the 100 TB swap is the approx_percentile sketch (outlier_filter
+  // precedent), (3) the md5-group dup mass (dedup_exact's aggregate).
+  // --------------------------------------------------------------------
+  private val datasetCard = Op("dataset_card",
+    """WITH base AS (
+      |  SELECT count(*) AS n_docs,
+      |    count(*) FILTER (WHERE text IS NULL) AS n_null_text,
+      |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars,
+      |    CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+      |      AS total_ws_tokens,
+      |    count(DISTINCT lang) AS n_langs,
+      |    count(DISTINCT source) AS n_sources,
+      |    COALESCE(max(n_chars), 0) AS max_chars
+      |  FROM documents),
+      |med AS (
+      |  SELECT COALESCE(max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END), 0)
+      |      AS p50_chars
+      |  FROM (SELECT n_chars,
+      |          row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+      |          count(*) OVER () AS n
+      |        FROM documents WHERE n_chars IS NOT NULL)),
+      |dup AS (
+      |  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS exact_dup_docs
+      |  FROM (SELECT count(*) AS c FROM documents WHERE text IS NOT NULL
+      |        GROUP BY md5(text) HAVING count(*) > 1))
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+      |  UNION ALL SELECT 'n_null_text', n_null_text FROM base
+      |  UNION ALL SELECT 'total_chars', total_chars FROM base
+      |  UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM base
+      |  UNION ALL SELECT 'n_langs', n_langs FROM base
+      |  UNION ALL SELECT 'n_sources', n_sources FROM base
+      |  UNION ALL SELECT 'max_chars', max_chars FROM base
+      |  UNION ALL SELECT 'p50_chars', p50_chars FROM med
+      |  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM dup)
+      |ORDER BY metric""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("text").isNull, 1)).as("n_null_text"),
+      coalesce(sum("n_chars"), lit(0L)).as("total_chars"),
+      coalesce(sum(size(words(col("text"))).cast("long")), lit(0L))
+        .as("total_ws_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      coalesce(max("n_chars"), lit(0L)).as("max_chars"))
+    // discrete median: k-th smallest by the TOTAL (n_chars, doc_id) order,
+    // k = ⌈n/2⌉ — fetched as max over the k-prefix so the plan is
+    // TakeOrderedAndProject (per-partition heaps), never a global sort
+    val nn = docs.filter(col("n_chars").isNotNull)
+    val k = ((nn.count() + 1) / 2).toInt
+    val med =
+      if (k == 0) base.select(lit(0L).as("p50_chars"))
+      else nn.orderBy(col("n_chars").asc, col("doc_id").asc).limit(k)
+        .agg(max("n_chars").as("p50_chars"))
+    val dup = docs.filter(col("text").isNotNull)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum("c"), lit(0L)).as("exact_dup_docs"))
+    val baseRows = base.select(expr(
+      """stack(7,
+        |  'n_docs', n_docs, 'n_null_text', n_null_text,
+        |  'total_chars', total_chars, 'total_ws_tokens', total_ws_tokens,
+        |  'n_langs', n_langs, 'n_sources', n_sources,
+        |  'max_chars', max_chars) AS (metric, value)""".stripMargin))
+    baseRows
+      .unionByName(med.select(lit("p50_chars").as("metric"),
+        col("p50_chars").cast("long").as("value")))
+      .unionByName(dup.select(lit("exact_dup_docs").as("metric"),
+        col("exact_dup_docs").cast("long").as("value")))
+      .select(col("metric"), col("value").cast("long").as("value"))
+      .orderBy("metric")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
     profileStats, outlierFilter, gapDetect, anomalyMad, snapshotDiff,
-    skewReport, dqCheck, gapFill)
+    skewReport, dqCheck, gapFill, datasetCard)
 }

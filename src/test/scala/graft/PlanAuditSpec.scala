@@ -610,6 +610,12 @@ class PlanAuditSpec extends SparkSpec {
     "Window".r.findAllIn(plan).size should be >= 2
   }
 
+  test("dataset_card: the median leg plans TakeOrderedAndProject, never a global sort") {
+    val plan = planOf("dataset_card")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Sort [n_chars" // the global-sort form this pin exists to forbid
+  }
+
   test("anomaly_seasonal: one map-combined fact agg; the cell window runs on the calendar-bounded hour table") {
     val plan = planOf("anomaly_seasonal")
     "events.parquet".r.findAllIn(plan).size shouldBe 1
