@@ -1173,11 +1173,26 @@ object Events {
       |SELECT hts, dow, hod, n, cell_total, cell_n,
       |  n * cell_n > 3 * cell_total AS flagged
       |FROM c ORDER BY hts""".stripMargin) { (s, d) =>
-    val h = t(s, d, "events").filter(col("ts").isNotNull)
+    seasonalView(seasonalCounts(t(s, d, "events")))
+  }
+
+  /** The calendar-hour count table — anomaly_seasonal's only fact-scale
+    * pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.seasonalSink]]): counts are algebraic, so
+    * a stream SUM-merges per-batch partials into the calendar-bounded
+    * state and [[seasonalView]] reproduces the batch op at any cut. */
+  private[graft] def seasonalCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.filter(col("ts").isNotNull)
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp").as("hts"))
       .agg(count(lit(1)).as("n"))
+
+  /** The hour-of-week cell compare over a completed hour table
+    * (calendar-bounded input: 24·365 rows/yr). */
+  private[graft] def seasonalView(hours: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val cell = Window.partitionBy("dow", "hod")
-    h.withColumn("dow", (expr("weekday(hts)") + 1).cast("long"))
+    hours.withColumn("dow", (expr("weekday(hts)") + 1).cast("long"))
       .withColumn("hod", hour(col("hts")).cast("long"))
       .withColumn("cell_total", sum("n").over(cell))
       .withColumn("cell_n", count(lit(1)).over(cell))

@@ -388,6 +388,38 @@ object Streams {
   def ttestView(state: DataFrame): DataFrame =
     graft.ops.Stats.ttestView(state)
 
+  /** Per-batch calendar-hour count partials — LITERALLY the batch op's
+    * fact pass ([[graft.ops.Events.seasonalCounts]]). */
+  private[streaming] def seasonalCounts(batch: DataFrame): DataFrame =
+    graft.ops.Events.seasonalCounts(instantTs(batch))
+
+  /** Merge a batch's hour-count partials into the (hts, n) state — counts
+    * are algebraic, merge = keyed SUM; state is calendar-bounded (24·365
+    * rows/yr), never stream volume. Same exactly-once caveat as
+    * [[topkMergeCounts]]. */
+  def seasonalMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.as("s"); val d = delta.as("d")
+    s.join(d, col("s.hts") <=> col("d.hts"), "full_outer")
+      .select(coalesce(col("d.hts"), col("s.hts")).as("hts"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"))
+  }
+
+  /** foreachBatch fold for the seasonal-anomaly state (twin of the batch
+    * anomaly_seasonal op): the load monitor runs continuously and each
+    * arriving hour is judged against the hour-of-week cells the fold has
+    * accumulated so far. */
+  def seasonalSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(seasonalMerge(readState(), seasonalCounts(batch)))
+    }
+
+  /** Read side of [[seasonalSink]]: the hour-of-week cell compare —
+    * LITERALLY the batch op's view ([[graft.ops.Events.seasonalView]]). */
+  def seasonalView(state: DataFrame): DataFrame =
+    graft.ops.Events.seasonalView(state)
+
   /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
     * windows — each event extends its session by its OWN duration
     * (props.k minutes), so overlapping per-user intervals coalesce

@@ -657,6 +657,39 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source seasonal-anomaly sink: hour-count fold over hash-split batches equals the batch op") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val staged = stageChunks("events_seasonal_stream", chunks)
+    val stateRoot = Files.createTempDirectory("seasonal_state").toString
+    val stateSchema = StructType.fromDDL("hts TIMESTAMP, n BIGINT")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+      .write.parquet(s"$stateRoot/v0")
+    var v = 0
+    def readState(): DataFrame = spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.seasonalSink(stream)(readState _)(writeState)
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+    v should be >= 3
+    val streamed = graft.streaming.Streams.seasonalView(readState())
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("anomaly_seasonal")(spark, dir01)
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source Streams.intervalMerge: dynamic-gap sessions equal the batch islands") {
     import java.nio.file.{Files, Paths}
     val dir01 = "/root/testdata/sf0.01"
