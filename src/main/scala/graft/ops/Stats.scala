@@ -17,15 +17,22 @@ import org.apache.spark.sql.types.DecimalType
   * PSI's ln() is NOT correctly-rounded-guaranteed across libms, so a
   * log-based divergence could differ in the last ulp), and the t-test's
   * only non-rational step is sqrt (IEEE-correctly-rounded everywhere).
-  * Every SUM of doubles goes through CAST(DECIMAL(28,14)) so the result is
+  * Every SUM of doubles goes through CAST(DECIMAL(28,9)) so the result is
   * independent of aggregation order — and therefore of partition count.
   */
 object Stats {
 
   /** Exact order-independent sum of a double term (the dsum discipline at
-    * statistic precision). */
+    * statistic precision). Scale 9, NOT higher: the graph_pagerank lesson
+    * is that DuckDB converts double→decimal by FLOAT-scaling (x·10^s
+    * rounded), which at s=14 misrounds the last digit vs Spark's exact
+    * decimal expansion often enough to flip hashes; at s=9 the float
+    * product's rounding error (~1.2e-7 of a unit) is five orders of
+    * magnitude below the .5 boundary, so both engines quantize every
+    * generic double identically. Nine decimals on O(1)-magnitude terms is
+    * far beyond statistical meaning. */
   private def tsum(c: Column): Column =
-    sum(c.cast(DecimalType(28, 14))).cast("double")
+    sum(c.cast(DecimalType(28, 9))).cast("double")
 
   // --------------------------------------------------------------------
   // drift_report — per-event-type distribution drift between a reference
@@ -97,8 +104,8 @@ object Stats {
        |  FROM p WHERE t_ref > 0 AND t_cur > 0),
        |terms AS (
        |  SELECT event_type, t_ref, t_cur,
-       |    CAST(abs(pc - pr) AS DECIMAL(28,14)) AS tvd_t,
-       |    CAST((pc - pr) * (pc - pr) / ((pr + pc) / 2) AS DECIMAL(28,14)) AS chi_t
+       |    CAST(abs(pc - pr) AS DECIMAL(28,9)) AS tvd_t,
+       |    CAST((pc - pr) * (pc - pr) / ((pr + pc) / 2) AS DECIMAL(28,9)) AS chi_t
        |  FROM q)
        |SELECT event_type, max(t_ref) AS n_ref, max(t_cur) AS n_cur,
        |  CAST(0.5 AS DOUBLE) * CAST(SUM(tvd_t) AS DOUBLE) AS tvd,
