@@ -93,6 +93,16 @@ object BenchBudget {
     "agg_moments" -> 2.21, // 3 x 0.74 s
     "feature_hash" -> 2.3, // 3 x 0.77 s
     "attribution_first_touch" -> 2.27, // 3 x 0.76 s
+    // r10 continuation-2 additions — 3 x idle sf0.1 single-batch run
+    // (0.88/0.54/0.76/0.30/0.33/0.29 s; see SURVEY §7.3.12)
+    "bpe_pair_counts" -> 2.64,
+    "changepoint_cusum" -> 1.63,
+    "rank_normalize" -> 2.28,
+    "dataset_kfold" -> 0.90,
+    "rare_collapse" -> 0.98,
+    "split_temporal" -> 0.87,
+    "ngram_novelty" -> 3.57, // 3 x 1.19 s idle sf0.1
+    "feature_winsorize" -> 1.68, // 3 x 0.56 s idle sf0.1
     "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,

@@ -625,7 +625,58 @@ object Audit {
       .orderBy("metric")
   }
 
+  // --------------------------------------------------------------------
+  // split_temporal — time-cutoff train/holdout split with an entity-
+  // leakage audit: events before the cutoff train, events at/after it
+  // evaluate, and the audit counts users present on BOTH sides (the
+  // classic time-series leak — a per-user model memorizes its holdout
+  // users' training behavior; honest temporal eval needs the overlap
+  // quantified, and entity-disjoint splits need it to be ZERO). leak_bp =
+  // shared·10000 div holdout-users in pure integer basis points.
+  //
+  // Scale shape: one fact pass to a (type, user) grid with two
+  // conditional counts (map-side combine; grid ≤ |types|×|users|), then
+  // a grid-level re-aggregate to |types| rows. No count-distinct Expand:
+  // the per-user grid IS the distinct, and both aggregates share the
+  // event_type key so the second one is grid-sized.
+  // --------------------------------------------------------------------
+  private val splitTemporal = Op("split_temporal", {
+    val cut = "TIMESTAMP '2024-01-24'"
+    s"""WITH g AS (
+       |  SELECT event_type, user_id,
+       |    count(*) FILTER (WHERE ts <  $cut) AS n_tr,
+       |    count(*) FILTER (WHERE ts >= $cut) AS n_ho
+       |  FROM events WHERE ts IS NOT NULL
+       |  GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(SUM(n_tr) AS BIGINT) AS n_train,
+       |  CAST(SUM(n_ho) AS BIGINT) AS n_holdout,
+       |  count(*) FILTER (WHERE n_tr > 0) AS u_train,
+       |  count(*) FILTER (WHERE n_ho > 0) AS u_holdout,
+       |  count(*) FILTER (WHERE n_tr > 0 AND n_ho > 0) AS u_leaked,
+       |  CASE WHEN count(*) FILTER (WHERE n_ho > 0) = 0 THEN 0
+       |       ELSE count(*) FILTER (WHERE n_tr > 0 AND n_ho > 0) * 10000
+       |            // count(*) FILTER (WHERE n_ho > 0) END AS leak_bp
+       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+  }) { (s, d) =>
+    val cut = lit("2024-01-24").cast("timestamp")
+    val g = t(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy("event_type", "user_id")
+      .agg(count(when(col("ts") < cut, 1)).as("n_tr"),
+        count(when(col("ts") >= cut, 1)).as("n_ho"))
+    g.groupBy("event_type")
+      .agg(sum("n_tr").as("n_train"), sum("n_ho").as("n_holdout"),
+        count(when(col("n_tr") > 0, 1)).as("u_train"),
+        count(when(col("n_ho") > 0, 1)).as("u_holdout"),
+        count(when(col("n_tr") > 0 && col("n_ho") > 0, 1)).as("u_leaked"))
+      .select(col("event_type"), col("n_train"), col("n_holdout"),
+        col("u_train"), col("u_holdout"), col("u_leaked"),
+        when(col("u_holdout") === 0, lit(0L))
+          .otherwise(expr("u_leaked * 10000 div u_holdout")).as("leak_bp"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
     profileStats, outlierFilter, gapDetect, anomalyMad, snapshotDiff,
-    skewReport, dqCheck, gapFill, datasetCard)
+    skewReport, dqCheck, gapFill, datasetCard, splitTemporal)
 }

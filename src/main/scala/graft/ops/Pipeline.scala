@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -484,8 +485,165 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // rank_normalize — percent-rank (quantile) normalization of a feature,
+  // feature_scale's robust sibling: min-max scaling is destroyed by one
+  // outlier, rank normalization is invariant to any monotone transform of
+  // the input. pr_bp = (rank-1)·10000 div (n-1) in pure integer
+  // arithmetic (percent_rank() itself divides doubles — engines could
+  // round the last ulp differently); rank() (not row_number) so ties get
+  // equal normalized values, which is what makes the result a function of
+  // the VALUE rather than of scan order.
+  //
+  // Scale shape: one window per event_type partition — 5 coarse
+  // partitions here, so at 100 TB this is the op to pre-bucket (the
+  // win_ntile hazard documented at feature_scale); the contract keeps the
+  // window form because rank ties must be GLOBAL per type, and AQE skew
+  // split cannot help a logical window — the deployment note in SURVEY
+  // recommends quantile-sketch binning (agg_percentile_approx) when the
+  // per-type row count exceeds one executor's spill budget.
+  // --------------------------------------------------------------------
+  private val rankNormalize = Op("rank_normalize",
+    """WITH r AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(rank() OVER (PARTITION BY event_type
+      |                      ORDER BY CAST(value AS DECIMAL(18,2))) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_id, event_type, cents,
+      |  CASE WHEN n = 1 THEN 0 ELSE (rk - 1) * 10000 // (n - 1) END AS pr_bp
+      |FROM r ORDER BY event_id""".stripMargin) { (s, d) =>
+    val v = col("value").cast(DecimalType(18, 2))
+    t(s, d, "events").filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), (v * 100).cast("long").as("cents"),
+        rank().over(Window.partitionBy("event_type").orderBy(v)).cast("long").as("rk"),
+        count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        when(col("n") === 1, lit(0L))
+          .otherwise(expr("(rk - 1) * 10000 div (n - 1)")).as("pr_bp"))
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------------------
+  // dataset_kfold — deterministic k-fold cross-validation assignment:
+  // fold(doc) = h(kfold:doc_id) mod 5, reported as a per-fold datasheet
+  // (doc count, char mass, distinct sources) so fold balance is auditable
+  // before any training job runs. Hash-of-key (not rand()) for the same
+  // reason as every sampler here: folds are reproducible across engines,
+  // retries, and partitionings, and a doc's fold never changes when the
+  // corpus grows — the property that keeps eval folds uncontaminated
+  // across incremental re-runs.
+  //
+  // Scale shape: scan-stage fold tag, one aggregate to 5 rows. The
+  // distinct-source spread uses EXACT count-distinct (one Expand over the
+  // scan — parity with the oracle requires exactness; at 100 TB swap to
+  // approx_count_distinct if the datasheet tolerates ±2%, the documented
+  // dataset_card trade).
+  // --------------------------------------------------------------------
+  private val datasetKfold = Op("dataset_kfold",
+    s"""SELECT ${h60Sql("concat('kfold:', CAST(doc_id AS VARCHAR))")} % 5 AS fold,
+       |  count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |  count(DISTINCT source) AS n_sources,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM documents GROUP BY 1 ORDER BY fold""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .groupBy((h60(concat(lit("kfold:"), col("doc_id").cast("string"))) % 5)
+        .as("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+        countDistinct("source").as("n_sources"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("fold")
+  }
+
+  // --------------------------------------------------------------------
+  // rare_collapse — collapse long-tail categories below a support
+  // threshold into one '__other__' bucket (the standard cardinality cap
+  // before one-hot/embedding feature encoding, and the k-anonymity move
+  // in data releases). Threshold is DATA-DRIVEN — total/25, i.e. below
+  // 40% of the uniform share — so the op is scale-free.
+  //
+  // Scale shape: one map-side-combined count to |categories| rows, then
+  // the recode + re-aggregate runs on that GRID (not the fact table) —
+  // nothing downstream of the first aggregate scales with data. A
+  // pipeline applying the recode back to rows broadcast-joins the ≤|cats|
+  // mapping; the contract op reports the recoded distribution itself.
+  // --------------------------------------------------------------------
+  private val rareCollapse = Op("rare_collapse",
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+      |SELECT CASE WHEN c.n < tot.t // 25 THEN '__other__' ELSE c.source END
+      |         AS category,
+      |  CAST(SUM(c.n) AS BIGINT) AS n_docs, count(*) AS n_merged
+      |FROM c, tot GROUP BY 1 ORDER BY category""".stripMargin) { (s, d) =>
+    val c = t(s, d, "documents").groupBy("source").agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").as("t"))
+    c.crossJoin(broadcast(tot)) // 1-row total: bounded broadcast, no shuffle
+      .select(when(col("n") < expr("t div 25"), lit("__other__"))
+        .otherwise(col("source")).as("category"), col("n"))
+      .groupBy("category")
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_merged"))
+      .orderBy("category")
+  }
+
+  // --------------------------------------------------------------------
+  // feature_winsorize — outlier_filter's CONSTRUCTIVE twin: instead of
+  // dropping tail rows, clamp the feature into its group's discrete
+  // [p05, p95] band (winsorizing — the standard robustification before
+  // mean-based normalization, which one extreme value otherwise drags).
+  // Percentiles are DISCRETE k-th smallest with k = ⌈q·n⌉ in pure integer
+  // arithmetic (the conversion_latency rule: interpolating percentiles
+  // round engine-specifically), ties broken by key so the selected
+  // element is unique.
+  //
+  // Scale shape: ONE per-group window pass — row_number + count, then the
+  // band edges recovered as conditional MAX over the partition (no second
+  // scan, no join); the clamp is scan-stage arithmetic. Low-cardinality
+  // window partitions (25 nations) are the documented feature_scale
+  // hazard — at 100 TB per-group volume, swap the exact selection for
+  // approx_percentile with this form as the small-scale oracle.
+  // --------------------------------------------------------------------
+  private val featureWinsorize = Op("feature_winsorize",
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer WHERE c_acctbal IS NOT NULL),
+      |r AS (
+      |  SELECT c_custkey, c_nationkey, cents,
+      |    CAST(row_number() OVER w AS BIGINT) AS rn,
+      |    CAST(count(*) OVER p AS BIGINT) AS n
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents, c_custkey),
+      |         p AS (PARTITION BY c_nationkey)),
+      |b AS (
+      |  SELECT *,
+      |    max(CASE WHEN rn = (n + 19) // 20 THEN cents END) OVER p AS lo,
+      |    max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) OVER p AS hi
+      |  FROM r WINDOW p AS (PARTITION BY c_nationkey))
+      |SELECT c_custkey, c_nationkey, cents,
+      |  least(greatest(cents, lo), hi) AS win_cents,
+      |  cents < lo OR cents > hi AS clipped
+      |FROM b ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").filter(col("c_acctbal").isNotNull)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val p = Window.partitionBy("c_nationkey")
+    val r = c
+      .withColumn("rn", row_number().over(
+        p.orderBy("cents", "c_custkey")).cast("long"))
+      .withColumn("n", count(lit(1)).over(p))
+    r.withColumn("lo", max(when(col("rn") === expr("(n + 19) div 20"),
+        col("cents"))).over(p))
+      .withColumn("hi", max(when(col("rn") === expr("(19 * n + 19) div 20"),
+        col("cents"))).over(p))
+      .select(col("c_custkey"), col("c_nationkey"), col("cents"),
+        least(greatest(col("cents"), col("lo")), col("hi")).as("win_cents"),
+        (col("cents") < col("lo") || col("cents") > col("hi")).as("clipped"))
+      .orderBy("c_custkey")
+  }
+
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
     interleaveSources, corpusShuffle, sampleHash, featureScale, sampleBalance,
-    sampleWeighted)
+    sampleWeighted, rankNormalize, datasetKfold, rareCollapse, featureWinsorize)
 }

@@ -220,5 +220,78 @@ object Stats {
     ttestView(ttestMoments(t(s, d, "events")))
   }
 
-  val ops: Seq[Op] = Seq(driftReport, abTtest)
+  // --------------------------------------------------------------------
+  // changepoint_cusum — per-event-type CUSUM changepoint over the daily
+  // revenue series: the day i maximizing D_i = |n·S_i − i·S_n| (the
+  // classic CUSUM statistic max|S_i − (i/n)·S_n|, cross-multiplied by n
+  // so it stays in exact BIGINT cents — no per-engine float drift in the
+  // ARGMAX, which is the contract). Ties break to the earliest day.
+  // Output adds the before/after daily means (doubles derived from the
+  // exactly-agreed integer sums) so the magnitude of the level shift is
+  // readable next to the split.
+  //
+  // Scale shape: ONE fact pass into a (type, day) grid (map-side-combined
+  // decimal sum; the grid is |types|×|days| rows no matter how many
+  // events), then windows + argmax on the grid. Overflow headroom:
+  // D = n·S in cents — a 10^14-cent (trillion-dollar) series over 10^4
+  // days stays within BIGINT.
+  // --------------------------------------------------------------------
+  private val changepointCusum = Op("changepoint_cusum",
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, day, cents,
+       |    CAST(row_number() OVER w AS BIGINT) AS i,
+       |    SUM(cents) OVER w AS s_i,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |    SUM(cents) OVER (PARTITION BY event_type) AS s_n
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |scored AS (
+       |  SELECT event_type, day, i, n,
+       |    abs(n * CAST(s_i AS BIGINT) - i * CAST(s_n AS BIGINT)) AS d,
+       |    CAST(s_i AS BIGINT) AS s_i, CAST(s_n AS BIGINT) AS s_n
+       |  FROM cum WHERE i < n),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type
+       |                               ORDER BY d DESC, day) AS rk
+       |  FROM scored)
+       |SELECT event_type, day AS change_day, n AS n_days, d AS d_max,
+       |  CAST(s_i AS DOUBLE) / (100 * i) AS mean_before,
+       |  CAST(s_n - s_i AS DOUBLE) / (100 * (n - i)) AS mean_after
+       |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("timestamp").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .withColumn("s_i", sum("cents").over(w))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s_n", sum("cents").over(all))
+      .filter(col("i") < col("n"))
+      .withColumn("d", abs(col("n") * col("s_i") - col("i") * col("s_n")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("d").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("n").as("n_days"), col("d").as("d_max"),
+        (col("s_i").cast("double") / (lit(100) * col("i"))).as("mean_before"),
+        ((col("s_n") - col("s_i")).cast("double")
+          / (lit(100) * (col("n") - col("i")))).as("mean_after"))
+      .orderBy("event_type")
+  }
+
+  val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum)
 }

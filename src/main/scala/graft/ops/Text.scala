@@ -620,10 +620,55 @@ object Text {
   //
   // Plan shape: cells aggregate to ≤4096 rows and BROADCAST into the
   // probe join; the only token-scale shuffles are the cell build and the
-  // candidate distinct — both map-side combined.
+  // candidate count — both map-side combined. (The probe rows are a pure
+  // function of the candidate tokens, so no separate keys-distinct pass
+  // exists — see hhView.)
   // --------------------------------------------------------------------
   private val CmsD = 4
   private val CmsW = 1024
+
+  /** The corpus token stream (round-robin exchanged — see ops.exchange). */
+  private def hhTokens(docs: org.apache.spark.sql.DataFrame) =
+    graft.ops.exchange(docs.filter(col("text").isNotNull)
+      .select(explode(words(col("text"))).as("tok")))
+
+  private def hhBucket(dc: Column, tc: Column): Column =
+    h60(concat(dc.cast("string"), lit(":"), tc)) % CmsW
+
+  /** The 4×1024 count-min cell grid — the op's bounded sketch state,
+    * shared with the streaming twin ([[graft.streaming.Streams.hhSink]]):
+    * cells are ALGEBRAIC counts, so a stream folds per-batch partials in
+    * with a keyed SUM merge; the grid never exceeds CmsD·CmsW rows no
+    * matter the corpus. */
+  private[graft] def hhCells(docs: org.apache.spark.sql.DataFrame) =
+    hhTokens(docs)
+      .select(col("tok"), explode(sequence(lit(0), lit(CmsD - 1))).as("d"))
+      .groupBy(col("d"), hhBucket(col("d"), col("tok")).as("bucket"))
+      .agg(count(lit(1)).as("cn"))
+
+  /** Exact per-token counts (the overcount-audit side) — also algebraic,
+    * also shared with the twin; vocab-bounded (not stream-bounded), which
+    * is the documented trade of carrying the audit next to the sketch. */
+  private[graft] def hhCand(docs: org.apache.spark.sql.DataFrame) =
+    hhTokens(docs).groupBy("tok").agg(count(lit(1)).as("exact_n"))
+
+  /** Estimate + rank over completed cells/cand state: each candidate's
+    * bucket row is a PURE FUNCTION of the token (recomputed here, not
+    * stored), so no (tok,d,bucket) keys table — and no third token-scale
+    * shuffle — is ever materialized. */
+  private[graft] def hhView(cells: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame) = {
+    val probes = cand
+      .select(col("tok"), col("exact_n"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("d"))
+      .withColumn("bucket", hhBucket(col("d"), col("tok")))
+    probes.join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy("tok", "exact_n").agg(min("cn").as("est_n"))
+      .select(col("tok"), col("est_n"), col("exact_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("est_n").desc, col("tok").asc)
+      .limit(20)
+  }
 
   private val heavyHitters = Op("heavy_hitters", {
     def bucketSql(d: String, tok: String) =
@@ -645,27 +690,110 @@ object Text {
        |FROM est e JOIN cand c ON e.tok = c.tok
        |ORDER BY est_n DESC, e.tok LIMIT 20""".stripMargin
   }) { (s, d) =>
-    val tok = exchange(t(s, d, "documents").filter(col("text").isNotNull)
-      .select(explode(words(col("text"))).as("tok")))
-    def bucket(dc: Column, tc: Column): Column =
-      h60(concat(dc.cast("string"), lit(":"), tc)) % CmsW
-    val hashed = tok
-      .select(col("tok"), explode(sequence(lit(0), lit(CmsD - 1))).as("d"))
-      .withColumn("bucket", bucket(col("d"), col("tok")))
-    val cells = broadcast(
-      hashed.groupBy("d", "bucket").agg(count(lit(1)).as("cn")))
-    val est = hashed.select("tok", "d", "bucket").distinct()
-      .join(cells, Seq("d", "bucket"))
-      .groupBy("tok").agg(min("cn").as("est_n"))
-    val cand = tok.groupBy("tok").agg(count(lit(1)).as("exact_n"))
-    est.join(cand, Seq("tok"))
-      .select(col("tok"), col("est_n"), col("exact_n"),
-        (col("est_n") - col("exact_n")).as("overcount"))
-      .orderBy(col("est_n").desc, col("tok").asc)
-      .limit(20)
+    val docs = t(s, d, "documents")
+    hhView(hhCells(docs), hhCand(docs))
+  }
+
+  // --------------------------------------------------------------------
+  // bpe_pair_counts — adjacent-token-pair frequencies, the inner loop of
+  // BPE/WordPiece tokenizer training: each merge round picks the corpus's
+  // most frequent adjacent pair. One round over word-level units, top-100
+  // merge candidates with deterministic (count DESC, pair ASC) ranking.
+  //
+  // Plan shape: pair generation is SCAN-STAGE (zip_with over two slices of
+  // the split array — no positional self-join, the same discipline as
+  // text_cooccur), the count is one map-side-combined aggregate keyed by
+  // pair, and the top-100 is TakeOrderedAndProject (no global sort). At
+  // 100 TB this is exactly the shape real BPE trainers shard: per-split
+  // partial pair counts merged once.
+  //
+  // zip_with over slice(l,1,n-1) × slice(l,2,n-1), NOT transform over
+  // sequence(0, n-2): Spark's sequence(0, -1) yields [0,-1] (descending
+  // step inference) for 1-token docs, fabricating a phantom pair; the
+  // two-slice form degrades to empty arrays for n ≤ 1 on both engines.
+  // --------------------------------------------------------------------
+  private val bpePairCounts = Op("bpe_pair_counts",
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS l
+       |  FROM documents WHERE text IS NOT NULL),
+       |pairs AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+       |                               i -> l[i] || ' ' || l[i + 1])) AS pair
+       |  FROM toks WHERE len(l) >= 2)
+       |SELECT pair, count(*) AS n FROM pairs
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT 100""".stripMargin) { (s, d) =>
+    val l = words(col("text"))
+    val pairs = zip_with(
+      slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    // exchange BEFORE the explode: the round-robin shuffle moves doc text
+    // (scan-sized), not the ~token-count pair stream the explode emits
+    exchange(t(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("text")))
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(100)
+  }
+
+  // --------------------------------------------------------------------
+  // ngram_novelty — per-doc novelty share: the fraction of a document's
+  // DISTINCT word-trigrams whose global FIRST occurrence (min doc_id) is
+  // this document. The memorization/curation metric behind "how much of
+  // this shard is new text vs restatement of earlier shards" — near-dup
+  // docs score ~0, genuinely new text ~10000 bp. Docs with <3 words have
+  // no trigrams and are absent by contract.
+  //
+  // Plan shape: trigram shingles are RELATIONAL (posexplode + lead over
+  // the doc-keyed window — the doc_fingerprint lesson: a transform() HOF
+  // re-inlines the hash per reference, measured 40× slower), one distinct
+  // per (doc, h), then first_doc = min(doc_id) OVER (PARTITION BY h) — a
+  // WINDOW, not a groupBy+self-join, which both saves a join and dodges
+  // the DataFrame self-join misresolution hazard (SURVEY §7.4) — and one
+  // final doc-keyed aggregate. Three keyed shuffles, all token-scale,
+  // same family as tf_idf; h is the shared 60-bit md5, so the whole
+  // pipeline is engine-portable.
+  // --------------------------------------------------------------------
+  private val ngramNovelty = Op("ngram_novelty", {
+    val shingle = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+    s"""WITH tri AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(w) - 2), i -> ${h60Sql(shingle)}))) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents WHERE text IS NOT NULL)),
+       |f AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_doc
+       |  FROM tri)
+       |SELECT doc_id, count(*) AS n_tri,
+       |  count(*) FILTER (WHERE first_doc = doc_id) AS n_novel,
+       |  count(*) FILTER (WHERE first_doc = doc_id) * 10000 // count(*)
+       |    AS novelty_bp
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = exchange(t(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("w")))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val tri = docs
+      .select(col("doc_id"), size(col("w")).as("nw"),
+        posexplode(col("w")).as(Seq("pos", "word")))
+      .withColumn("w2", lead("word", 1).over(wOrd))
+      .withColumn("w3", lead("word", 2).over(wOrd))
+      .filter(col("pos") <= col("nw") - 3) // strict trigrams only
+      .select(col("doc_id"),
+        h60(concat_ws(" ", col("word"), col("w2"), col("w3"))).as("h"))
+      .distinct()
+    tri
+      .withColumn("first_doc", min("doc_id").over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_tri"), col("n_novel"),
+        expr("n_novel * 10000 div n_tri").as("novelty_bp"))
+      .orderBy("doc_id")
   }
 
   val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
-    oovRate, corpusGini, featureHash, heavyHitters)
+    oovRate, corpusGini, featureHash, heavyHitters, bpePairCounts, ngramNovelty)
 }

@@ -420,6 +420,60 @@ object Streams {
   def seasonalView(state: DataFrame): DataFrame =
     graft.ops.Events.seasonalView(state)
 
+  /** Per-batch count-min cell partials for the heavy-hitters twin —
+    * LITERALLY the batch op's cell pass ([[graft.ops.Text.hhCells]]). */
+  private[streaming] def hhCells(batch: DataFrame): DataFrame =
+    graft.ops.Text.hhCells(batch)
+
+  /** Per-batch exact candidate-count partials — LITERALLY the batch op's
+    * audit pass ([[graft.ops.Text.hhCand]]). */
+  private[streaming] def hhCand(batch: DataFrame): DataFrame =
+    graft.ops.Text.hhCand(batch)
+
+  /** Merge a batch's CMS cell partials into the (d, bucket, cn) state —
+    * count-min cells are the textbook MERGEABLE sketch: merge = cell-wise
+    * SUM, and the state never exceeds the 4×1024 grid no matter the
+    * stream volume. Same exactly-once caveat as [[topkMergeCounts]]. */
+  def hhCellsMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.as("s"); val d = delta.as("d")
+    s.join(d, col("s.d") <=> col("d.d") && col("s.bucket") <=> col("d.bucket"),
+        "full_outer")
+      .select(coalesce(col("d.d"), col("s.d")).as("d"),
+        coalesce(col("d.bucket"), col("s.bucket")).as("bucket"),
+        (coalesce(col("s.cn"), lit(0L)) + coalesce(col("d.cn"), lit(0L))).as("cn"))
+  }
+
+  /** Merge a batch's exact candidate counts into the (tok, exact_n)
+    * state — the audit side is vocab-bounded (not stream-bounded), the
+    * documented trade of carrying the overcount audit next to the
+    * sketch; a deployment that cannot hold the vocabulary keeps only
+    * [[hhCellsMerge]]'s 4096 cells and samples candidates instead. */
+  def hhCandMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.as("s"); val d = delta.as("d")
+    s.join(d, col("s.tok") <=> col("d.tok"), "full_outer")
+      .select(coalesce(col("d.tok"), col("s.tok")).as("tok"),
+        (coalesce(col("s.exact_n"), lit(0L))
+          + coalesce(col("d.exact_n"), lit(0L))).as("exact_n"))
+  }
+
+  /** foreachBatch fold for the heavy-hitters state (twin of the batch
+    * heavy_hitters op): token frequency monitors run against the ingest
+    * stream, and both folds are keyed SUM merges of algebraic counts, so
+    * the final state — and therefore [[hhView]] — is identical at any
+    * batch cut. */
+  def hhSink(docs: DataFrame)(readCells: () => DataFrame, readCand: () => DataFrame)(
+      writeCells: DataFrame => Unit, writeCand: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeCells(hhCellsMerge(readCells(), hhCells(batch)))
+      writeCand(hhCandMerge(readCand(), hhCand(batch)))
+    }
+
+  /** Read side of [[hhSink]]: estimate + rank over the bounded state —
+    * LITERALLY the batch op's view ([[graft.ops.Text.hhView]]). */
+  def hhView(cells: DataFrame, cand: DataFrame): DataFrame =
+    graft.ops.Text.hhView(cells, cand)
+
   /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
     * windows — each event extends its session by its OWN duration
     * (props.k minutes), so overlapping per-user intervals coalesce

@@ -305,7 +305,8 @@ class PlanAuditSpec extends SparkSpec {
       "knn_classify" -> "5-row probe-seed broadcast against the corpus scan (classifier seeds are bounded by construction)",
       "tf_idf" -> "1-row corpus-size scalar broadcast over the tf/df join",
       "skew_report" -> "1-row corpus-total scalar broadcast over the 25-row top-k",
-      "sample_balance" -> "1-row min-class-count cap broadcast over the ranked classes")
+      "sample_balance" -> "1-row min-class-count cap broadcast over the ranked classes",
+      "rare_collapse" -> "1-row corpus-total scalar broadcast over the category grid")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
@@ -630,5 +631,73 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("In(event_type, [click,purchase])")
     "HashAggregate".r.findAllIn(plan).size should be >= 2
     plan should not include "Window" // sufficient-moments form needs no window
+  }
+
+  test("bpe_pair_counts: exchange moves doc text (not the pair stream); top-100 is a heap") {
+    val plan = planOf("bpe_pair_counts")
+    plan should include("TakeOrderedAndProject")
+    // the round-robin exchange must sit BELOW the Generate: shuffling the
+    // exploded pairs would move ~token-count rows instead of scan-sized docs
+    val gen = plan.indexOf("Generate")
+    val rr = plan.indexOf("RoundRobinPartitioning")
+    gen should be >= 0
+    rr should be >= 0
+    rr should be > gen // toString prints top-down: the exchange is deeper
+    "HashAggregate".r.findAllIn(plan).size should be >= 2 // partial+final
+  }
+
+  test("changepoint_cusum: one fact pass to the daily grid; the argmax plans WindowGroupLimit") {
+    val plan = planOf("changepoint_cusum")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    "HashAggregate".r.findAllIn(plan).size shouldBe 2 // partial+final fact agg
+    // rk=1 must plan as a per-group top-1 heap, not a full sort + filter
+    plan should include("WindowGroupLimit")
+    plan should include("PushedFilters: [IsNotNull(ts), IsNotNull(value)]")
+    plan should not include "SinglePartition"
+  }
+
+  test("rank_normalize: value filter pushed to the scan; no cartesian, no driver funnel") {
+    val plan = planOf("rank_normalize")
+    plan should include("PushedFilters: [IsNotNull(value)]")
+    plan should not include "CartesianProduct"
+    "Window".r.findAllIn(plan).size should be >= 1
+  }
+
+  test("dataset_kfold: one scan, map-side-combined two-level distinct aggregate") {
+    val plan = planOf("dataset_kfold")
+    "documents.parquet".r.findAllIn(plan).size shouldBe 1
+    "HashAggregate".r.findAllIn(plan).size should be >= 4
+    plan should not include "Window"
+  }
+
+  test("rare_collapse: the 1-row total broadcasts; the recode runs on the category grid") {
+    val plan = planOf("rare_collapse")
+    plan should include("BroadcastNestedLoopJoin") // bounded 1-row side
+    plan should not include "CartesianProduct"
+  }
+
+  test("ngram_novelty: first-occurrence is a window on h — no self-join, no cartesian") {
+    val plan = planOf("ngram_novelty")
+    "documents.parquet".r.findAllIn(plan).size shouldBe 1
+    "Window".r.findAllIn(plan).size shouldBe 2 // shingle lead + first_doc min
+    plan should not include "Join" // the groupBy+self-join form this pin forbids
+    plan should not include "SinglePartition"
+  }
+
+  test("feature_winsorize: one window pass recovers the band edges; no join, no second scan") {
+    val plan = planOf("feature_winsorize")
+    "customer.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+    plan should include("PushedFilters: [IsNotNull(c_acctbal)]")
+    plan should not include "SinglePartition"
+  }
+
+  test("split_temporal: one fact pass; the leak audit re-aggregates the (type,user) grid") {
+    val plan = planOf("split_temporal")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should include("PushedFilters: [IsNotNull(ts)]")
+    "HashAggregate".r.findAllIn(plan).size should be >= 3
+    plan should not include "Window"
+    plan should not include "Expand" // flags, not count-distinct
   }
 }

@@ -123,4 +123,174 @@ class StatsInvariantSpec extends SparkSpec {
     card("total_chars") shouldBe lens.sum
     card("max_chars") shouldBe (if (lens.isEmpty) 0L else lens.max)
   }
+
+  test("bpe_pair_counts: every reported count recomputes from a scratch sliding-pair scan") {
+    val exact = Tables(spark, dir, "documents").collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(t => t.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val rows = SparkEntry.queries("bpe_pair_counts")(spark, dir).collect()
+    rows should have length 100
+    rows.foreach { r =>
+      withClue(s"pair '${r.getString(0)}': ") {
+        r.getLong(r.fieldIndex("n")) shouldBe exact(r.getString(0))
+      }
+    }
+    // the head of the ranking really is the global max
+    rows.head.getLong(1) shouldBe exact.values.max
+  }
+
+  test("changepoint_cusum: the argmax matches a brute-force scan of every prefix split") {
+    val daily = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), epochUs(r.get(1)), r.getLong(2)))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("changepoint_cusum")(spark, dir).collect()
+      .map(r => r.getString(0) -> (epochUs(r.get(r.fieldIndex("change_day"))),
+        r.getLong(r.fieldIndex("d_max")))).toMap
+    daily.foreach { case (tpe, xs) =>
+      val series = xs.sortBy(_._2).map(t => (t._2, t._3))
+      val n = series.length
+      val sN = series.map(_._2).sum
+      val scored = series.map(_._2).scanLeft(0L)(_ + _).tail.zipWithIndex
+        .take(n - 1) // i = idx+1, candidate splits exclude the last day
+        .map { case (sI, idx) => (series(idx)._1, math.abs(n * sI - (idx + 1) * sN)) }
+      val best = scored.maxBy(t => (t._2, -t._1)) // max d, earliest day
+      withClue(s"$tpe: ") { got(tpe) shouldBe best }
+    }
+  }
+
+  test("rank_normalize: pr_bp is a monotone [0,10000] function of the value within a type") {
+    val rows = SparkEntry.queries("rank_normalize")(spark, dir).collect()
+      .map(r => (r.getString(r.fieldIndex("event_type")),
+        r.getLong(r.fieldIndex("cents")), r.getLong(r.fieldIndex("pr_bp"))))
+    rows should not be empty
+    rows.groupBy(_._1).values.foreach { xs =>
+      xs.foreach { case (_, _, bp) => bp should (be >= 0L and be <= 10000L) }
+      // sorted by cents, pr_bp never decreases; equal cents ⇒ equal pr_bp
+      xs.sortBy(_._2).sliding(2).foreach {
+        case Array((_, c1, b1), (_, c2, b2)) =>
+          b2 should be >= b1
+          if (c1 == c2) b2 shouldBe b1
+        case _ =>
+      }
+    }
+  }
+
+  test("dataset_kfold: folds partition the corpus and recompute from md5") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    def fold(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kfold:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 5
+    }
+    val expect = docs.groupBy(fold).map { case (f, xs) => f -> xs.length.toLong }
+    val rows = SparkEntry.queries("dataset_kfold")(spark, dir).collect()
+    rows.map(_.getLong(0)).toSet shouldBe expect.keySet
+    rows.foreach(r => r.getLong(r.fieldIndex("n_docs")) shouldBe expect(r.getLong(0)))
+    rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum shouldBe docs.length.toLong
+  }
+
+  test("rare_collapse: mass is conserved and no surviving category is below threshold") {
+    val docs = Tables(spark, dir, "documents").collect()
+    val counts = docs.groupBy(r => Option(r.getAs[String]("source")))
+      .map { case (s, xs) => s -> xs.length.toLong }
+    val thresh = docs.length.toLong / 25
+    val rows = SparkEntry.queries("rare_collapse")(spark, dir).collect()
+    rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum shouldBe docs.length.toLong
+    rows.foreach { r =>
+      val cat = Option(r.getString(0))
+      if (cat.exists(_ != "__other__"))
+        withClue(s"$cat: ") { r.getLong(r.fieldIndex("n_docs")) should be >= thresh }
+    }
+    val merged = counts.filter { case (s, n) => s.isDefined && n < thresh }
+    rows.find(_.getString(0) == "__other__").foreach { r =>
+      r.getLong(r.fieldIndex("n_docs")) shouldBe merged.values.sum
+      r.getLong(r.fieldIndex("n_merged")) shouldBe merged.size.toLong
+    }
+  }
+
+  test("ngram_novelty: novelty recomputes from a scratch first-occurrence scan") {
+    val docs = Tables(spark, dir, "documents").collect()
+      .flatMap(r => Option(r.getAs[String]("text"))
+        .map(t => r.getLong(r.fieldIndex("doc_id")) -> t))
+      .sortBy(_._1)
+    val triOf = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, _) =>
+      triOf(id).foreach(tr => if (!firstDoc.contains(tr)) firstDoc(tr) = id)
+    }
+    val rows = SparkEntry.queries("ngram_novelty")(spark, dir).collect()
+    rows should not be empty
+    // every doc with >=1 trigram appears, and counts recompute exactly
+    rows.map(_.getLong(0)).toSet shouldBe triOf.filter(_._2.nonEmpty).keySet
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val tris = triOf(id)
+      withClue(s"doc $id: ") {
+        r.getLong(r.fieldIndex("n_tri")) shouldBe tris.size.toLong
+        val novel = tris.count(tr => firstDoc(tr) == id).toLong
+        r.getLong(r.fieldIndex("n_novel")) shouldBe novel
+        r.getLong(r.fieldIndex("novelty_bp")) shouldBe novel * 10000 / tris.size
+      }
+    }
+    // the corpus's first doc is 100% novel by definition
+    rows.find(_.getLong(0) == docs.head._1)
+      .foreach(_.getLong(3) shouldBe 10000L)
+  }
+
+  test("feature_winsorize: clamped values stay in the group's observed range and mass only moves inward") {
+    val rows = SparkEntry.queries("feature_winsorize")(spark, dir).collect()
+      .map(r => (nLong(r, r.fieldIndex("c_nationkey")),
+        r.getLong(r.fieldIndex("cents")), r.getLong(r.fieldIndex("win_cents")),
+        r.getBoolean(r.fieldIndex("clipped"))))
+    rows should not be empty
+    rows.groupBy(_._1).foreach { case (nation, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length.toLong
+      val lo = sorted(((n + 19) / 20 - 1).toInt)
+      val hi = sorted(((19 * n + 19) / 20 - 1).toInt)
+      withClue(s"nation $nation (n=$n, lo=$lo, hi=$hi): ") {
+        xs.foreach { case (_, c, w, clipped) =>
+          w shouldBe math.min(math.max(c, lo), hi)
+          clipped shouldBe (c < lo || c > hi)
+        }
+        // winsorizing never widens the band
+        xs.map(_._3).min should be >= lo
+        xs.map(_._3).max should be <= hi
+      }
+    }
+  }
+
+  test("split_temporal: the leak count is the true train∩holdout user intersection") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-24 00:00:00").getTime * 1000L
+    val ev = Tables(spark, dir, "events").filter(col("ts").isNotNull)
+      .select("event_type", "user_id", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), epochUs(r.get(2))))
+    val rows = SparkEntry.queries("split_temporal")(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val tpe = Option(r.getString(0))
+      val xs = ev.filter(e => Option(e._1) == tpe)
+      val (tr, ho) = xs.partition(_._3 < cut)
+      withClue(s"$tpe: ") {
+        r.getLong(r.fieldIndex("n_train")) shouldBe tr.length.toLong
+        r.getLong(r.fieldIndex("n_holdout")) shouldBe ho.length.toLong
+        val leak = tr.map(_._2).toSet intersect ho.map(_._2).toSet
+        r.getLong(r.fieldIndex("u_leaked")) shouldBe leak.size.toLong
+        val uHo = ho.map(_._2).toSet.size.toLong
+        r.getLong(r.fieldIndex("leak_bp")) shouldBe
+          (if (uHo == 0) 0L else leak.size.toLong * 10000 / uHo)
+      }
+    }
+  }
 }

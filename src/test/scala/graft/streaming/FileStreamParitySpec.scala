@@ -747,4 +747,48 @@ class FileStreamParitySpec extends SparkSpec {
       streamed should not be empty
     } finally q.stop()
   }
+
+  test("file-source heavy-hitters sink: CMS cell + candidate folds over hash-split batches equal the batch heavy_hitters") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    // hash-split chunks: both state tables are algebraic counts, so batch
+    // composition/order must wash out — the MERGEABILITY that makes a
+    // count-min sketch a sketch, asserted end-to-end
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val staged = stageChunks("docs_hh_stream", chunks)
+    val stateRoot = Files.createTempDirectory("hh_state").toString
+    val cellSchema = StructType.fromDDL("d INT, bucket BIGINT, cn BIGINT")
+    val candSchema = StructType.fromDDL("tok STRING, exact_n BIGINT")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cellSchema)
+      .write.parquet(s"$stateRoot/cells0")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), candSchema)
+      .write.parquet(s"$stateRoot/cand0")
+    var v = 0
+    def readCells(): DataFrame = spark.read.schema(cellSchema).parquet(s"$stateRoot/cells$v")
+    def readCand(): DataFrame = spark.read.schema(candSchema).parquet(s"$stateRoot/cand$v")
+    // the two writes land within one foreachBatch call: bump the version
+    // once per pair (cells writes first — matching hhSink's order)
+    def writeCells(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$stateRoot/cells${v + 1}")
+    def writeCand(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/cand${v + 1}"); v += 1
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.hhSink(stream)(readCells _, readCand _)(
+      writeCells, writeCand).start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+    v should be >= 3
+    val streamed = graft.streaming.Streams.hhView(readCells(), readCand())
+      .collect().map(_.toSeq)
+    val batch = graft.SparkEntry.queries("heavy_hitters")(spark, dir01)
+      .collect().map(_.toSeq)
+    streamed shouldBe batch // ordered compare: the ranking itself is the contract
+    streamed should not be empty
+  }
 }
