@@ -236,6 +236,46 @@ object Stats {
   // D = n·S in cents — a 10^14-cent (trillion-dollar) series over 10^4
   // days stays within BIGINT.
   // --------------------------------------------------------------------
+  /** The (type, day) cents grid — the changepoint op's only fact-scale
+    * pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.cusumSink]]): the grid is ALGEBRAIC (one
+    * exact decimal-cents sum per key), so a stream folds per-batch
+    * partials into it with a keyed SUM merge and [[cusumView]] reproduces
+    * the batch op exactly at any batch cut. */
+  private[graft] def cusumDaily(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("timestamp").as("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+
+  /** CUSUM argmax over a completed daily grid (grid-sized input:
+    * |types|×|days| rows). */
+  private[graft] def cusumView(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .withColumn("s_i", sum("cents").over(w))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s_n", sum("cents").over(all))
+      .filter(col("i") < col("n"))
+      .withColumn("d", abs(col("n") * col("s_i") - col("i") * col("s_n")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("d").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("n").as("n_days"), col("d").as("d_max"),
+        (col("s_i").cast("double") / (lit(100) * col("i"))).as("mean_before"),
+        ((col("s_n") - col("s_i")).cast("double")
+          / (lit(100) * (col("n") - col("i")))).as("mean_after"))
+      .orderBy("event_type")
+  }
+
   private val changepointCusum = Op("changepoint_cusum",
     s"""WITH daily AS (
        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -264,33 +304,7 @@ object Stats {
        |  CAST(s_i AS DOUBLE) / (100 * i) AS mean_before,
        |  CAST(s_n - s_i AS DOUBLE) / (100 * (n - i)) AS mean_after
        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
-    val daily = t(s, d, "events")
-      .filter(col("ts").isNotNull && col("value").isNotNull)
-      .groupBy(col("event_type"),
-        date_trunc("day", col("ts")).cast("timestamp").as("day"))
-      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
-        .cast("long").as("cents"))
-    val w = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy("event_type")
-    val scored = daily
-      .withColumn("i", row_number().over(
-        Window.partitionBy("event_type").orderBy("day")).cast("long"))
-      .withColumn("s_i", sum("cents").over(w))
-      .withColumn("n", count(lit(1)).over(all))
-      .withColumn("s_n", sum("cents").over(all))
-      .filter(col("i") < col("n"))
-      .withColumn("d", abs(col("n") * col("s_i") - col("i") * col("s_n")))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("event_type").orderBy(col("d").desc, col("day"))))
-      .filter(col("rk") === 1)
-      .select(col("event_type"), col("day").as("change_day"),
-        col("n").as("n_days"), col("d").as("d_max"),
-        (col("s_i").cast("double") / (lit(100) * col("i"))).as("mean_before"),
-        ((col("s_n") - col("s_i")).cast("double")
-          / (lit(100) * (col("n") - col("i")))).as("mean_after"))
-      .orderBy("event_type")
+    cusumView(cusumDaily(t(s, d, "events")))
   }
 
   val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum)

@@ -420,6 +420,44 @@ object Streams {
   def seasonalView(state: DataFrame): DataFrame =
     graft.ops.Events.seasonalView(state)
 
+  /** Per-batch (type, day) cents partials for the changepoint twin —
+    * LITERALLY the batch op's grid pass
+    * ([[graft.ops.Stats.cusumDaily]]). */
+  private[streaming] def cusumDaily(batch: DataFrame): DataFrame =
+    graft.ops.Stats.cusumDaily(instantTs(batch))
+
+  /** Merge a batch's daily-cents partials into the (type, day, cents)
+    * state — exact integer cents are algebraic, so merge = keyed SUM and
+    * the fold is bit-identical at any batch cut (an IEEE-double revenue
+    * sum would drift with the cut points); state is calendar×types
+    * bounded, never stream volume. Same exactly-once caveat as
+    * [[topkMergeCounts]]. */
+  def cusumMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.as("s"); val d = delta.as("d")
+    s.join(d, col("s.event_type") <=> col("d.event_type")
+        && col("s.day") <=> col("d.day"), "full_outer")
+      .select(coalesce(col("d.event_type"), col("s.event_type")).as("event_type"),
+        coalesce(col("d.day"), col("s.day")).as("day"),
+        (coalesce(col("s.cents"), lit(0L)) + coalesce(col("d.cents"), lit(0L)))
+          .as("cents"))
+  }
+
+  /** foreachBatch fold for the changepoint state (twin of the batch
+    * changepoint_cusum op): level-shift monitors run continuously, and
+    * each arriving day re-scores the CUSUM argmax over the grid the fold
+    * has accumulated so far. */
+  def cusumSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(cusumMerge(readState(), cusumDaily(batch)))
+    }
+
+  /** Read side of [[cusumSink]]: the CUSUM argmax over the bounded grid —
+    * LITERALLY the batch op's view ([[graft.ops.Stats.cusumView]]). */
+  def cusumView(state: DataFrame): DataFrame =
+    graft.ops.Stats.cusumView(state)
+
   /** Per-batch count-min cell partials for the heavy-hitters twin —
     * LITERALLY the batch op's cell pass ([[graft.ops.Text.hhCells]]). */
   private[streaming] def hhCells(batch: DataFrame): DataFrame =

@@ -748,6 +748,44 @@ class FileStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source changepoint sink: integer-cents grid fold over hash-split batches equals the batch changepoint_cusum") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split chunks: the daily cents are EXACT integer sums, so batch
+    // composition/order must wash out bit-for-bit — and so must the
+    // downstream argmax, which is the part a float fold could flip (a
+    // last-ulp drift in a near-tied day moves the reported change_day)
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val staged = stageChunks("events_cusum_stream", chunks)
+    val stateRoot = Files.createTempDirectory("cusum_state").toString
+    val stateSchema = StructType.fromDDL(
+      "event_type STRING, day TIMESTAMP, cents BIGINT")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+      .write.parquet(s"$stateRoot/v0")
+    var v = 0
+    def readState(): DataFrame = spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.cusumSink(stream)(readState _)(writeState)
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+    v should be >= 3
+    val streamed = graft.streaming.Streams.cusumView(readState())
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("changepoint_cusum")(spark, dir01)
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source heavy-hitters sink: CMS cell + candidate folds over hash-split batches equal the batch heavy_hitters") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.StructType
