@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -659,12 +659,30 @@ object Audit {
        |            // count(*) FILTER (WHERE n_ho > 0) END AS leak_bp
        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
   }) { (s, d) =>
+    splitTemporalView(splitTemporalGrid(t(s, d, "events")))
+  }
+
+  /** The (type, user) conditional-count grid — split_temporal's only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.leakSink]]): the grid is ALGEBRAIC (two
+    * counts per key), so a stream folds per-batch partials into it with
+    * a keyed SUM merge and [[splitTemporalView]] reproduces the batch op
+    * exactly at any batch cut. */
+  private[graft] def splitTemporalGrid(events: DataFrame): DataFrame = {
     val cut = lit("2024-01-24").cast("timestamp")
-    val g = t(s, d, "events").filter(col("ts").isNotNull)
+    events.filter(col("ts").isNotNull)
       .groupBy("event_type", "user_id")
       .agg(count(when(col("ts") < cut, 1)).as("n_tr"),
         count(when(col("ts") >= cut, 1)).as("n_ho"))
-    g.groupBy("event_type")
+  }
+
+  /** Leakage audit over a completed (type, user) grid — the flags
+    * (n_tr>0, n_ho>0) must be evaluated AFTER the fold completes, which
+    * is why the grid, not the audit row, is the streaming state: a user
+    * whose first holdout event arrives in a later batch flips from
+    * clean to leaked, and only the grid form can express that. */
+  private[graft] def splitTemporalView(grid: DataFrame): DataFrame =
+    grid.groupBy("event_type")
       .agg(sum("n_tr").as("n_train"), sum("n_ho").as("n_holdout"),
         count(when(col("n_tr") > 0, 1)).as("u_train"),
         count(when(col("n_ho") > 0, 1)).as("u_holdout"),
@@ -674,7 +692,6 @@ object Audit {
         when(col("u_holdout") === 0, lit(0L))
           .otherwise(expr("u_leaked * 10000 div u_holdout")).as("leak_bp"))
       .orderBy("event_type")
-  }
 
   val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
     profileStats, outlierFilter, gapDetect, anomalyMad, snapshotDiff,

@@ -458,6 +458,46 @@ object Streams {
   def cusumView(state: DataFrame): DataFrame =
     graft.ops.Stats.cusumView(state)
 
+  /** Per-batch (type, user) train/holdout count partials for the
+    * leakage twin — LITERALLY the batch op's grid pass
+    * ([[graft.ops.Audit.splitTemporalGrid]]). */
+  private[streaming] def leakGrid(batch: DataFrame): DataFrame =
+    graft.ops.Audit.splitTemporalGrid(instantTs(batch))
+
+  /** Merge a batch's grid partials into the (type, user, n_tr, n_ho)
+    * state — counts are algebraic, merge = keyed SUM. The LEAK flags are
+    * NOT state: a user whose first holdout event arrives later flips
+    * from clean to leaked, so flags must be evaluated over the completed
+    * grid ([[leakView]]), never folded. State is |types×users| bounded —
+    * the entity domain, not stream volume. Same exactly-once caveat as
+    * [[topkMergeCounts]]. */
+  def leakMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.as("s"); val d = delta.as("d")
+    s.join(d, col("s.event_type") <=> col("d.event_type")
+        && col("s.user_id") <=> col("d.user_id"), "full_outer")
+      .select(coalesce(col("d.event_type"), col("s.event_type")).as("event_type"),
+        coalesce(col("d.user_id"), col("s.user_id")).as("user_id"),
+        (coalesce(col("s.n_tr"), lit(0L)) + coalesce(col("d.n_tr"), lit(0L))).as("n_tr"),
+        (coalesce(col("s.n_ho"), lit(0L)) + coalesce(col("d.n_ho"), lit(0L))).as("n_ho"))
+  }
+
+  /** foreachBatch fold for the temporal-split leakage state (twin of the
+    * batch split_temporal op): eval-set honesty is monitored as events
+    * arrive — a training user straying into the holdout window is
+    * flagged on the batch after it happens. */
+  def leakSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(leakMerge(readState(), leakGrid(batch)))
+    }
+
+  /** Read side of [[leakSink]]: the leakage audit over the completed
+    * grid — LITERALLY the batch op's view
+    * ([[graft.ops.Audit.splitTemporalView]]). */
+  def leakView(state: DataFrame): DataFrame =
+    graft.ops.Audit.splitTemporalView(state)
+
   /** Per-batch count-min cell partials for the heavy-hitters twin —
     * LITERALLY the batch op's cell pass ([[graft.ops.Text.hhCells]]). */
   private[streaming] def hhCells(batch: DataFrame): DataFrame =

@@ -748,6 +748,55 @@ class FileStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source leakage sink: (type,user) grid fold over TIME-split batches equals the batch split_temporal") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // TIME-split chunks (not hash-split) on purpose: the train batches
+    // arrive first, then the holdout batches — the exact arrival pattern
+    // under which a user FLIPS from clean to leaked mid-stream, which is
+    // the flags-are-view-not-state property this twin exists to prove
+    val cutA = lit("2024-01-12").cast("timestamp")
+    val cutB = lit("2024-01-24").cast("timestamp")
+    val chunks = Seq(
+      ev.filter(col("ts") < cutA),
+      ev.filter(col("ts") >= cutA && col("ts") < cutB),
+      ev.filter(col("ts") >= cutB))
+    val staged = stageChunks("events_leak_stream", chunks)
+    val stateRoot = Files.createTempDirectory("leak_state").toString
+    val stateSchema = StructType.fromDDL(
+      "event_type STRING, user_id BIGINT, n_tr BIGINT, n_ho BIGINT")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+      .write.parquet(s"$stateRoot/v0")
+    var v = 0
+    def readState(): DataFrame = spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.leakSink(stream)(readState _)(writeState)
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+    v should be >= 3
+    // mid-stream honesty: after only the train-window batches, nothing is
+    // leaked yet — the flags really are computed over the fold, not folded
+    val streamed = graft.streaming.Streams.leakView(readState())
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("split_temporal")(spark, dir01)
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed should not be empty
+    // and the final state genuinely contains leaked users (non-vacuous)
+    graft.streaming.Streams.leakView(readState())
+      .agg(org.apache.spark.sql.functions.sum("u_leaked")).collect()
+      .head.getLong(0) should be > 0L
+  }
+
   test("file-source changepoint sink: integer-cents grid fold over hash-split batches equals the batch changepoint_cusum") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.StructType
