@@ -103,6 +103,10 @@ object BenchBudget {
     "split_temporal" -> 0.87,
     "ngram_novelty" -> 3.57, // 3 x 1.19 s idle sf0.1
     "feature_winsorize" -> 1.68, // 3 x 0.56 s idle sf0.1
+    // 3 x 3.36 s cold single-op sf0.1 (20-probe audit: 100k codegen'd
+    // prefilter dots + ~25k interpreted decimal folds; suite-warm runs
+    // land well under the cold basis)
+    "ann_recall" -> 10.09,
     "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,

@@ -37,6 +37,13 @@ object Llm {
     dot / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))
   }
 
+  /** Exact decimal cosine given PRECOMPUTED norms: the per-vector norm
+    * fold runs once per row (behind an exchange barrier), not once per
+    * pair — the pairwise work is a single decimal fold + two mults.
+    * Shared by sim_search_ivf and ann_recall. */
+  private def pairCos(a: Column, b: Column, an: Column, bn: Column): Column =
+    fold(zip_with(dec(a), dec(b), (x, y) => x * y)).cast("double") / (an * bn)
+
   /** Elements rounded to 7 decimals as doubles (the same quantization the
     * decimal path applies), precomputed ONCE per vector. */
   private def rounded7(c: Column): Column =
@@ -426,11 +433,6 @@ object Llm {
        |WHERE a.vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    // exact decimal dot given precomputed norms: the per-vector norm fold
-    // runs ONCE per row (behind an exchange barrier), not once per pair —
-    // the pairwise work is a single decimal fold + two mults
-    def pairCos(a: Column, b: Column, an: Column, bn: Column): Column =
-      fold(zip_with(dec(a), dec(b), (x, y) => x * y)).cast("double") / (an * bn)
     val e = vecs(s, d)
     // exchange: materializes the rounded array so projection collapse can't
     // re-inline it into every one of the 8 pair rows
@@ -485,6 +487,160 @@ object Llm {
           sqrt(sqNorm(col("embedding"))), col("qn")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
+  }
+
+  // --------------------------------------------------------------------
+  // ann_recall — the ANN quality audit: recall@10 of the IVF index
+  // (sim_search_ivf's exact 8-centroid/2-probe structure) against the
+  // exact brute-force top-10, over a 20-probe query set. This is the
+  // measurement that decides every approximate-index deployment — an ANN
+  // path without its recall audit is a black box — and it is pure
+  // integers end-to-end (hit counts and basis points; the only floats
+  // are internal rankings both engines compute bit-identically).
+  //
+  // Probe set: hash-top-20 vectors under a 'probe:' salt (deterministic,
+  // engine-reproducible, disjoint salt from the centroid selection).
+  // Both legs exclude the probe itself.
+  //
+  // Plan shape: probes and centroids are bounded broadcasts (20 / 8
+  // rows); the exact leg is the sim_search discipline fanned out per
+  // probe — codegen'd double-cosine prefilter to top-RefineK per qid
+  // (rank()<=k plans WindowGroupLimit per-partition heaps), exact
+  // decimal rescore on the shortlist only; the IVF leg reuses the
+  // assignment argmax (per-vector window) + probe-list equi-join. At
+  // 100 TB the audit runs on a probe SAMPLE by construction — cost is
+  // probes × corpus double-dots, not corpus².
+  // --------------------------------------------------------------------
+  private val NumAnnProbes = 20
+  private val RecallK = 10
+
+  private val annRecall = Op("ann_recall", {
+    val h = graft.ops.Text.h60Sql("'probe:' || CAST(vec_id AS VARCHAR)")
+    s"""WITH cen AS (
+       |  SELECT cid, cv FROM (
+       |    SELECT vec_id AS cid, embedding AS cv,
+       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |    FROM $embSql)
+       |  ORDER BY h, cid LIMIT $NumCentroids),
+       |qs AS (
+       |  SELECT qid, qv FROM (
+       |    SELECT vec_id AS qid, embedding AS qv, $h AS h FROM $embSql)
+       |  ORDER BY h, qid LIMIT $NumAnnProbes),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      CAST((SELECT SUM(${d97("e.embedding[i]")} * ${d97("c.cv[i]")})
+       |            FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)
+       |       / sqrt(CAST((SELECT SUM(${d97("c.cv[i]")} * ${d97("c.cv[i]")})
+       |            FROM (SELECT unnest(range(1, 65)) AS i)) AS DOUBLE)) AS ccos
+       |    FROM $embSql e, cen c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, ${cosineSql("c.cv", "q.qv")} AS pcos
+       |    FROM cen c, qs q)
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, cid)
+       |          <= $NumProbes),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id, ${cosineSql("e.embedding", "q.qv")} AS cs
+       |    FROM $embSql e, qs q WHERE e.vec_id <> q.qid)
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+       |          <= $RecallK),
+       |ivf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, a.vec_id, ${cosineSql("a.embedding", "q.qv")} AS cs
+       |    FROM asg a JOIN probes p ON a.cid = p.cid
+       |    JOIN qs q ON q.qid = p.qid
+       |    WHERE a.vec_id <> p.qid)
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+       |          <= $RecallK),
+       |agg AS (
+       |  SELECT x.qid, count(*) AS n_exact, count(i.vec_id) AS n_hit
+       |  FROM exact x LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id
+       |  GROUP BY x.qid),
+       |ic AS (SELECT qid, count(*) AS n_ivf FROM ivf GROUP BY qid)
+       |SELECT a.qid, a.n_exact, CAST(COALESCE(ic.n_ivf, 0) AS BIGINT) AS n_ivf,
+       |  a.n_hit, a.n_hit * 10000 // a.n_exact AS recall_bp
+       |FROM agg a LEFT JOIN ic ON ic.qid = a.qid
+       |ORDER BY a.qid""".stripMargin
+  }) { (s, d) =>
+    val e = vecs(s, d)
+    // double norm precomputed ONCE per corpus vector and per probe, and
+    // materialized BELOW the exchange (projection collapse above it would
+    // re-inline the norm fold into every one of the 20 pair rows): the
+    // 20×n prefilter grid then costs ONE codegen'd VecDot per pair (a
+    // per-pair doubleCos would re-fold both norms — 3× the hot-path work)
+    val r7e = rounded7(col("embedding"))
+    val eN = exchange(e.select(col("vec_id"), col("embedding"),
+      r7e.as("r7"), sqrt(dot(s)(r7e, r7e)).as("dn")))
+    val qs = broadcast(e
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        graft.ops.Text.h60(concat(lit("probe:"), col("vec_id").cast("string")))
+          .as("h"))
+      .orderBy(col("h").asc, col("qid").asc).limit(NumAnnProbes)
+      .drop("h")
+      .select(col("qid"), col("qv"), rounded7(col("qv")).as("rq"),
+        sqrt(sqNorm(col("qv"))).as("qn")))
+      .withColumn("dqn", sqrt(dot(s)(col("rq"), col("rq"))))
+    val cen = broadcast(e
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        graft.ops.Text.h60(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h").asc, col("cid").asc).limit(NumCentroids)
+      .drop("h")
+      .select(col("cid"), col("cv"), sqrt(sqNorm(col("cv"))).as("cn"),
+        rounded7(col("cv")).as("rc")))
+      .withColumn("dcn", sqrt(dot(s)(col("rc"), col("rc"))))
+    // EXACT leg: double prefilter per qid → decimal rescore of the
+    // shortlist; rank()<=k over qid partitions plans WindowGroupLimit
+    val wPre = Window.partitionBy("qid").orderBy(col("dcos").desc, col("vec_id").asc)
+    val wX = Window.partitionBy("qid").orderBy(col("xcos").desc, col("vec_id").asc)
+    val exactTop = eN.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+      .withColumn("dcos", dot(s)(col("r7"), col("rq")) / (col("dn") * col("dqn")))
+      .withColumn("prn", row_number().over(wPre)).filter(col("prn") <= RefineK)
+      .withColumn("xcos", pairCos(col("embedding"), col("qv"),
+        sqrt(sqNorm(col("embedding"))), col("qn")))
+      .withColumn("xrn", row_number().over(wX)).filter(col("xrn") <= RecallK)
+      .select(col("qid"), col("vec_id"))
+    // IVF leg: the sim_search_ivf assignment argmax, verbatim discipline
+    val wD = Window.partitionBy("vec_id").orderBy(col("dcos").desc, col("cid").asc)
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    val asg = eN.crossJoin(cen)
+      .withColumn("dcos", dot(s)(col("r7"), col("rc")) / (col("dn") * col("dcn")))
+      .withColumn("drn", row_number().over(wD))
+      .filter(col("drn") <= NumProbes)
+      .withColumn("ccos",
+        fold(zip_with(dec(col("embedding")), dec(col("cv")), (x, y) => x * y))
+          .cast("double") / col("cn"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("r7"), col("cid"))
+    val probes = broadcast(cen.crossJoin(qs)
+      .withColumn("pcos", pairCos(col("cv"), col("qv"), col("cn"), col("qn")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid").asc)))
+      .filter(col("prn") <= NumProbes)
+      .select(col("qid").as("pqid"), col("cid")))
+    val wI = Window.partitionBy("qid").orderBy(col("icos").desc, col("vec_id").asc)
+    val ivfTop = asg.join(probes, "cid")
+      .withColumnRenamed("pqid", "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qs.select(col("qid"), col("qv"), col("qn"))), "qid")
+      .withColumn("icos", pairCos(col("embedding"), col("qv"),
+        sqrt(sqNorm(col("embedding"))), col("qn")))
+      .withColumn("irn", row_number().over(wI)).filter(col("irn") <= RecallK)
+      .select(col("qid"), col("vec_id"))
+    // integer audit: ONE full-outer join of the two ≤20·k row sets feeds
+    // every count — referencing ivfTop twice (hits + a separate n_ivf
+    // aggregate) would re-evaluate the whole IVF leg per reference
+    val j = exactTop.withColumn("ex", lit(1))
+      .join(ivfTop.withColumn("iv", lit(1)), Seq("qid", "vec_id"), "full_outer")
+    j.groupBy("qid")
+      .agg(count(col("ex")).as("n_exact"), count(col("iv")).as("n_ivf"),
+        count(when(col("ex").isNotNull && col("iv").isNotNull, 1)).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_ivf"), col("n_hit"),
+        expr("n_hit * 10000 div n_exact").as("recall_bp"))
+      .orderBy("qid")
   }
 
   // --------------------------------------------------------------------
@@ -840,6 +996,6 @@ object Llm {
 
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
     dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
-    multimodalDecode, multimodalFrames, embedNormalize, vecQuantize, searchRrf,
-    knnJoinBucketed, knnClassify)
+    annRecall, multimodalDecode, multimodalFrames, embedNormalize, vecQuantize,
+    searchRrf, knnJoinBucketed, knnClassify)
 }

@@ -306,7 +306,8 @@ class PlanAuditSpec extends SparkSpec {
       "tf_idf" -> "1-row corpus-size scalar broadcast over the tf/df join",
       "skew_report" -> "1-row corpus-total scalar broadcast over the 25-row top-k",
       "sample_balance" -> "1-row min-class-count cap broadcast over the ranked classes",
-      "rare_collapse" -> "1-row corpus-total scalar broadcast over the category grid")
+      "rare_collapse" -> "1-row corpus-total scalar broadcast over the category grid",
+      "ann_recall" -> "20-row probe-set + 8-row centroid broadcasts against the corpus scan (the audit's probe sample is bounded by construction)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
@@ -674,6 +675,23 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf("rare_collapse")
     plan should include("BroadcastNestedLoopJoin") // bounded 1-row side
     plan should not include "CartesianProduct"
+  }
+
+  test("ann_recall: probe/centroid sides broadcast; per-qid top-k plans WindowGroupLimit heaps") {
+    val plan = planOf("ann_recall")
+    plan should not include "CartesianProduct"
+    // (SinglePartition exchanges DO appear — they are the ≤20-row global
+    // hash-top-k probe/centroid selections, bounded by construction like
+    // sim_search_ivf's; the fact-scale windows below are all qid/vec_id
+    // partitioned)
+    // rank()<=k on the qid/vec_id windows must plan per-partition heaps,
+    // not full sorts of the 20×n prefilter grid
+    plan should include("WindowGroupLimit")
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be >= 2 // qs + cen
+    // the audit tail references the IVF leg ONCE (full-outer fan-in): a
+    // second reference would re-run the whole leg — count the probe-list
+    // window, which exists once per IVF-leg evaluation
+    "pcos".r.findAllIn(plan).size should be <= 6
   }
 
   test("ngram_novelty: first-occurrence is a window on h — no self-join, no cartesian") {

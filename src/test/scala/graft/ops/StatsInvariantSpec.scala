@@ -271,6 +271,58 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall: recall counts recompute from a from-scratch exact-arithmetic rebuild of both legs") {
+    // mirror the engine's arithmetic exactly: elements quantized to
+    // DECIMAL(9,7) (HALF_UP), dots exact BigDecimal, divisions IEEE double
+    def dec7(f: Float): BigDecimal =
+      BigDecimal(f.toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    def dot(a: Array[BigDecimal], b: Array[BigDecimal]): BigDecimal =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }
+        .foldLeft(BigDecimal(0))(_ + _)
+    def h60s(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val vecs = Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(dec7))
+      .toMap
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v).toDouble) }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)).toDouble / (norm(a) * norm(b))
+    val cids = vecs.keys.toSeq
+      .sortBy(id => (h60s(id.toString), id)).take(8)
+    val qids = vecs.keys.toSeq
+      .sortBy(id => (h60s(s"probe:$id"), id)).take(20)
+    // assignment: argmax over cids by the dot/cn metric, ties cid asc
+    val asg = vecs.keys.map { id =>
+      id -> cids.map(c => (c, dot(vecs(id), vecs(c)).toDouble / norm(c)))
+        .minBy { case (c, m) => (-m, c) }._1
+    }.toMap
+    val got = SparkEntry.queries("ann_recall")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    got.keySet shouldBe qids.toSet
+    qids.foreach { q =>
+      val others = vecs.keys.filter(_ != q).toSeq
+      val exact = others.map(id => (id, cos(id, q)))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val probeCids = cids.map(c => (c, cos(c, q)))
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+      val ivf = others.filter(id => probeCids(asg(id)))
+        .map(id => (id, cos(id, q)))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      withClue(s"probe $q: ") {
+        got(q) shouldBe ((exact.size.toLong, ivf.size.toLong,
+          (exact intersect ivf).size.toLong,
+          (exact intersect ivf).size.toLong * 10000 / exact.size))
+      }
+    }
+  }
+
   test("split_temporal: the leak count is the true train∩holdout user intersection") {
     val cut = java.sql.Timestamp.valueOf("2024-01-24 00:00:00").getTime * 1000L
     val ev = Tables(spark, dir, "events").filter(col("ts").isNotNull)
