@@ -166,16 +166,25 @@ object Relational {
 
   // Explicit broadcast: nation (25 rows) and region (5) are bounded dims —
   // at 100 TB the fact side streams map-side with zero shuffle.
+  /** The dim-enrichment join — shared with the stream-static twin
+    * ([[graft.streaming.Streams.enrich]]): the fact side may be a batch
+    * OR a streaming DataFrame; the broadcast dims plan the same
+    * BroadcastHashJoin either way, and an inner stream-static join is
+    * stateless by construction, so twin parity is structural. */
+  private[graft] def enrichView(c: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val n = broadcast(nation); val r = broadcast(region)
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(c("c_custkey"), n("n_name"), r("r_name"))
+  }
+
   private val joinBroadcast = Op("join_broadcast",
     """SELECT c_custkey, n_name, r_name
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |              JOIN region ON n_regionkey = r_regionkey
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-    val c = t(s, d, "customer")
-    val n = broadcast(t(s, d, "nation")); val r = broadcast(t(s, d, "region"))
-    c.join(n, c("c_nationkey") === n("n_nationkey"))
-      .join(r, n("n_regionkey") === r("r_regionkey"))
-      .select(c("c_custkey"), n("n_name"), r("r_name"))
+    enrichView(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))
       .orderBy("c_custkey")
   }
 

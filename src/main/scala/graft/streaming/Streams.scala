@@ -458,6 +458,17 @@ object Streams {
   def cusumView(state: DataFrame): DataFrame =
     graft.ops.Stats.cusumView(state)
 
+  /** Streaming twin of the batch join_broadcast op: STREAM-STATIC
+    * enrichment — the most common production streaming pattern (decorate
+    * facts with dimension attributes as they arrive). LITERALLY the batch
+    * op's join ([[graft.ops.Relational.enrichView]]): Spark plans the
+    * static side as the same BroadcastHashJoin for a streaming fact side,
+    * and an INNER stream-static join is stateless by construction — no
+    * watermark, no state store, each micro-batch enriches independently,
+    * which is why the twin needs no fold at all. */
+  def enrich(customers: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    graft.ops.Relational.enrichView(customers, nation, region)
+
   /** Per-batch (type, user) train/holdout count partials for the
     * leakage twin — LITERALLY the batch op's grid pass
     * ([[graft.ops.Audit.splitTemporalGrid]]). */

@@ -748,6 +748,29 @@ class FileStreamParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream-static enrichment: broadcast dim join over streamed facts equals the batch join_broadcast") {
+    val dir01 = "/root/testdata/sf0.01"
+    val cust = graft.Tables(spark, dir01, "customer").cache()
+    val chunks = (0 until 3).map(i => cust.filter(pmod(col("c_custkey"), lit(3)) === i))
+    val staged = stageChunks("cust_enrich_stream", chunks)
+    val stream = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    // static sides are plain batch DataFrames — the stream-static shape
+    val enriched = graft.streaming.Streams.enrich(stream,
+      graft.Tables(spark, dir01, "nation"), graft.Tables(spark, dir01, "region"))
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_sink").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+    val streamed = spark.table("enrich_sink").collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("join_broadcast")(spark, dir01)
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source leakage sink: (type,user) grid fold over TIME-split batches equals the batch split_temporal") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.StructType
