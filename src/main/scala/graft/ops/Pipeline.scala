@@ -50,14 +50,11 @@ object Pipeline {
   private val ChunkTokens = 50
   private val Stride = 40 // 10-token overlap between consecutive chunks
 
-  private val chunkSplit = Op("chunk_split",
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |st AS (SELECT doc_id, w, unnest(range(0, len(w), $Stride)) AS st FROM w)
-       |SELECT doc_id, st // $Stride AS chunk_id,
-       |  len(list_slice(w, st+1, st+$ChunkTokens)) AS n_tokens,
-       |  array_to_string(list_slice(w, st+1, st+$ChunkTokens), ' ') AS chunk_text
-       |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
-    t(s, d, "documents")
+  /** The chunk stream (one row per overlapping window) — shared by
+    * chunk_split and its round-trip audit chunk_merge, so the two ops'
+    * window convention provably cannot drift. */
+  private[graft] def chunkView(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
         posexplode(sequence(lit(0), size(col("w")) - 1, lit(Stride)))
@@ -65,7 +62,73 @@ object Pipeline {
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         size(slice(col("w"), col("st") + 1, lit(ChunkTokens))).as("n_tokens"),
         concat_ws(" ", slice(col("w"), col("st") + 1, lit(ChunkTokens))).as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
+
+  /** The same chunk stream in DuckDB SQL (no final ORDER BY — callers
+    * add their own). */
+  private val chunkSql =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |st AS (SELECT doc_id, w, unnest(range(0, len(w), $Stride)) AS st FROM w),
+       |chunks AS (
+       |  SELECT doc_id, st // $Stride AS chunk_id,
+       |    len(list_slice(w, st+1, st+$ChunkTokens)) AS n_tokens,
+       |    array_to_string(list_slice(w, st+1, st+$ChunkTokens), ' ') AS chunk_text
+       |  FROM st)""".stripMargin
+
+  private val chunkSplit = Op("chunk_split",
+    s"""WITH $chunkSql
+       |SELECT doc_id, chunk_id, n_tokens, chunk_text
+       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    chunkView(t(s, d, "documents")).orderBy("doc_id", "chunk_id")
+  }
+
+  // --------------------------------------------------------------------
+  // chunk_merge — chunk_split's ROUND-TRIP audit: reassemble each doc
+  // from its overlapping chunks (every chunk contributes its first
+  // Stride tokens; the last contributes everything) and verify the
+  // reassembly equals the original text. This is the integrity check a
+  // chunk→process→reassemble pipeline runs before trusting the window
+  // convention — and it exercises ORDER-SENSITIVE string aggregation
+  // parity (Spark has no ordered collect: sort_array over
+  // (chunk_id, part) structs vs DuckDB's string_agg ... ORDER BY).
+  //
+  // Scale shape: the chunk stream is scan-stage, the reassembly is one
+  // doc-keyed window (last-chunk flag) + one doc-keyed aggregate; the
+  // original text joins back by doc key. NULL-text docs produce no
+  // chunks and are absent by contract (same rule as chunk_split).
+  // --------------------------------------------------------------------
+  private val chunkMerge = Op("chunk_merge",
+    s"""WITH $chunkSql,
+       |mx AS (SELECT doc_id, max(chunk_id) AS mx FROM chunks GROUP BY doc_id),
+       |parts AS (
+       |  SELECT c.doc_id, c.chunk_id,
+       |    CASE WHEN c.chunk_id = m.mx THEN c.chunk_text
+       |         ELSE array_to_string(
+       |                list_slice(string_split(c.chunk_text, ' '), 1, $Stride), ' ')
+       |    END AS part
+       |  FROM chunks c JOIN mx m ON c.doc_id = m.doc_id),
+       |re AS (
+       |  SELECT doc_id, count(*) AS n_chunks,
+       |    string_agg(part, ' ' ORDER BY chunk_id) AS re
+       |  FROM parts GROUP BY doc_id)
+       |SELECT d.doc_id, r.n_chunks, r.re = d.text AS ok
+       |FROM documents d JOIN re r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val chunks = chunkView(t(s, d, "documents"))
+    val mx = Window.partitionBy("doc_id")
+    val parts = chunks
+      .withColumn("mxc", max("chunk_id").over(mx))
+      .withColumn("part", when(col("chunk_id") === col("mxc"), col("chunk_text"))
+        .otherwise(concat_ws(" ",
+          slice(split(col("chunk_text"), " "), 1, Stride.toInt))))
+    val re = parts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("part")))),
+          x => x("part")), " ").as("re"))
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .join(re, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), (col("re") === col("text")).as("ok"))
+      .orderBy("doc_id")
   }
 
   // --------------------------------------------------------------------
@@ -645,5 +708,6 @@ object Pipeline {
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
     interleaveSources, corpusShuffle, sampleHash, featureScale, sampleBalance,
-    sampleWeighted, rankNormalize, datasetKfold, rareCollapse, featureWinsorize)
+    sampleWeighted, rankNormalize, datasetKfold, rareCollapse, featureWinsorize,
+    chunkMerge)
 }

@@ -73,28 +73,15 @@ object Text {
     "zh" -> Seq("的", "是", "在", "了", "我"),
   )
 
-  private val langId = Op("lang_id", {
-    val scoreSqls = langProfiles.map { case (lang, gs) =>
-      val terms = gs.map { g =>
-        val lit = g.replace("'", "''")
-        s"(length(text) - length(replace(text, '$lit', ''))) // length('$lit')"
-      }
-      s"${terms.mkString(" + ")} AS s_$lang"
-    }
-    val caseSql = langProfiles.init.zipWithIndex.map { case ((lang, _), i) =>
-      val later = langProfiles.drop(i + 1).map { case (l2, _) => s"s_$lang >= s_$l2" }
-      s"WHEN ${later.mkString(" AND ")} THEN '$lang'"
-    }.mkString(" ")
-    s"""SELECT doc_id, lang, pred_lang FROM (
-       |  SELECT doc_id, lang,
-       |    CASE $caseSql ELSE '${langProfiles.last._1}' END AS pred_lang
-       |  FROM (SELECT doc_id, lang, ${scoreSqls.mkString(", ")} FROM documents))
-       |ORDER BY doc_id""".stripMargin
-  }) { (s, d) =>
+  /** The per-doc (doc_id, lang, pred_lang) prediction frame — shared by
+    * lang_id and its evaluation op lang_id_eval, so the classifier the
+    * eval measures is provably the classifier the pipeline runs. */
+  private[graft] def langPredView(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def occurrences(g: String): Column =
       (length(col("text")) - length(replace(col("text"), lit(g), lit("")))) / g.length
     val scored = langProfiles.foldLeft(
-        exchange(t(s, d, "documents").select("doc_id", "lang", "text"))) {
+        exchange(docs.select("doc_id", "lang", "text"))) {
       case (df, (lang, gs)) =>
         df.withColumn(s"s_$lang",
           gs.map(occurrences).reduce(_ + _).cast("long"))
@@ -109,7 +96,59 @@ object Text {
       when(cond, lang).otherwise(els)
     }
     scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
-      .orderBy("doc_id")
+  }
+
+  /** The same prediction frame in DuckDB SQL (no final ORDER BY). */
+  private val langPredSql: String = {
+    val scoreSqls = langProfiles.map { case (lang, gs) =>
+      val terms = gs.map { g =>
+        val lit = g.replace("'", "''")
+        s"(length(text) - length(replace(text, '$lit', ''))) // length('$lit')"
+      }
+      s"${terms.mkString(" + ")} AS s_$lang"
+    }
+    val caseSql = langProfiles.init.zipWithIndex.map { case ((lang, _), i) =>
+      val later = langProfiles.drop(i + 1).map { case (l2, _) => s"s_$lang >= s_$l2" }
+      s"WHEN ${later.mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    s"""(SELECT doc_id, lang,
+       |    CASE $caseSql ELSE '${langProfiles.last._1}' END AS pred_lang
+       |  FROM (SELECT doc_id, lang, ${scoreSqls.mkString(", ")} FROM documents))"""
+      .stripMargin
+  }
+
+  private val langId = Op("lang_id",
+    s"""SELECT doc_id, lang, pred_lang FROM $langPredSql
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    langPredView(t(s, d, "documents")).orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // lang_id_eval — the classifier's own confusion matrix: (actual,
+  // predicted) cells with counts and a correct flag, straight off the
+  // SHARED prediction frame. Every heuristic gate in a curation pipeline
+  // needs its measured error surface next to it (which languages bleed
+  // into which) before anyone trusts its routing decisions; publishing
+  // the eval as a first-class op keeps it recomputed on every corpus,
+  // not a one-off notebook. NULL actual-lang docs form their own audited
+  // cells (null-safe equality: a NULL actual is counted as incorrect,
+  // not as NULL).
+  //
+  // Scale shape: the prediction frame is scan-stage; the confusion
+  // matrix is ONE map-side-combined aggregate to ≤|langs|² rows.
+  // --------------------------------------------------------------------
+  private val langIdEval = Op("lang_id_eval",
+    s"""SELECT lang, pred_lang, count(*) AS n,
+       |  lang IS NOT DISTINCT FROM pred_lang AS correct
+       |FROM $langPredSql
+       |GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin) { (s, d) =>
+    langPredView(t(s, d, "documents"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (col("lang") <=> col("pred_lang")).as("correct"))
+      .orderBy("lang", "pred_lang")
   }
 
   // --------------------------------------------------------------------
@@ -793,7 +832,7 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val ops: Seq[Op] = Seq(tokenCount, langId, qualityScore, docFingerprint,
+  val ops: Seq[Op] = Seq(tokenCount, langId, langIdEval, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
     oovRate, corpusGini, featureHash, heavyHitters, bpePairCounts, ngramNovelty)
 }

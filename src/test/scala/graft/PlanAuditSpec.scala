@@ -694,6 +694,21 @@ class PlanAuditSpec extends SparkSpec {
     "pcos".r.findAllIn(plan).size should be <= 6
   }
 
+  test("chunk_merge: one doc-keyed window + aggregate; the original joins back by key") {
+    val plan = planOf("chunk_merge")
+    plan should not include "CartesianProduct"
+    plan should not include "SinglePartition"
+    "Window".r.findAllIn(plan).size shouldBe 1 // last-chunk flag
+  }
+
+  test("lang_id_eval: confusion matrix is one map-combined aggregate over the scan-stage predictions") {
+    val plan = planOf("lang_id_eval")
+    "documents.parquet".r.findAllIn(plan).size shouldBe 1
+    "HashAggregate".r.findAllIn(plan).size shouldBe 2 // partial+final
+    plan should not include "Window"
+    plan should not include "Join"
+  }
+
   test("ngram_novelty: first-occurrence is a window on h — no self-join, no cartesian") {
     val plan = planOf("ngram_novelty")
     "documents.parquet".r.findAllIn(plan).size shouldBe 1

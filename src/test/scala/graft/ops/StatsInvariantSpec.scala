@@ -323,6 +323,45 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("chunk_merge: every reassembly is exact and multi-chunk docs are actually exercised") {
+    val rows = SparkEntry.queries("chunk_merge")(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(s"doc ${r.getLong(0)}: ") {
+        r.getBoolean(r.fieldIndex("ok")) shouldBe true
+      }
+    }
+    // non-vacuous: the overlap-trimming path (chunks > 1) must be exercised
+    rows.count(_.getLong(1) > 1) should be > 0
+    // chunk counts recompute: ceil(tokens / stride)
+    val docs = Tables(spark, dir, "documents").collect()
+      .flatMap(r => Option(r.getAs[String]("text"))
+        .map(t => r.getLong(r.fieldIndex("doc_id")) -> t.split(" ", -1).length))
+      .toMap
+    rows.foreach { r =>
+      val n = docs(r.getLong(0))
+      r.getLong(r.fieldIndex("n_chunks")) shouldBe ((n + 39) / 40).toLong
+    }
+  }
+
+  test("lang_id_eval: the confusion matrix recomputes from lang_id's row-level output") {
+    val pred = SparkEntry.queries("lang_id")(spark, dir).collect()
+      .map(r => (Option(r.getString(1)), r.getString(2)))
+    val expect = pred.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = SparkEntry.queries("lang_id_eval")(spark, dir).collect()
+    rows should not be empty
+    rows.map(r => r.getLong(r.fieldIndex("n"))).sum shouldBe pred.length.toLong
+    rows.foreach { r =>
+      val k = (Option(r.getString(0)), r.getString(1))
+      withClue(s"cell $k: ") {
+        r.getLong(r.fieldIndex("n")) shouldBe expect(k)
+        r.getBoolean(r.fieldIndex("correct")) shouldBe k._1.contains(k._2)
+      }
+    }
+    // the eval is non-degenerate: both correct and incorrect cells exist
+    rows.map(_.getBoolean(3)).toSet shouldBe Set(true, false)
+  }
+
   test("split_temporal: the leak count is the true train∩holdout user intersection") {
     val cut = java.sql.Timestamp.valueOf("2024-01-24 00:00:00").getTime * 1000L
     val ev = Tables(spark, dir, "events").filter(col("ts").isNotNull)
