@@ -86,7 +86,11 @@ object Dedup {
     * ordering — shared by dedup_minhash and the clustering op. Verification
     * Jaccard runs on the 60-bit HASHED shingle sets (same value modulo md5
     * collisions, and both engines hash identically — see dedup_ngram). */
-  private[ops] val minhashPairsSql: String =
+  /** The shared CTE prefix (shingles → sketches → banded candidates) —
+    * reused verbatim by dedup_minhash, dedup_cluster, and minhash_eval so
+    * the candidate definition cannot drift between the dedup path and its
+    * accuracy audit. */
+  private[ops] val minhashBaseSql: String =
     s"""WITH sh AS (SELECT doc_id, $shingles3Sql AS sh
        |  FROM documents WHERE text IS NOT NULL),
        |hhv AS (SELECT doc_id, $hhalvesSql AS hh FROM sh),
@@ -99,7 +103,11 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.b = b.b AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)
+       |    ON a.b = b.b AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)"""
+      .stripMargin
+
+  private[ops] val minhashPairsSql: String =
+    s"""$minhashBaseSql
        |SELECT id_a, id_b,
        |  CAST(CAST(len(list_intersect(ha.hs, hb.hs)) AS DECIMAL(18,9))
        |       / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS DOUBLE) AS jaccard
@@ -107,7 +115,10 @@ object Dedup {
        |WHERE CAST(CAST(len(list_intersect(ha.hs, hb.hs)) AS DECIMAL(18,9))
        |       / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS DOUBLE) >= 0.5""".stripMargin
 
-  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Banded candidates WITH both sketches ((id_a, id_b, mh_a, mh_b)) plus
+    * the hashed-shingle view for verification joins — the shared core of
+    * dedup_minhash, dedup_cluster (via minhashPairs), and minhash_eval. */
+  private[ops] def minhashCand(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // a NULL-text doc is no near-dup candidate: Spark's concat_ws would
     // collapse its shingle set to [""] (pairing every such doc at jaccard
     // 1.0) while DuckDB's yields no shingles — contract: text required
@@ -145,19 +156,24 @@ object Dedup {
     }.reduce(_ || _)
     val cand = a.join(b, Seq("b", "h1", "h2"))
       .filter(col("id_a") < col("id_b"))
-      .filter(!earlierBand)
-      .select("id_a", "id_b")
+      .filter(!earlierBand) // first-band emission = exactly-once, no DISTINCT
+      .select("id_a", "id_b", "mh_a", "mh_b")
     // hashed shingle sets for the verification join-back (longs, not
     // shingle strings — same Jaccard modulo md5 collisions, cheaper to
     // shuffle and intersect; both engines hash identically). h1 IS h60.
     val hsv = hh.select(col("doc_id"),
       array_sort(transform(col("hh"), p => p.getField("h1"))).as("hs"))
+    (cand, hsv)
+  }
+
+  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val (cand, hsv) = minhashCand(s, d)
     val av = hsv.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
     val bv = hsv.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
     val inter = size(array_intersect(col("hs_a"), col("hs_b")))
     val jac = (inter.cast(DecimalType(18, 9))
       / (size(col("hs_a")) + size(col("hs_b")) - inter)).cast("double")
-    cand.join(av, "id_a").join(bv, "id_b")
+    cand.select("id_a", "id_b").join(av, "id_a").join(bv, "id_b")
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
@@ -167,6 +183,60 @@ object Dedup {
     s"""$minhashPairsSql
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     minhashPairs(s, d).orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------------
+  // minhash_eval — the sketch's accuracy audit (the ann_recall pattern
+  // applied to dedup): for EVERY banded candidate pair, the minhash
+  // Jaccard estimate (matching sketch positions / 8, in basis points)
+  // next to the exact hashed-shingle Jaccard and the signed error — the
+  // measurement that justifies the 8-hash/4×2-band configuration before
+  // anyone trusts its dedup decisions. Pure integers: est_bp = matches ×
+  // 1250, jac_bp = ⌊inter·10⁴ / union⌋, err_bp = est_bp − jac_bp.
+  // Structural invariant worth pinning: every candidate collided on a
+  // full band, so matches ≥ BandSize and est_bp ≥ 2500 — always.
+  //
+  // Scale shape: IDENTICAL to dedup_minhash (the candidate stage is
+  // shared code) plus one 8-position sketch compare per candidate — the
+  // audit costs nothing beyond the pairs it audits.
+  // --------------------------------------------------------------------
+  private val minhashEval = Op("minhash_eval",
+    s"""$minhashBaseSql
+       |SELECT c.id_a, c.id_b,
+       |  len(list_filter(range(1, ${NumHashes + 1}),
+       |                  i -> ma.mh[i] = mb.mh[i])) AS matches,
+       |  len(list_filter(range(1, ${NumHashes + 1}),
+       |                  i -> ma.mh[i] = mb.mh[i])) * ${10000 / NumHashes}
+       |    AS est_bp,
+       |  len(list_intersect(ha.hs, hb.hs)) * 10000
+       |    // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+       |    AS jac_bp,
+       |  len(list_filter(range(1, ${NumHashes + 1}),
+       |                  i -> ma.mh[i] = mb.mh[i])) * ${10000 / NumHashes}
+       |    - len(list_intersect(ha.hs, hb.hs)) * 10000
+       |      // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+       |    AS err_bp
+       |FROM cand c
+       |JOIN mh ma ON ma.doc_id = c.id_a JOIN mh mb ON mb.doc_id = c.id_b
+       |JOIN hsv ha ON ha.doc_id = c.id_a JOIN hsv hb ON hb.doc_id = c.id_b
+       |ORDER BY c.id_a, c.id_b""".stripMargin) { (s, d) =>
+    val (cand, hsv) = minhashCand(s, d)
+    val av = hsv.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
+    val bv = hsv.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
+    val matches = size(filter(
+      zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), b => b))
+    cand.join(av, "id_a").join(bv, "id_b")
+      .withColumn("matches", matches.cast("long"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("hs_a")).cast("long") + size(col("hs_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"), col("matches"),
+        (col("matches") * (10000 / NumHashes)).as("est_bp"),
+        expr("inter * 10000 div uni").as("jac_bp"),
+        (col("matches") * (10000 / NumHashes)
+          - expr("inter * 10000 div uni")).as("err_bp"))
+      .orderBy("id_a", "id_b")
   }
 
   // --------------------------------------------------------------------
@@ -558,6 +628,6 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val ops: Seq[Op] = Seq(dedupMinhash, dedupSimhash, dedupNgram, dedupCluster,
-    dedupFuzzy, dedupSubstring, dedupIncremental, decontaminateFuzzy)
+  val ops: Seq[Op] = Seq(dedupMinhash, minhashEval, dedupSimhash, dedupNgram,
+    dedupCluster, dedupFuzzy, dedupSubstring, dedupIncremental, decontaminateFuzzy)
 }

@@ -362,6 +362,47 @@ class StatsInvariantSpec extends SparkSpec {
     rows.map(_.getBoolean(3)).toSet shouldBe Set(true, false)
   }
 
+  test("minhash_eval: every candidate matches a full band and the exact jaccard recomputes from raw shingles") {
+    val rows = SparkEntry.queries("minhash_eval")(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (m, est, jac, err) = (r.getLong(r.fieldIndex("matches")),
+        r.getLong(r.fieldIndex("est_bp")), r.getLong(r.fieldIndex("jac_bp")),
+        r.getLong(r.fieldIndex("err_bp")))
+      withClue(s"pair (${r.getLong(0)},${r.getLong(1)}): ") {
+        m should be >= 2L // a candidate collided on a FULL 2-hash band
+        m should be <= 8L
+        est shouldBe m * 1250
+        jac should (be >= 0L and be <= 10000L)
+        err shouldBe est - jac
+      }
+    }
+    // exact jaccard recomputes from the raw texts' hashed 3-shingle sets
+    def h60s(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val texts = Tables(spark, dir, "documents").collect()
+      .flatMap(r => Option(r.getAs[String]("text"))
+        .map(t => r.getLong(r.fieldIndex("doc_id")) -> t)).toMap
+    def shingleHashes(t: String): Set[Long] = {
+      val w = t.split(" ", -1)
+      val n = math.max(w.length - 2, 1)
+      // shingles3 applies array_distinct BEFORE hashing — set semantics
+      (0 until n).map(i => w.slice(i, i + 3).mkString(" ")).distinct
+        .map(h60s).toSet
+    }
+    rows.take(10).foreach { r => // spot-check 10 pairs against raw text
+      val (a, b) = (shingleHashes(texts(r.getLong(0))), shingleHashes(texts(r.getLong(1))))
+      val inter = a.intersect(b).size.toLong
+      val uni = a.size.toLong + b.size - inter
+      withClue(s"pair (${r.getLong(0)},${r.getLong(1)}): ") {
+        r.getLong(r.fieldIndex("jac_bp")) shouldBe inter * 10000 / uni
+      }
+    }
+  }
+
   test("split_temporal: the leak count is the true train∩holdout user intersection") {
     val cut = java.sql.Timestamp.valueOf("2024-01-24 00:00:00").getTime * 1000L
     val ev = Tables(spark, dir, "events").filter(col("ts").isNotNull)
