@@ -693,7 +693,46 @@ object Audit {
           .otherwise(expr("u_leaked * 10000 div u_holdout")).as("leak_bp"))
       .orderBy("event_type")
 
+  // --------------------------------------------------------------------
+  // numeric_sanitize — the non-finite ingestion gate: classify every
+  // measure as ok / null / nan / inf and emit the sanitized value
+  // (non-finite → NULL). This is the CONTRACT BOUNDARY for the whole
+  // engine's numeric discipline: every decimal-exact aggregate downstream
+  // (dsum, the moment ops, the cents quantizations) assumes finite
+  // doubles — DuckDB hard-errors on CAST('nan' AS DECIMAL) while Spark
+  // yields NULL, so an unsanitized NaN doesn't just skew results, it
+  // makes the two engines DIVERGE STRUCTURALLY. A 100 TB pipeline runs
+  // this gate (or its filter form) at ingestion and the rest of the
+  // engine owes correctness only on its output. The invariant spec
+  // proves the gate on a hand-built NaN/Inf fixture the driver data
+  // cannot contain.
+  //
+  // NaN ordering trap, documented: Spark SQL treats NaN = NaN as TRUE
+  // and sorts NaN above +Inf, DuckDB agrees — but only the isnan()
+  // classification is portable arithmetic; the gate never compares NaN.
+  // --------------------------------------------------------------------
+  private val numericSanitize = Op("numeric_sanitize",
+    """SELECT event_id, value,
+      |  CASE WHEN value IS NULL THEN 'null'
+      |       WHEN isnan(value) THEN 'nan'
+      |       WHEN isinf(value) THEN 'inf'
+      |       ELSE 'ok' END AS verdict,
+      |  CASE WHEN isnan(value) OR isinf(value) THEN NULL
+      |       ELSE value END AS clean_value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val v = col("value")
+    val isInf = v === lit(Double.PositiveInfinity) ||
+      v === lit(Double.NegativeInfinity)
+    t(s, d, "events")
+      .select(col("event_id"), v,
+        when(v.isNull, "null").when(isnan(v), "nan")
+          .when(isInf, "inf").otherwise("ok").as("verdict"),
+        when(isnan(v) || isInf, lit(null).cast("double"))
+          .otherwise(v).as("clean_value"))
+      .orderBy("event_id")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
     profileStats, outlierFilter, gapDetect, anomalyMad, snapshotDiff,
-    skewReport, dqCheck, gapFill, datasetCard, splitTemporal)
+    skewReport, dqCheck, gapFill, datasetCard, splitTemporal, numericSanitize)
 }

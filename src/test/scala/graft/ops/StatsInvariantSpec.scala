@@ -403,6 +403,34 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("numeric_sanitize: the gate classifies a hand-built NaN/Inf fixture the driver data cannot contain") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val rows = java.util.Arrays.asList(
+      Row(1L, ts, 1L, "click", 5.0, "{}"),
+      Row(2L, ts, 1L, "click", Double.NaN, "{}"),
+      Row(3L, ts, 1L, "click", Double.PositiveInfinity, "{}"),
+      Row(4L, ts, 1L, "click", Double.NegativeInfinity, "{}"),
+      Row(5L, ts, 1L, "click", null, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanfix").toString
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("numeric_sanitize")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(r.fieldIndex("verdict")),
+        Option(r.get(r.fieldIndex("clean_value"))))).toMap
+    out(1L) shouldBe (("ok", Some(5.0)))
+    out(2L)._1 shouldBe "nan"
+    out(2L)._2 shouldBe None // non-finite sanitized to NULL
+    out(3L) shouldBe (("inf", None))
+    out(4L) shouldBe (("inf", None))
+    out(5L) shouldBe (("null", None))
+  }
+
   test("split_temporal: the leak count is the true train∩holdout user intersection") {
     val cut = java.sql.Timestamp.valueOf("2024-01-24 00:00:00").getTime * 1000L
     val ev = Tables(spark, dir, "events").filter(col("ts").isNotNull)
