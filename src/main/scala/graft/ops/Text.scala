@@ -832,7 +832,60 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // tokenize_ids — the final pre-training transform: encode every doc as
+  // vocabulary-id sequences (top-256 corpus words by frequency, id =
+  // rank, OOV → 0) with token/OOV counts alongside. This closes the
+  // pipeline chain the other ops prepare: quality → dedup → chunk →
+  // TOKENIZE → pack; what pack_sequences budgets and shard_manifest
+  // ships is exactly this op's output at production vocab size.
+  //
+  // Plan shape: one token-scale count (map-combined) → bounded top-K
+  // vocab (TakeOrderedAndProject; the 256-row rank window is the one
+  // justified tiny global window) broadcast into the token stream → one
+  // doc-keyed aggregate. The id sequence is ORDER-SENSITIVE: Spark has
+  // no ordered collect, so sort_array over (pos, id) structs — the
+  // chunk_merge parity case again, now against DuckDB's
+  // list(... ORDER BY pos).
+  // --------------------------------------------------------------------
+  private val VocabK = 256
+
+  private val tokenizeIds = Op("tokenize_ids",
+    s"""WITH tok AS (
+       |  SELECT doc_id, i AS pos, w[i] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents WHERE text IS NOT NULL),
+       |       unnest(generate_series(1, len(w))) AS t(i)),
+       |vocab AS (
+       |  SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS id
+       |  FROM (SELECT word, count(*) AS n FROM tok
+       |        GROUP BY word ORDER BY n DESC, word LIMIT $VocabK))
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  count(*) FILTER (WHERE v.id IS NULL) AS n_oov,
+       |  list(COALESCE(v.id, 0) ORDER BY pos) AS ids
+       |FROM tok LEFT JOIN vocab v USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = exchange(t(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word"))))
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(VocabK)
+      // 256 bounded rows: the one justified unpartitioned window
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("n").desc, col("word").asc)).cast("long"))
+      .select("word", "id")
+    tok.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("id").isNull, 1)).as("n_oov"),
+        transform(array_sort(collect_list(
+          struct(col("pos"), coalesce(col("id"), lit(0L)).as("id")))),
+          x => x("id")).as("ids"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, langIdEval, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
-    oovRate, corpusGini, featureHash, heavyHitters, bpePairCounts, ngramNovelty)
+    oovRate, corpusGini, featureHash, heavyHitters, bpePairCounts, ngramNovelty,
+    tokenizeIds)
 }

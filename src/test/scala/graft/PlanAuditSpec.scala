@@ -694,6 +694,17 @@ class PlanAuditSpec extends SparkSpec {
     "pcos".r.findAllIn(plan).size should be <= 6
   }
 
+  test("tokenize_ids: the 256-word vocab broadcasts into the token stream; top-K is a heap") {
+    val plan = planOf("tokenize_ids")
+    plan should include("TakeOrderedAndProject") // vocab top-K
+    plan should include("BroadcastHashJoin") // vocab → token stream
+    plan should not include "CartesianProduct"
+    // the vocab rank window runs on 256 bounded rows (justified); the
+    // token stream itself must never pass through a single partition —
+    // its exchanges are the round-robin + the doc-keyed aggregate
+    "SortMergeJoin".r.findAllIn(plan).size shouldBe 0
+  }
+
   test("minhash_eval: the audit rides the shared banded candidates — no all-pairs, no cartesian") {
     val plan = planOf("minhash_eval")
     plan should not include "CartesianProduct"

@@ -403,6 +403,27 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("tokenize_ids: every id sequence recomputes from a scratch vocab build") {
+    val docs = Tables(spark, dir, "documents").collect()
+      .flatMap(r => Option(r.getAs[String]("text"))
+        .map(t => r.getLong(r.fieldIndex("doc_id")) -> t.split(" ", -1)))
+      .sortBy(_._1)
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length }
+    val vocab = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(256)
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+    val got = SparkEntry.queries("tokenize_ids")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getSeq[Long](r.fieldIndex("ids")))).toMap
+    got.keySet shouldBe docs.map(_._1).toSet
+    docs.foreach { case (id, ws) =>
+      val ids = ws.map(w => vocab.getOrElse(w, 0L)).toSeq
+      withClue(s"doc $id: ") {
+        got(id) shouldBe ((ws.length.toLong, ids.count(_ == 0L).toLong, ids))
+      }
+    }
+  }
+
   test("numeric_sanitize: the gate classifies a hand-built NaN/Inf fixture the driver data cannot contain") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
