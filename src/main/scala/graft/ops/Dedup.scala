@@ -391,10 +391,13 @@ object Dedup {
        |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))""".stripMargin
 
-  private val dedupSimhash = Op("dedup_simhash",
+  /** The shared CTE prefix (hashed shingles → simhash → banded
+    * candidates WITH both sketches) — reused by dedup_simhash and its
+    * calibration audit simhash_eval. */
+  private[ops] val simhashBaseSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, list_transform($shingles3Sql, tk -> ${h60Sql("tk")}) AS hs
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |sh AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS sim FROM tok),
        |bands AS (
        |  SELECT doc_id, sim, b, (sim >> (b * $BandBits)) & ${(1 << BandBits) - 1} AS bh
@@ -403,11 +406,33 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sim AS sim_a, b.sim AS sim_b
        |  FROM bands a JOIN bands b
-       |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val dedupSimhash = Op("dedup_simhash",
+    s"""$simhashBaseSql
        |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val docs = exchange(t(s, d, "documents").select("doc_id", "text"))
+    simhashCand(s, d)
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Banded simhash candidates with both sketches ((id_a, id_b, sim_a,
+    * sim_b)) — dedup_simhash's candidate stage, shared with its
+    * calibration audit. */
+  private[ops] def simhashCand(s: SparkSession, d: String): DataFrame = {
+    // text required — the §7.3.9 NULL rule the minhash family already
+    // enforces: Spark's concat_ws collapses a NULL doc's shingles to
+    // [""] (pairing every NULL doc at hamming 0) while DuckDB's NULL
+    // shingle votes every bit to 0; the two engines previously agreed on
+    // the null-null pairs BY LUCK (both gave all NULL docs one shared
+    // sketch) and diverged on null-vs-real pairs the ≤6 gate happened to
+    // hide — simhash_eval's unfiltered candidate report exposed it.
+    val docs = exchange(t(s, d, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text"))
     val sh = simhashed(docs.select(col("doc_id"), shingles3(col("text")).as("sh")))
     val bands = sh.select(col("doc_id"), col("sim"),
         explode(transform(sequence(lit(0), lit(SimBands - 1)),
@@ -425,11 +450,50 @@ object Dedup {
         (shiftright(col("sim_a"), j * BandBits).bitwiseAND((1 << BandBits) - 1) ===
          shiftright(col("sim_b"), j * BandBits).bitwiseAND((1 << BandBits) - 1))
     }.reduce(_ || _)
-    val cand = a.join(b, Seq("b", "bh")).filter(col("id_a") < col("id_b"))
-      .filter(!earlierBand)
-    cand.withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= 6)
-      .select("id_a", "id_b", "hamming")
+    a.join(b, Seq("b", "bh")).filter(col("id_a") < col("id_b"))
+      .filter(!earlierBand) // first-band emission = exactly-once
+      .select("id_a", "id_b", "sim_a", "sim_b")
+  }
+
+  // --------------------------------------------------------------------
+  // simhash_eval — the simhash gate's CALIBRATION audit (minhash_eval's
+  // sibling, completing the pattern: both sketches now ship with their
+  // accuracy measurement): for every banded candidate pair, the hamming
+  // distance the gate thresholds on NEXT TO the exact hashed-shingle
+  // Jaccard it is a proxy for. The dedup gate keeps hamming ≤ 6; this op
+  // shows what Jaccard that actually buys on THIS corpus — the evidence
+  // behind choosing 6. Structural invariant pinned: a shared 15-bit band
+  // forces hamming ≤ 45, always; and the dedup_simhash survivor set is
+  // EXACTLY this op's rows with hamming ≤ 6 (cross-op consistency).
+  //
+  // Scale shape: identical to dedup_simhash (shared candidate stage)
+  // plus the hashed-shingle join-back — the same two narrow keyed
+  // shuffles dedup_minhash's verify pays.
+  // --------------------------------------------------------------------
+  private val simhashEval = Op("simhash_eval",
+    s"""$simhashBaseSql
+       |SELECT c.id_a, c.id_b,
+       |  bit_count(xor(c.sim_a, c.sim_b)) AS hamming,
+       |  len(list_intersect(ta.hs, tb.hs)) * 10000
+       |    // (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs)))
+       |    AS jac_bp
+       |FROM cand c
+       |JOIN tok ta ON ta.doc_id = c.id_a JOIN tok tb ON tb.doc_id = c.id_b
+       |ORDER BY c.id_a, c.id_b""".stripMargin) { (s, d) =>
+    val hsv = exchange(t(s, d, "documents").select(col("doc_id"),
+      array_sort(transform(shingles3(col("text")), tk => h60(tk))).as("hs")))
+    val av = hsv.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
+    val bv = hsv.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
+    simhashCand(s, d)
+      .join(av, "id_a").join(bv, "id_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("hs_a")).cast("long") + size(col("hs_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        expr("inter * 10000 div uni").as("jac_bp"))
       .orderBy("id_a", "id_b")
   }
 
@@ -628,6 +692,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val ops: Seq[Op] = Seq(dedupMinhash, minhashEval, dedupSimhash, dedupNgram,
-    dedupCluster, dedupFuzzy, dedupSubstring, dedupIncremental, decontaminateFuzzy)
+  val ops: Seq[Op] = Seq(dedupMinhash, minhashEval, dedupSimhash, simhashEval,
+    dedupNgram, dedupCluster, dedupFuzzy, dedupSubstring, dedupIncremental,
+    decontaminateFuzzy)
 }

@@ -712,6 +712,13 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "SinglePartition"
   }
 
+  test("simhash_eval: the audit rides the shared banded candidates — no all-pairs, no cartesian") {
+    val plan = planOf("simhash_eval")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "SinglePartition"
+  }
+
   test("chunk_merge: one doc-keyed window + aggregate; the original joins back by key") {
     val plan = planOf("chunk_merge")
     plan should not include "CartesianProduct"

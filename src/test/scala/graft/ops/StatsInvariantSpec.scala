@@ -424,6 +424,24 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("simhash_eval: a shared band bounds hamming at 45 and the dedup gate is exactly the <=6 slice") {
+    val eval = SparkEntry.queries("simhash_eval")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(r.fieldIndex("hamming")),
+        r.getLong(r.fieldIndex("jac_bp"))))
+    eval should not be empty
+    eval.foreach { case (a, b, h, j) =>
+      withClue(s"pair ($a,$b): ") {
+        h should be <= 45L // one shared 15-bit band ⇒ ≥15 equal bits
+        h should be >= 0L
+        j should (be >= 0L and be <= 10000L)
+      }
+    }
+    // cross-op consistency: the shipped dedup gate IS this audit's ≤6 slice
+    val gate = SparkEntry.queries("dedup_simhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    eval.filter(_._3 <= 6).map(t => (t._1, t._2)).toSet shouldBe gate
+  }
+
   test("numeric_sanitize: the gate classifies a hand-built NaN/Inf fixture the driver data cannot contain") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
