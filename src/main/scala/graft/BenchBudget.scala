@@ -113,6 +113,7 @@ object BenchBudget {
     "numeric_sanitize" -> 1.26, // 3 x 0.42 s idle sf0.1
     "tokenize_ids" -> 6.06, // 3 x 2.02 s cold single-op sf0.1
     "simhash_eval" -> 10.34, // 3 x 3.45 s cold single-op sf0.1
+    "dedup_agreement" -> 8.2, // 3 x 2.73 s cold single-op sf0.1
     // 3 x 3.36 s cold single-op sf0.1 (20-probe audit: 100k codegen'd
     // prefilter dots + ~25k interpreted decimal folds; suite-warm runs
     // land well under the cold basis)

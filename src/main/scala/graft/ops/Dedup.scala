@@ -509,7 +509,9 @@ object Dedup {
   // hash identically (so they agree bit-for-bit even on a collision), and
   // the candidate join carries ~8-byte longs instead of shingle strings —
   // the standard shingle-fingerprint formulation.
-  private val dedupNgram = Op("dedup_ngram",
+  /** The ngram-blocking verified pairs (jaccard ≥ 0.3, unordered) —
+    * shared by dedup_ngram and the cross-method agreement audit. */
+  private[ops] val ngramPairsSql: String =
     s"""WITH hs AS (
        |  SELECT doc_id,
        |    list_sort(list_transform($shingles3Sql, s -> ${h60Sql("s")})) AS hs
@@ -526,8 +528,17 @@ object Dedup {
        |       / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) AS DOUBLE) AS jaccard
        |FROM cand
        |WHERE CAST(CAST(len(list_intersect(hs_a, hs_b)) AS DECIMAL(18,9))
-       |       / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) AS DOUBLE) >= 0.3
+       |       / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) AS DOUBLE) >= 0.3"""
+      .stripMargin
+
+  private val dedupNgram = Op("dedup_ngram",
+    s"""$ngramPairsSql
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    ngramPairs(s, d).orderBy("id_a", "id_b")
+  }
+
+  /** Spark twin of [[ngramPairsSql]] (unordered). */
+  private[ops] def ngramPairs(s: SparkSession, d: String): DataFrame = {
     // NOTE (A/B measured on the 10× probe, twice): two alternative shapes
     // LOST here and the plain wide DISTINCT stays. (a) narrow id-pairs +
     // join-back: 14 → 21 s warm at probe, 0.8 → 2.9 s at sf0.1 —
@@ -552,6 +563,42 @@ object Dedup {
     cand.withColumn("jaccard", jac)
       .filter(col("jaccard") >= 0.3)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  // --------------------------------------------------------------------
+  // dedup_agreement — CROSS-METHOD candidate-recall audit: the verified
+  // near-dup pairs (exact Jaccard ≥ 0.5) found by minhash banding vs by
+  // ngram smallest-hash blocking, full-outer joined. Both methods share
+  // the IDENTICAL exact-Jaccard verification (same hashed-shingle
+  // formulation), so every disagreement isolates CANDIDATE-GENERATION
+  // recall — the quantity LSH theory only bounds probabilistically
+  // (4 bands × 2 hashes give ~68% band-collision probability at
+  // j = 0.5, rising to ~99.9% at j = 0.9, so minhash-missed pairs are
+  // EXPECTED near the threshold and this audit shows where). Running
+  // two candidate generators and diffing them is the standard
+  // production recall check when ground truth doesn't exist.
+  //
+  // Scale shape: the two (already scale-shaped) pair pipelines + one
+  // full-outer join on pair keys — pair-volume-sized, not corpus-sized.
+  // --------------------------------------------------------------------
+  private val dedupAgreement = Op("dedup_agreement",
+    s"""SELECT COALESCE(m.id_a, g.id_a) AS id_a,
+       |  COALESCE(m.id_b, g.id_b) AS id_b,
+       |  m.id_a IS NOT NULL AS in_minhash,
+       |  g.id_a IS NOT NULL AS in_ngram
+       |FROM ($minhashPairsSql) m
+       |FULL JOIN (SELECT id_a, id_b FROM ($ngramPairsSql)
+       |           WHERE jaccard >= 0.5) g
+       |  ON m.id_a = g.id_a AND m.id_b = g.id_b
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val m = minhashPairs(s, d).select("id_a", "id_b")
+      .withColumn("in_m", lit(true))
+    val g = ngramPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").withColumn("in_g", lit(true))
+    m.join(g, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("in_m"), lit(false)).as("in_minhash"),
+        coalesce(col("in_g"), lit(false)).as("in_ngram"))
       .orderBy("id_a", "id_b")
   }
 
@@ -693,6 +740,6 @@ object Dedup {
   }
 
   val ops: Seq[Op] = Seq(dedupMinhash, minhashEval, dedupSimhash, simhashEval,
-    dedupNgram, dedupCluster, dedupFuzzy, dedupSubstring, dedupIncremental,
-    decontaminateFuzzy)
+    dedupNgram, dedupAgreement, dedupCluster, dedupFuzzy, dedupSubstring,
+    dedupIncremental, decontaminateFuzzy)
 }

@@ -442,6 +442,25 @@ class StatsInvariantSpec extends SparkSpec {
     eval.filter(_._3 <= 6).map(t => (t._1, t._2)).toSet shouldBe gate
   }
 
+  test("dedup_agreement: the two flag columns are exactly the shipped methods' pair sets") {
+    val rows = SparkEntry.queries("dedup_agreement")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        r.getBoolean(r.fieldIndex("in_minhash")),
+        r.getBoolean(r.fieldIndex("in_ngram"))))
+    rows should not be empty
+    rows.foreach { case (p, m, g) =>
+      withClue(s"pair $p: ") { (m || g) shouldBe true } // no phantom rows
+    }
+    val mGot = rows.filter(_._2).map(_._1).toSet
+    val gGot = rows.filter(_._3).map(_._1).toSet
+    val mShip = SparkEntry.queries("dedup_minhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gShip = SparkEntry.queries("dedup_ngram")(spark, dir).collect()
+      .filter(_.getDouble(2) >= 0.5).map(r => (r.getLong(0), r.getLong(1))).toSet
+    mGot shouldBe mShip // the audit's minhash side IS dedup_minhash's output
+    gGot shouldBe gShip // and its ngram side IS dedup_ngram's >=0.5 slice
+  }
+
   test("numeric_sanitize: the gate classifies a hand-built NaN/Inf fixture the driver data cannot contain") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
