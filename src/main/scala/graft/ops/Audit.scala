@@ -711,23 +711,35 @@ object Audit {
   // and sorts NaN above +Inf, DuckDB agrees — but only the isnan()
   // classification is portable arithmetic; the gate never compares NaN.
   // --------------------------------------------------------------------
+  // Magnitude bound for the 'ok' verdict: |v| ≤ 10^12. This is where the
+  // headroom math downstream starts from — DECIMAL(18,2) cents hold
+  // |v| < 10^16, so a 10^12 gate leaves 4 orders of safety for sums
+  // before any per-key aggregate can overflow the house quantizations
+  // (and ANSI-mode Spark would ERROR on overflow where DuckDB widens to
+  // HUGEINT — a structural divergence, the NaN argument again).
+  private val SanitizeMaxAbs = 1e12
+
   private val numericSanitize = Op("numeric_sanitize",
-    """SELECT event_id, value,
-      |  CASE WHEN value IS NULL THEN 'null'
-      |       WHEN isnan(value) THEN 'nan'
-      |       WHEN isinf(value) THEN 'inf'
-      |       ELSE 'ok' END AS verdict,
-      |  CASE WHEN isnan(value) OR isinf(value) THEN NULL
-      |       ELSE value END AS clean_value
-      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    s"""SELECT event_id, value,
+       |  CASE WHEN value IS NULL THEN 'null'
+       |       WHEN isnan(value) THEN 'nan'
+       |       WHEN isinf(value) THEN 'inf'
+       |       WHEN abs(value) > CAST(${SanitizeMaxAbs.toLong} AS DOUBLE)
+       |         THEN 'big'
+       |       ELSE 'ok' END AS verdict,
+       |  CASE WHEN isnan(value) OR isinf(value)
+       |         OR abs(value) > CAST(${SanitizeMaxAbs.toLong} AS DOUBLE)
+       |       THEN NULL ELSE value END AS clean_value
+       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
     val v = col("value")
     val isInf = v === lit(Double.PositiveInfinity) ||
       v === lit(Double.NegativeInfinity)
+    val isBig = abs(v) > lit(SanitizeMaxAbs)
     t(s, d, "events")
       .select(col("event_id"), v,
         when(v.isNull, "null").when(isnan(v), "nan")
-          .when(isInf, "inf").otherwise("ok").as("verdict"),
-        when(isnan(v) || isInf, lit(null).cast("double"))
+          .when(isInf, "inf").when(isBig, "big").otherwise("ok").as("verdict"),
+        when(isnan(v) || isInf || isBig, lit(null).cast("double"))
           .otherwise(v).as("clean_value"))
       .orderBy("event_id")
   }

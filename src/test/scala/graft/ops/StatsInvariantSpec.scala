@@ -474,7 +474,9 @@ class StatsInvariantSpec extends SparkSpec {
       Row(2L, ts, 1L, "click", Double.NaN, "{}"),
       Row(3L, ts, 1L, "click", Double.PositiveInfinity, "{}"),
       Row(4L, ts, 1L, "click", Double.NegativeInfinity, "{}"),
-      Row(5L, ts, 1L, "click", null, "{}"))
+      Row(5L, ts, 1L, "click", null, "{}"),
+      Row(6L, ts, 1L, "click", 9.9e15, "{}"), // over the 1e12 magnitude gate
+      Row(7L, ts, 1L, "click", -1e12, "{}")) // at the bound: still ok
     val dir = java.nio.file.Files.createTempDirectory("graft_nanfix").toString
     spark.createDataFrame(rows, schema)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -487,6 +489,8 @@ class StatsInvariantSpec extends SparkSpec {
     out(3L) shouldBe (("inf", None))
     out(4L) shouldBe (("inf", None))
     out(5L) shouldBe (("null", None))
+    out(6L) shouldBe (("big", None)) // magnitude gate: decimal headroom
+    out(7L) shouldBe (("ok", Some(-1e12))) // |v| = bound is inside
   }
 
   test("split_temporal: the leak count is the true train∩holdout user intersection") {
