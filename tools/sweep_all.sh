@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Full three-fixture correctness sweep (the per-round gate, one command):
+#   1. driver fixture  (sf0.01)         — the contract compare
+#   2. NULL-heavy      (make_null_fixture.py)  — three-valued logic
+#   3. empty-string    (make_empty_fixture.py) — degenerate string edges
+# Each = graft.Verify dump + DuckDB hash compare. Exits nonzero on any red.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+run() { # run <fixtureDir> <outDir>
+  sbt -batch "runMain graft.Verify $1 $2" >/dev/null
+  python3 tools/check.py "$1" "$2" | tail -1
+}
+
+echo "== driver fixture (sf0.01) =="
+run /root/testdata/sf0.01 /tmp/graft_sweep_sf001
+
+echo "== NULL-heavy fixture =="
+python3 tools/make_null_fixture.py /root/testdata/sf0.01 /tmp/graft_nullfix >/dev/null
+run /tmp/graft_nullfix /tmp/graft_sweep_null
+
+echo "== empty-string fixture =="
+python3 tools/make_empty_fixture.py /root/testdata/sf0.01 /tmp/graft_emptyfix >/dev/null
+run /tmp/graft_emptyfix /tmp/graft_sweep_empty
