@@ -143,13 +143,25 @@ object Text {
        |FROM $langPredSql
        |GROUP BY lang, pred_lang
        |ORDER BY lang, pred_lang""".stripMargin) { (s, d) =>
-    langPredView(t(s, d, "documents"))
-      .groupBy("lang", "pred_lang")
-      .agg(count(lit(1)).as("n"))
-      .select(col("lang"), col("pred_lang"), col("n"),
+    langConfusionView(langConfusionGrid(t(s, d, "documents")))
+  }
+
+  /** The (lang, pred_lang) count grid — lang_id_eval's only doc-scale
+    * pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.langSink]]): cells are ALGEBRAIC counts,
+    * so a stream folds per-batch partials in with a keyed SUM merge and
+    * [[langConfusionView]] reproduces the batch eval at any batch cut —
+    * the classifier-quality monitor recomputed as documents arrive. */
+  private[graft] def langConfusionGrid(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    langPredView(docs).groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+
+  /** Flags + contract ordering over a completed grid (≤|langs|² rows). */
+  private[graft] def langConfusionView(
+      grid: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    grid.select(col("lang"), col("pred_lang"), col("n"),
         (col("lang") <=> col("pred_lang")).as("correct"))
       .orderBy("lang", "pred_lang")
-  }
 
   // --------------------------------------------------------------------
   // quality_score — classic pre-training quality signals: token count,

@@ -509,6 +509,46 @@ object Streams {
   def leakView(state: DataFrame): DataFrame =
     graft.ops.Audit.splitTemporalView(state)
 
+  /** Per-batch (lang, pred_lang) confusion partials for the classifier-
+    * monitor twin — LITERALLY the batch op's grid pass
+    * ([[graft.ops.Text.langConfusionGrid]]), so the monitored classifier
+    * is provably the shipped one. (No timestamps involved — documents
+    * stream without event time.) */
+  private[streaming] def langGrid(batch: DataFrame): DataFrame =
+    graft.ops.Text.langConfusionGrid(batch)
+
+  /** Merge a batch's confusion partials into the (lang, pred_lang, n)
+    * state — counts are algebraic, merge = keyed SUM; state is bounded
+    * by |langs|², never stream volume. Null-safe key equality: NULL
+    * actual-lang docs form their own audited cell. Same exactly-once
+    * caveat as [[topkMergeCounts]]. */
+  def langMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.as("s"); val d = delta.as("d")
+    s.join(d, col("s.lang") <=> col("d.lang")
+        && col("s.pred_lang") <=> col("d.pred_lang"), "full_outer")
+      .select(coalesce(col("d.lang"), col("s.lang")).as("lang"),
+        coalesce(col("d.pred_lang"), col("s.pred_lang")).as("pred_lang"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"))
+  }
+
+  /** foreachBatch fold for the classifier-monitor state (twin of the
+    * batch lang_id_eval op): the heuristic gate's error surface is
+    * recomputed continuously as documents arrive — the standard check
+    * that an upstream corpus shift hasn't degraded a routing
+    * classifier. */
+  def langSink(docs: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(langMerge(readState(), langGrid(batch)))
+    }
+
+  /** Read side of [[langSink]]: flags + ordering over the bounded grid —
+    * LITERALLY the batch op's view
+    * ([[graft.ops.Text.langConfusionView]]). */
+  def langView(state: DataFrame): DataFrame =
+    graft.ops.Text.langConfusionView(state)
+
   /** Per-batch count-min cell partials for the heavy-hitters twin —
     * LITERALLY the batch op's cell pass ([[graft.ops.Text.hhCells]]). */
   private[streaming] def hhCells(batch: DataFrame): DataFrame =

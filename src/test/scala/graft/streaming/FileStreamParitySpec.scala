@@ -858,6 +858,40 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source classifier-monitor sink: confusion-grid fold over hash-split batches equals the batch lang_id_eval") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val staged = stageChunks("docs_lang_stream", chunks)
+    val stateRoot = Files.createTempDirectory("lang_state").toString
+    val stateSchema = StructType.fromDDL(
+      "lang STRING, pred_lang STRING, n BIGINT")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+      .write.parquet(s"$stateRoot/v0")
+    var v = 0
+    def readState(): DataFrame = spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = graft.streaming.Streams.langSink(stream)(readState _)(writeState)
+      .start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally q.stop()
+    v should be >= 3
+    val streamed = graft.streaming.Streams.langView(readState())
+      .collect().map(_.toSeq)
+    val batch = graft.SparkEntry.queries("lang_id_eval")(spark, dir01)
+      .collect().map(_.toSeq)
+    streamed shouldBe batch // ordered compare — the grid AND its ordering
+    streamed should not be empty
+  }
+
   test("file-source heavy-hitters sink: CMS cell + candidate folds over hash-split batches equal the batch heavy_hitters") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.StructType
