@@ -480,8 +480,9 @@ object Dedup {
        |FROM cand c
        |JOIN tok ta ON ta.doc_id = c.id_a JOIN tok tb ON tb.doc_id = c.id_b
        |ORDER BY c.id_a, c.id_b""".stripMargin) { (s, d) =>
-    val hsv = exchange(t(s, d, "documents").select(col("doc_id"),
-      array_sort(transform(shingles3(col("text")), tk => h60(tk))).as("hs")))
+    val hsv = exchange(t(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_sort(transform(shingles3(col("text")), tk => h60(tk))).as("hs")))
     val av = hsv.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
     val bv = hsv.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
     simhashCand(s, d)
@@ -658,14 +659,45 @@ object Dedup {
   private val RunLen = 30
   private val RunStride = 10
 
-  private val dedupSubstring = Op("dedup_substring", {
+  /** The strided 30-char hashed window stream (doc_id, h) — the shipped
+    * candidate stage, SHARED by dedup_substring and its calibration audit
+    * substring_eval (the minhashCand discipline: the audit measures the
+    * index actually deployed, not a reimplementation). */
+  private[ops] def stridedRuns(s: SparkSession, d: String): DataFrame = {
+    val len = length(col("text"))
+    val nWin = floor((len - RunLen) / RunStride).cast("long") + 1
+    exchange(t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(
+        when(len >= RunLen, transform(sequence(lit(0L), nWin - 1),
+          i => h60(col("text").substr((i * RunStride + 1).cast("int"), lit(RunLen)))))
+          .otherwise(array())).as("h"))
+  }
+
+  /** The `g` CTE (strided hashed windows) — substring family shared SQL. */
+  private[ops] val stridedRunsSql: String = {
     val h = h60Sql(s"substr(text, CAST(i AS INTEGER)*$RunStride+1, $RunLen)")
-    s"""WITH g AS (
+    s"""g AS (
        |  SELECT doc_id,
        |    unnest(list_transform(
        |      range(0, greatest((length(text) - $RunLen) // $RunStride + 1, 0)),
        |      i -> $h)) AS h
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+  }
+
+  /** Per-doc duplicated-window counts over the strided run stream —
+    * dedup_substring's verdict stage, shared with substring_eval. */
+  private[ops] def substringPerDoc(runs: DataFrame): DataFrame = {
+    val dup = runs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    runs.join(dup, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_runs"))
+  }
+
+  private val dedupSubstring = Op("dedup_substring",
+    s"""WITH $stridedRunsSql,
        |dup AS (
        |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
        |per_doc AS (
@@ -675,27 +707,141 @@ object Dedup {
        |  COALESCE(p.n_dup_runs, 0) AS n_dup_runs,
        |  COALESCE(p.n_dup_runs, 0) > 0 AS flagged
        |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
-  }) { (s, d) =>
-    val len = length(col("text"))
-    val nWin = floor((len - RunLen) / RunStride).cast("long") + 1
-    val runs = exchange(t(s, d, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(
-        when(len >= RunLen, transform(sequence(lit(0L), nWin - 1),
-          i => h60(col("text").substr((i * RunStride + 1).cast("int"), lit(RunLen)))))
-          .otherwise(array())).as("h"))
-    val dup = runs.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("h")
-    val perDoc = runs.join(dup, "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_runs"))
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     t(s, d, "documents").select("doc_id")
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(substringPerDoc(stridedRuns(s, d)), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_dup_runs"), lit(0L)).as("n_dup_runs"))
       .withColumn("flagged", col("n_dup_runs") > 0)
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // fuzzy_eval — dedup_fuzzy's RECALL audit (the audit-per-approximation
+  // pattern: minhash_eval/simhash_eval for the sketches, this for the
+  // BLOCKING scheme): prefix-blocking can only miss a true match when the
+  // single edit falls inside the first $FuzzyBlockLen chars, and this op
+  // measures how often that actually happens on THIS corpus. Exact leg =
+  // ALL pairs of a deterministic 200-customer sample (bounded by
+  // construction — the ann_recall sampled-audit discipline) scored with
+  // the same levenshtein; each pair ≤ dist 2 is emitted with whether the
+  // SHIPPED blocking key would have caught it (`blocked`) and whether the
+  // shipped gate keeps it (`kept` = blocked ∧ dist ≤ $FuzzyMaxDist).
+  // dist-2 near-band rows are included so the gate's margin is visible.
+  //
+  // Scale shape: the 200-row sample is a broadcast; the pair grid is a
+  // 200×200 bounded broadcast nested loop (the one justified crossJoin
+  // class, pinned in PlanAuditSpec) — never all-pairs on the corpus.
+  // --------------------------------------------------------------------
+  private val FuzzySampleK = 200
+
+  private val fuzzyEval = Op("fuzzy_eval", {
+    val h = h60Sql("concat('fz:', CAST(c_custkey AS VARCHAR))")
+    s"""WITH c AS (SELECT c_custkey, lower(c_name) AS n,
+       |             substr(lower(c_name), 1, $FuzzyBlockLen) AS blk
+       |           FROM customer),
+       |s AS (SELECT c_custkey, n, blk FROM (SELECT c.*, $h AS h FROM c)
+       |      ORDER BY h, c_custkey LIMIT $FuzzySampleK),
+       |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |        CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist,
+       |        a.blk = b.blk AS blocked
+       |      FROM s a JOIN s b ON a.c_custkey < b.c_custkey)
+       |SELECT id_a, id_b, dist, blocked,
+       |  blocked AND dist <= $FuzzyMaxDist AS kept
+       |FROM p WHERE dist <= ${FuzzyMaxDist + 1}
+       |ORDER BY id_a, id_b""".stripMargin
+  }) { (s, d) =>
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), lower(col("c_name")).as("n"))
+      .withColumn("blk", substring(col("n"), 1, FuzzyBlockLen))
+    val samp = c
+      .withColumn("h", h60(concat(lit("fz:"), col("c_custkey").cast("string"))))
+      .orderBy(col("h").asc, col("c_custkey").asc).limit(FuzzySampleK)
+      .drop("h")
+    val a = samp.select(col("c_custkey").as("id_a"), col("n").as("n_a"),
+      col("blk").as("blk_a"))
+    val b = samp.select(col("c_custkey").as("id_b"), col("n").as("n_b"),
+      col("blk").as("blk_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("n_a"), col("n_b")))
+      .filter(col("dist") <= FuzzyMaxDist + 1)
+      .select(col("id_a"), col("id_b"), col("dist"),
+        (col("blk_a") === col("blk_b")).as("blocked"))
+      .withColumn("kept", col("blocked") && col("dist") <= FuzzyMaxDist)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------------
+  // substring_eval — dedup_substring's ALIGNMENT audit: the strided
+  // scheme detects a shared 30-char run only when BOTH docs sample it at
+  // stride-$RunStride-aligned offsets; this op measures the alignment
+  // loss directly. Probe leg = stride-1 windows (the exact published
+  // form) of a deterministic 100-doc sample, joined against the SHIPPED
+  // strided index of the rest of the corpus — a probe hit needs only the
+  // OTHER side aligned, so n_probe ≥ the strided detector's reach on the
+  // sampled docs; the per-doc gap (and any flagged_probe ∧ ¬flagged row)
+  // is exactly what stride trades away.
+  //
+  // Scale shape: the probe side is sample-bounded (100 docs × ~len
+  // windows); the index side is the shipped stage shared verbatim
+  // (stridedRuns); the only new shuffle keys on the fixed-width hash.
+  // --------------------------------------------------------------------
+  private val SubSampleK = 100
+
+  private val substringEval = Op("substring_eval", {
+    val hSel = h60Sql("concat('sub:', CAST(doc_id AS VARCHAR))")
+    val hWin = h60Sql(s"substr(text, CAST(i AS INTEGER)+1, $RunLen)")
+    s"""WITH $stridedRunsSql,
+       |dup AS (
+       |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_dup_runs
+       |  FROM g JOIN dup USING (h) GROUP BY doc_id),
+       |s AS (SELECT doc_id, text FROM
+       |        (SELECT doc_id, text, $hSel AS h
+       |         FROM documents WHERE text IS NOT NULL)
+       |      ORDER BY h, doc_id LIMIT $SubSampleK),
+       |p AS (SELECT doc_id,
+       |        unnest(list_transform(
+       |          range(0, greatest(length(text) - $RunLen + 1, 0)),
+       |          i -> $hWin)) AS h
+       |      FROM s),
+       |hits AS (
+       |  SELECT p.doc_id, count(*) AS n_probe FROM p
+       |  WHERE EXISTS (SELECT 1 FROM g WHERE g.h = p.h AND g.doc_id <> p.doc_id)
+       |  GROUP BY p.doc_id)
+       |SELECT s.doc_id,
+       |  COALESCE(pd.n_dup_runs, 0) AS n_strided,
+       |  COALESCE(hits.n_probe, 0) AS n_probe,
+       |  COALESCE(pd.n_dup_runs, 0) > 0 AS flagged_strided,
+       |  COALESCE(hits.n_probe, 0) > 0 AS flagged_probe
+       |FROM s LEFT JOIN per_doc pd ON pd.doc_id = s.doc_id
+       |       LEFT JOIN hits ON hits.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }) { (s, d) =>
+    val runs = stridedRuns(s, d)
+    val samp = exchange(t(s, d, "documents").filter(col("text").isNotNull)
+      .withColumn("h", h60(concat(lit("sub:"), col("doc_id").cast("string"))))
+      .orderBy(col("h").asc, col("doc_id").asc).limit(SubSampleK)
+      .select("doc_id", "text"))
+    val len = length(col("text"))
+    val probe = samp.select(col("doc_id"), explode(
+        when(len >= RunLen, transform(sequence(lit(0L), (len - RunLen).cast("long")),
+          i => h60(col("text").substr((i + 1).cast("int"), lit(RunLen)))))
+          .otherwise(array())).as("h"))
+    val hits = probe.as("p")
+      .join(runs.as("g"),
+        col("p.h") === col("g.h") && col("g.doc_id") =!= col("p.doc_id"),
+        "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_probe"))
+    samp.select("doc_id")
+      .join(substringPerDoc(runs), Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_runs"), lit(0L)).as("n_strided"),
+        coalesce(col("n_probe"), lit(0L)).as("n_probe"))
+      .withColumn("flagged_strided", col("n_strided") > 0)
+      .withColumn("flagged_probe", col("n_probe") > 0)
       .orderBy("doc_id")
   }
 
@@ -740,6 +886,6 @@ object Dedup {
   }
 
   val ops: Seq[Op] = Seq(dedupMinhash, minhashEval, dedupSimhash, simhashEval,
-    dedupNgram, dedupAgreement, dedupCluster, dedupFuzzy, dedupSubstring,
-    dedupIncremental, decontaminateFuzzy)
+    dedupNgram, dedupAgreement, dedupCluster, dedupFuzzy, fuzzyEval,
+    dedupSubstring, substringEval, dedupIncremental, decontaminateFuzzy)
 }

@@ -638,6 +638,11 @@ object Llm {
     j.groupBy("qid")
       .agg(count(col("ex")).as("n_exact"), count(col("iv")).as("n_ivf"),
         count(when(col("ex").isNotNull && col("iv").isNotNull, 1)).as("n_hit"))
+      // SQL-shape parity: the twin aggregates FROM the exact leg, so a qid
+      // reachable only through IVF rows (possible only on a degenerate
+      // corpus with <=1 non-probe vector) must be suppressed here too —
+      // otherwise it would surface with a NULL recall_bp (0 div 0).
+      .filter(col("n_exact") > 0)
       .select(col("qid"), col("n_exact"), col("n_ivf"), col("n_hit"),
         expr("n_hit * 10000 div n_exact").as("recall_bp"))
       .orderBy("qid")

@@ -857,8 +857,11 @@ object Text {
   // justified tiny global window) broadcast into the token stream → one
   // doc-keyed aggregate. The id sequence is ORDER-SENSITIVE: Spark has
   // no ordered collect, so sort_array over (pos, id) structs — the
-  // chunk_merge parity case again, now against DuckDB's
-  // list(... ORDER BY pos).
+  // chunk_merge parity case again, now against DuckDB's ordered
+  // string_agg. The sequence is emitted as a space-delimited VARCHAR
+  // (not ARRAY<BIGINT>): the contract hasher canonicalizes scalar
+  // columns only, so nested types must be serialized at the contract
+  // boundary (the r8 DECIMAL / r9 HUGEINT / r10 ARRAY family).
   // --------------------------------------------------------------------
   private val VocabK = 256
 
@@ -874,7 +877,7 @@ object Text {
        |        GROUP BY word ORDER BY n DESC, word LIMIT $VocabK))
        |SELECT doc_id, count(*) AS n_tokens,
        |  count(*) FILTER (WHERE v.id IS NULL) AS n_oov,
-       |  list(COALESCE(v.id, 0) ORDER BY pos) AS ids
+       |  string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' ' ORDER BY pos) AS ids
        |FROM tok LEFT JOIN vocab v USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -890,9 +893,9 @@ object Text {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("id").isNull, 1)).as("n_oov"),
-        transform(array_sort(collect_list(
+        array_join(transform(array_sort(collect_list(
           struct(col("pos"), coalesce(col("id"), lit(0L)).as("id")))),
-          x => x("id")).as("ids"))
+          x => x("id").cast("string")), " ").as("ids"))
       .orderBy("doc_id")
   }
 

@@ -307,7 +307,8 @@ class PlanAuditSpec extends SparkSpec {
       "skew_report" -> "1-row corpus-total scalar broadcast over the 25-row top-k",
       "sample_balance" -> "1-row min-class-count cap broadcast over the ranked classes",
       "rare_collapse" -> "1-row corpus-total scalar broadcast over the category grid",
-      "ann_recall" -> "20-row probe-set + 8-row centroid broadcasts against the corpus scan (the audit's probe sample is bounded by construction)")
+      "ann_recall" -> "20-row probe-set + 8-row centroid broadcasts against the corpus scan (the audit's probe sample is bounded by construction)",
+      "fuzzy_eval" -> "200x200 sample-pair grid, both sides LIMIT-bounded by construction (the blocking-recall audit's exact leg)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)

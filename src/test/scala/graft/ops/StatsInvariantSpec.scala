@@ -515,4 +515,51 @@ class StatsInvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("fuzzy_eval: kept == the shipped dedup_fuzzy gate restricted to the sample, and the blocking-miss band is non-empty") {
+    val rows = SparkEntry.queries("fuzzy_eval")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(r.fieldIndex("dist")),
+        r.getBoolean(r.fieldIndex("blocked")), r.getBoolean(r.fieldIndex("kept"))))
+    rows should not be empty
+    rows.foreach { case (p, dist, blocked, kept) =>
+      withClue(s"pair $p: ") {
+        dist should (be >= 0 and be <= 2)
+        kept shouldBe (blocked && dist <= 1)
+        p._1 should be < p._2
+      }
+    }
+    // first-principles sample recompute: the same salted-hash top-200
+    val sample = Tables(spark, dir, "customer")
+      .withColumn("h", graft.ops.Text.h60(
+        concat(lit("fz:"), col("c_custkey").cast("string"))))
+      .orderBy(col("h").asc, col("c_custkey").asc).limit(200)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val shipped = SparkEntry.queries("dedup_fuzzy")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => sample(p._1) && sample(p._2)).toSet
+    rows.filter(_._4).map(_._1).toSet shouldBe shipped
+    // the audit's reason to exist: true matches the prefix block misses
+    // (the edit fell inside the first 16 chars) are observable
+    rows.filter(r => r._2 <= 1 && !r._3) should not be empty
+  }
+
+  test("substring_eval: the stride-1 probe dominates the strided detector (alignment loss is one-sided)") {
+    val rows = SparkEntry.queries("substring_eval")(spark, dir).collect()
+    rows should have size 100
+    rows.foreach { r =>
+      val st = r.getLong(r.fieldIndex("n_strided"))
+      val pr = r.getLong(r.fieldIndex("n_probe"))
+      withClue(s"doc ${r.getLong(0)}: ") {
+        st should be >= 0L
+        // every duplicated strided window of this doc is also one of its
+        // stride-1 windows, and its duplicate lives in ANOTHER doc's
+        // strided index by the >=2-distinct-docs rule — so probe >= strided
+        pr should be >= st
+        if (r.getBoolean(r.fieldIndex("flagged_strided")))
+          r.getBoolean(r.fieldIndex("flagged_probe")) shouldBe true
+      }
+    }
+    // non-vacuous on the driver fixture: the corpus contains duplicated runs
+    rows.count(_.getBoolean(3)) should be > 0
+  }
 }

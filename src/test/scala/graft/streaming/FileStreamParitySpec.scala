@@ -808,6 +808,16 @@ class FileStreamParitySpec extends SparkSpec {
     v should be >= 3
     // mid-stream honesty: after only the train-window batches, nothing is
     // leaked yet — the flags really are computed over the fold, not folded
+    // into it. State versions persist on disk, so replay the audit over
+    // the intermediate cuts: v1 (first train batch) and v2 (both train
+    // batches) must both be leak-free, and the clean→leaked flip happens
+    // only when the holdout batch lands.
+    def leakedAt(version: Int): Long = graft.streaming.Streams.leakView(
+        spark.read.schema(stateSchema).parquet(s"$stateRoot/v$version"))
+      .agg(org.apache.spark.sql.functions.sum("u_leaked")).collect()
+      .head.getLong(0)
+    leakedAt(1) shouldBe 0L
+    leakedAt(2) shouldBe 0L
     val streamed = graft.streaming.Streams.leakView(readState())
       .collect().map(_.toSeq).toSet
     val batch = graft.SparkEntry.queries("split_temporal")(spark, dir01)

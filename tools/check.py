@@ -75,6 +75,21 @@ def main(sf_dir, out_dir, only=()):
                   f"and DuckDB paths; cast to double/bigint/varchar on both sides")
             n_fail += 1
             continue
+        # Nested gate (r10 lesson): a LIST/ARRAY/STRUCT/MAP column in EITHER
+        # schema crashes the driver's pandas hasher (sort_values →
+        # "unhashable type: numpy.ndarray", r10: tokenize_ids). Serialize
+        # sequences to a delimited VARCHAR on both sides (array_join /
+        # ordered string_agg).
+        nested = [(side, n, t)
+                  for side, ts in (("engine", gtypes), ("oracle", wtypes))
+                  for n, t in ts
+                  if any(k in t.upper() for k in ("[]", "LIST", "STRUCT", "MAP("))]
+        if nested:
+            print(f"FAIL {key}: nested-type column(s) {nested} — the driver's "
+                  f"pandas hasher cannot hash LIST/ARRAY/STRUCT/MAP; serialize "
+                  f"to delimited VARCHAR on both sides (r10: tokenize_ids)")
+            n_fail += 1
+            continue
         # Symmetric gate (r9 lesson): DuckDB widens SUM(BIGINT) in windows /
         # groups to HUGEINT (INT128), and the driver hashes that differently
         # from Spark's BIGINT even when values match. A DECIMAL or HUGEINT
