@@ -101,10 +101,17 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     amplify(spark, base, out, facts, copies)
+    // probe-only variants: parameter shapes the contract op can't carry
+    // (the contract pins one vocab size; production runs ~32 k)
+    val probeOnly: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "tokenize_ids_vocab32k" ->
+        ((s, dir) => graft.ops.Text.tokenizeIdsPlan(s, dir, 32768,
+          expandTokens = true)))
     val timings = ops.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, out)
+        try probeOnly.getOrElse(name, SparkEntry.queries(name))(spark, out)
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[probe] $name FAILED: ${e.getMessage}")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -880,12 +880,31 @@ object Text {
        |  string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' ' ORDER BY pos) AS ids
        |FROM tok LEFT JOIN vocab v USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    tokenizeIdsPlan(s, d, VocabK)
+  }
+
+  /** The tokenize plan with the vocab size as a parameter — the contract
+    * op runs it at $VocabK; ScaleProbe runs it at 32 k (the documented
+    * production vocab shape). The synthetic corpus has only ~31 distinct
+    * words, so a large-vocab probe would be vacuous on the fixture's own
+    * tokens — the probe passes `expandTokens = true`, which salts each
+    * word with a deterministic per-occurrence hash bucket (~63 k distinct
+    * tokens), making the 32 k-row vocab build, broadcast join, and OOV
+    * path all bind for real. */
+  private[graft] def tokenizeIdsPlan(s: SparkSession, d: String,
+      vocabK: Int, expandTokens: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val tokens =
+      if (!expandTokens) ws
+      else zip_with(ws, sequence(lit(1), size(ws)),
+        (w, i) => concat(w, lit("#"),
+          pmod(xxhash64(concat(w, lit(":"), i)), lit(2048))))
     val tok = exchange(t(s, d, "documents").filter(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word"))))
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "word"))))
     val vocab = tok.groupBy("word").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("word").asc).limit(VocabK)
-      // 256 bounded rows: the one justified unpartitioned window
+      .orderBy(col("n").desc, col("word").asc).limit(vocabK)
+      // vocabK bounded rows: the one justified unpartitioned window
       .withColumn("id", row_number().over(
         Window.orderBy(col("n").desc, col("word").asc)).cast("long"))
       .select("word", "id")

@@ -319,6 +319,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("fn_try: flat projected scan + total sort only (no join, no window, no aggregate)") {
+    // fn_try's bench time is contract cost (a per-row caught exception on
+    // the always-failing try_cast + a 150 k-row total ORDER BY); this pin
+    // ensures a future regression can't hide behind that explanation —
+    // the plan must stay scan → project → sort, nothing else
+    val plan = planOf("fn_try")
+    plan should include("Sort")
+    Seq("Join", "Window", "HashAggregate", "Expand").foreach { bad =>
+      withClue(s"unexpected $bad: ") { plan should not include bad }
+    }
+    // only the projected columns reach the scan
+    plan should not include "o_comment"
+    plan should not include "o_custkey"
+  }
+
   test("graph_triangles: triangle joins read the checkpointed edge list, not the fact pipeline") {
     // the three renamed-projection join legs defeat ReuseExchange, so
     // without the localCheckpoint the fact-scale pair aggregate would
