@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -131,19 +132,38 @@ object Events {
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val e = t(s, d, "events")
     val cutoff = lit("2024-01-15").cast("timestamp")
-    def partial(df: org.apache.spark.sql.DataFrame) =
-      df.groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).as("dsum"))
     // the slices must PARTITION the table — a bare ts >= cutoff complement
     // would silently drop NULL-ts rows that the full recompute counts
-    val history = partial(e.filter(col("ts") < cutoff))   // materialized rollup
-    val delta = partial(e.filter(col("ts") >= cutoff || col("ts").isNull))
-    history.unionByName(delta)
-      .groupBy("event_type")
-      .agg(sum(col("n")).as("n"), sum(col("dsum")).cast("double").as("sum_value"))
-      .orderBy("event_type")
+    val history = incrPartial(e.filter(col("ts") < cutoff)) // materialized rollup
+    val delta = incrPartial(e.filter(col("ts") >= cutoff || col("ts").isNull))
+    incrView(incrMergeGrids(history, delta))
   }
+
+  /** Per-slice (event_type, n, dsum) partials — agg_incremental's only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.incrSink]]): count + exact decimal sum are
+    * algebraic, so any batch cut folds bit-identically. dsum is carried at
+    * DECIMAL(38,2) so repeated fold/merge rounds keep ONE fixed state
+    * schema (Spark widens sum(DECIMAL) per aggregate; pinning the carrier
+    * at the cap makes the fold idempotent in type as well as value). */
+  private[graft] def incrPartial(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("dsum"))
+
+  /** Merge two partial grids — the delta-processing contract itself. */
+  private[graft] def incrMergeGrids(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        sum(col("dsum")).cast(DecimalType(38, 2)).as("dsum"))
+
+  /** Final contract projection over the merged grid. */
+  private[graft] def incrView(grid: DataFrame): DataFrame =
+    grid.select(col("event_type"), col("n"),
+        col("dsum").cast("double").as("sum_value"))
+      .orderBy("event_type")
 
   // --------------------------------------------------------------------
   // event_funnel — ordered-sequence analysis: how far does each user get
@@ -256,8 +276,21 @@ object Events {
       |FROM uw JOIN co ON uw.user_id = co.user_id
       |GROUP BY cw, datediff('day', cw, w) // 7
       |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
-    val uw = t(s, d, "events").filter(col("ts").isNotNull)
+    retentionView(retentionGrid(t(s, d, "events")))
+  }
+
+  /** The distinct (user_id, week) presence grid — the fact-scale
+    * reduction shared by retention_cohort and its streaming twin
+    * ([[graft.streaming.Streams.retentionSink]]): presence is idempotent
+    * (merge = union ∪ distinct), so any batch cut folds to the same grid;
+    * state is |users × weeks| bounded, never stream volume. */
+  private[graft] def retentionGrid(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull)
       .select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+
+  /** Cohort assignment + per-cell distinct counts over the completed
+    * presence grid (grid-scale work only). */
+  private[graft] def retentionView(uw: DataFrame): DataFrame = {
     val co = uw.groupBy("user_id").agg(min("w").as("cw"))
     uw.join(co, "user_id")
       .select(col("user_id"), col("cw"),
@@ -1002,8 +1035,19 @@ object Events {
       |SELECT act.day, act.dau, COUNT(*) AS wau
       |FROM cover JOIN act ON cover.d = act.day
       |GROUP BY act.day, act.dau ORDER BY act.day""".stripMargin) { (s, d) =>
-    val ud = t(s, d, "events")
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    rauView(rauGrid(t(s, d, "events")))
+  }
+
+  /** The distinct (user_id, day) presence grid — THE fact-scale reduction
+    * of rolling_active_users, shared with the streaming twin
+    * ([[graft.streaming.Streams.rauSink]]): presence merges by union ∪
+    * distinct at any batch cut; state is |users × days| bounded. */
+  private[graft] def rauGrid(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+
+  /** DAU/WAU over the completed presence grid: bounded ×7
+    * cover-explosion of already-deduped rows, never a range self-join. */
+  private[graft] def rauView(ud: DataFrame): DataFrame = {
     val cover = ud
       .select(col("user_id"), explode(expr("sequence(0, 6)")).as("k"), col("day"))
       .select(col("user_id"), date_add(col("day"), col("k")).as("d"))
@@ -1096,19 +1140,37 @@ object Events {
       |  CAST(SUM(rev) OVER (PARTITION BY cw ORDER BY off
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
       |FROM g ORDER BY cohort_week, off""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.types.DecimalType
-    val ev = t(s, d, "events")
-    val fw = ev.groupBy("user_id")
-      .agg(min(date_trunc("week", col("ts"))).as("cw"))
+    ltvView(ltvGrid(t(s, d, "events")))
+  }
+
+  /** The (user_id, week, revenue) decimal grid — cohort_ltv's only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.ltvSink]]). The grid is keyed by the
+    * EVENT's week, not the cohort: a user's first-active week can still
+    * FLIP when an earlier event arrives in a later batch, so cohort
+    * assignment must live in the view (recomputed over the completed
+    * fold), never in the folded state — the split_temporal discipline.
+    * Decimal sums are algebraic; state is |users × weeks| bounded. */
+  private[graft] def ltvGrid(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        date_trunc("week", col("ts")).as("wk"),
+        col("value").cast(DecimalType(18, 2)))
+      .groupBy("user_id", "wk")
+      .agg(sum("value").cast(DecimalType(38, 2)).as("rev"))
+
+  /** Cohort assignment, offsets, and the cumulative LTV curve over the
+    * completed grid (grid-scale work only). */
+  private[graft] def ltvView(grid: DataFrame): DataFrame = {
+    val fw = grid.groupBy("user_id").agg(min(col("wk")).as("cw"))
     val cum = Window.partitionBy("cw").orderBy("off")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.join(fw, "user_id")
+    grid.join(fw, "user_id")
       .select(col("cw"),
-        ((unix_micros(date_trunc("week", col("ts")).cast("timestamp"))
+        ((unix_micros(col("wk").cast("timestamp"))
           - unix_micros(col("cw").cast("timestamp"))) / lit(604800000000L))
           .cast("long").as("off"),
-        col("value").cast(DecimalType(18, 2)).as("v"))
-      .groupBy("cw", "off").agg(sum("v").as("rev"))
+        col("rev"))
+      .groupBy("cw", "off").agg(sum("rev").as("rev"))
       .select(col("cw").as("cohort_week"), col("off"),
         col("rev").cast("double").as("revenue"),
         sum("rev").over(cum).cast("double").as("cum_revenue"))
@@ -1133,15 +1195,29 @@ object Events {
       |  FROM events GROUP BY 1, 2)
       |SELECT dow, hod, n, CAST(n * 10000 // SUM(n) OVER () AS BIGINT) AS share_bp
       |FROM a ORDER BY dow, hod""".stripMargin) { (s, d) =>
-    t(s, d, "events")
+    activityView(activityGrid(t(s, d, "events")))
+  }
+
+  /** The (dow, hod) count grid — activity_profile's only fact-scale pass,
+    * shared with the streaming twin ([[graft.streaming.Streams.activitySink]]):
+    * counts are algebraic, so the stream folds per-batch partials with a
+    * keyed SUM merge and [[activityView]] reproduces the batch op at any
+    * batch cut. ≤169 rows (168 hour-of-week cells + a possible NULL-ts
+    * cell), never stream volume. */
+  private[graft] def activityGrid(events: DataFrame): DataFrame =
+    events
       .groupBy((expr("weekday(ts)") + 1).cast("long").as("dow"),
         hour(col("ts")).cast("long").as("hod"))
       .agg(count(lit(1)).as("n"))
+
+  /** The share computation over the completed grid — a window over the
+    * bounded matrix only. */
+  private[graft] def activityView(grid: DataFrame): DataFrame =
+    grid
       .withColumn("total", sum("n").over(Window.partitionBy()))
       .withColumn("share_bp", expr("n * 10000 div total"))
       .select("dow", "hod", "n", "share_bp")
       .orderBy("dow", "hod")
-  }
 
   // --------------------------------------------------------------------
   // anomaly_seasonal — seasonal-baseline anomaly gate: each calendar

@@ -626,4 +626,133 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("start"),
         col("session_window.end").as("end"), col("n_events"))
+
+  // ------------------------------------------------------------------
+  // Grid-fold twins of the remaining batch event analytics. These merges
+  // use union + re-aggregate rather than the full_outer-join style above:
+  // for decimal sums it is the only form that preserves the batch ops'
+  // NULL semantics exactly (SUM skips NULL partials but yields NULL when
+  // every contribution is NULL — a coalesce-to-0 join merge would turn
+  // an all-NULL cell into 0), and for presence grids the merge is just
+  // idempotent set union. Same exactly-once caveat as topkMergeCounts.
+  // ------------------------------------------------------------------
+
+  /** Merge (dow, hod, n) hour-of-week count partials — twin state of the
+    * batch activity_profile op; ≤169 cells, never stream volume. */
+  def activityMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("dow", "hod")
+      .agg(sum(col("n")).as("n"))
+
+  /** foreachBatch fold for the hour-of-week load matrix (twin of the
+    * batch activity_profile op): the capacity-planning profile is
+    * maintained continuously as traffic arrives. */
+  def activitySink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(activityMerge(readState(),
+        graft.ops.Events.activityGrid(instantTs(batch))))
+    }
+
+  /** Read side of [[activitySink]] — LITERALLY the batch op's view
+    * ([[graft.ops.Events.activityView]]). */
+  def activityView(state: DataFrame): DataFrame =
+    graft.ops.Events.activityView(state)
+
+  /** Merge (event_type, n, dsum) partials — twin state of the batch
+    * agg_incremental op, whose CONTRACT is precisely this merge
+    * (yesterday's rollup + today's delta == the full recompute); the
+    * fold is that contract applied per micro-batch. Delegates to the
+    * batch op's own merge ([[graft.ops.Events.incrMergeGrids]]) so twin
+    * and op cannot drift. */
+  def incrMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    graft.ops.Events.incrMergeGrids(state, delta)
+
+  /** foreachBatch fold for the incremental rollup (twin of the batch
+    * agg_incremental op). */
+  def incrSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(incrMerge(readState(),
+        graft.ops.Events.incrPartial(instantTs(batch))))
+    }
+
+  /** Read side of [[incrSink]] — LITERALLY the batch op's view
+    * ([[graft.ops.Events.incrView]]). */
+  def incrView(state: DataFrame): DataFrame =
+    graft.ops.Events.incrView(state)
+
+  /** Merge (user_id, week) presence partials — twin state of the batch
+    * retention_cohort op. Presence is idempotent (set union), so the
+    * fold also absorbs redelivered rows — stronger than the counting
+    * folds' exactly-once caveat. COHORT ASSIGNMENT IS NOT STATE: a
+    * user's first-active week flips when an earlier event arrives in a
+    * later batch, so it lives in [[retentionView]] over the completed
+    * grid (the split_temporal flags-are-view discipline). */
+  def retentionMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).distinct()
+
+  /** foreachBatch fold for the retention presence grid (twin of the
+    * batch retention_cohort op). */
+  def retentionSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(retentionMerge(readState(),
+        graft.ops.Events.retentionGrid(instantTs(batch))))
+    }
+
+  /** Read side of [[retentionSink]] — LITERALLY the batch op's view
+    * ([[graft.ops.Events.retentionView]]). */
+  def retentionView(state: DataFrame): DataFrame =
+    graft.ops.Events.retentionView(state)
+
+  /** Merge (user_id, day) presence partials — twin state of the batch
+    * rolling_active_users op; idempotent set union like
+    * [[retentionMerge]]. */
+  def rauMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).distinct()
+
+  /** foreachBatch fold for the DAU/WAU presence grid (twin of the batch
+    * rolling_active_users op): engagement dashboards maintain exactly
+    * this user-day grid as events arrive; the ×7 cover explosion and
+    * count run in the view, over already-deduped rows only. */
+  def rauSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(rauMerge(readState(),
+        graft.ops.Events.rauGrid(instantTs(batch))))
+    }
+
+  /** Read side of [[rauSink]] — LITERALLY the batch op's view
+    * ([[graft.ops.Events.rauView]]). */
+  def rauView(state: DataFrame): DataFrame =
+    graft.ops.Events.rauView(state)
+
+  /** Merge (user_id, wk, rev) decimal revenue partials — twin state of
+    * the batch cohort_ltv op: exact decimal sums are algebraic, and the
+    * union form preserves the all-NULL-cell-stays-NULL semantics (see
+    * block comment above). Cohort assignment is view-side, like
+    * [[retentionMerge]]. */
+  def ltvMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("user_id", "wk")
+      .agg(sum(col("rev"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("rev"))
+
+  /** foreachBatch fold for the LTV revenue grid (twin of the batch
+    * cohort_ltv op). */
+  def ltvSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(ltvMerge(readState(),
+        graft.ops.Events.ltvGrid(instantTs(batch))))
+    }
+
+  /** Read side of [[ltvSink]] — LITERALLY the batch op's view
+    * ([[graft.ops.Events.ltvView]]). */
+  def ltvView(state: DataFrame): DataFrame =
+    graft.ops.Events.ltvView(state)
 }

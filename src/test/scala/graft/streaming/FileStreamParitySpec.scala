@@ -46,6 +46,40 @@ class FileStreamParitySpec extends SparkSpec {
     staged
   }
 
+  /** Drive a versioned-state foreachBatch grid fold over staged chunks
+    * (the leak/cusum/lang drive pattern, factored): stages the chunks,
+    * seeds an empty v0 state, folds one micro-batch per file, asserts
+    * every chunk produced a batch and a state version, and returns the
+    * FINAL state read back through the declared schema. */
+  private def runGridFold(prefix: String, schemaSrc: DataFrame,
+      chunks: Seq[DataFrame], stateDdl: String,
+      mkSink: (DataFrame, () => DataFrame, DataFrame => Unit) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+      : DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    val staged = stageChunks(prefix, chunks)
+    val stateRoot = Files.createTempDirectory(s"${prefix}_state").toString
+    val stateSchema = StructType.fromDDL(stateDdl)
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      stateSchema).write.parquet(s"$stateRoot/v0")
+    var v = 0
+    def readState(): DataFrame =
+      spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+    }
+    val stream = spark.readStream.schema(schemaSrc.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = mkSink(stream, readState _, writeState).start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= chunks.length
+    } finally q.stop()
+    v should be >= chunks.length
+    readState()
+  }
+
   test("file-source interval join: micro-batch watermark advance, equals the batch join") {
     import java.nio.file.{Files, Paths}
     val dir01 = "/root/testdata/sf0.01"
@@ -943,6 +977,83 @@ class FileStreamParitySpec extends SparkSpec {
     val batch = graft.SparkEntry.queries("heavy_hitters")(spark, dir01)
       .collect().map(_.toSeq)
     streamed shouldBe batch // ordered compare: the ranking itself is the contract
+    streamed should not be empty
+  }
+
+  test("file-source activity sink: hour-of-week count fold over hash-split batches equals the batch activity_profile") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_activity_stream", ev, chunks,
+      "dow BIGINT, hod BIGINT, n BIGINT",
+      (s, r, w) => graft.streaming.Streams.activitySink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.activityView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("activity_profile")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source incremental sink: rollup fold over hash-split batches equals the batch agg_incremental") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_incr_stream", ev, chunks,
+      "event_type STRING, n BIGINT, dsum DECIMAL(38,2)",
+      (s, r, w) => graft.streaming.Streams.incrSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.incrView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("agg_incremental")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source retention sink: presence-grid fold over hash-split batches equals the batch retention_cohort") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split ON PURPOSE: a user's earliest week can arrive in ANY
+    // batch, so the first-active-week assignment FLIPS mid-stream —
+    // cohorting must be a view over the completed presence grid, never
+    // folded state (the split_temporal flags-are-view discipline)
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_retention_stream", ev, chunks,
+      "user_id BIGINT, w TIMESTAMP",
+      (s, r, w) => graft.streaming.Streams.retentionSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.retentionView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("retention_cohort")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source DAU/WAU sink: user-day presence fold over hash-split batches equals the batch rolling_active_users") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_rau_stream", ev, chunks,
+      "user_id BIGINT, day DATE",
+      (s, r, w) => graft.streaming.Streams.rauSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.rauView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("rolling_active_users")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // redelivery honesty: presence is idempotent, so refolding a chunk
+    // is a no-op (stronger than the counting folds' exactly-once caveat)
+    val refolded = graft.streaming.Streams.rauMerge(state,
+      graft.ops.Events.rauGrid(chunks.head))
+    canon(graft.streaming.Streams.rauView(refolded).collect()) shouldBe streamed
+  }
+
+  test("file-source LTV sink: decimal revenue-grid fold over hash-split batches equals the batch cohort_ltv") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split: cohort weeks flip mid-stream exactly as in the
+    // retention drive; revenue cells are exact decimal sums so batch
+    // composition must wash out bit-for-bit including the cumulative curve
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_ltv_stream", ev, chunks,
+      "user_id BIGINT, wk TIMESTAMP, rev DECIMAL(38,2)",
+      (s, r, w) => graft.streaming.Streams.ltvSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.ltvView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("cohort_ltv")(spark, dir01).collect())
+    streamed shouldBe batch
     streamed should not be empty
   }
 }
