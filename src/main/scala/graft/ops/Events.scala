@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -193,27 +193,78 @@ object Events {
       |       LEFT JOIN c ON u.user_id = c.user_id
       |       LEFT JOIN p ON u.user_id = p.user_id
       |ORDER BY u.user_id""".stripMargin) { (s, d) =>
-    val e = t(s, d, "events").select("user_id", "event_type", "ts")
-    val su = e.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("ts").as("t_signup"))
-    val cl = e.filter(col("event_type") === "click").join(su, "user_id")
-      .filter(col("ts") > col("t_signup"))
-      .groupBy("user_id").agg(min("ts").as("t_click"))
-    val pu = e.filter(col("event_type") === "purchase").join(cl, "user_id")
-      .filter(col("ts") > col("t_click"))
-      .groupBy("user_id").agg(min("ts").as("t_purchase"))
-    e.select("user_id").distinct()
-      .join(su, Seq("user_id"), "left")
-      .join(cl, Seq("user_id"), "left")
-      .join(pu, Seq("user_id"), "left")
+    funnelView(funnelFold(emptyFunnelState(s, "timestamp_ntz"), t(s, d, "events")))
+  }
+
+  /** A genuinely EMPTY relation with the given schema: a zero-row
+    * LocalRelation, which PropagateEmptyRelation folds away — the fold
+    * identities below must vanish from the batch ops' plans entirely
+    * (a `range(0)` would survive optimization and break the ops' pinned
+    * exchange-reuse). */
+  private def emptyDf(s: SparkSession, ddl: String): DataFrame =
+    s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** Empty per-user funnel state (the fold identity). The ts type is a
+    * parameter because the fold is type-generic: the batch op folds the
+    * fixture's TIMESTAMP_NTZ (keeping the contract output type), while
+    * the streaming twin folds instant-typed rows (its state parquet
+    * round-trips as TIMESTAMP) — mixing the two in one union would be a
+    * type error, not a value bug, so each path stays homogeneous. */
+  private[graft] def emptyFunnelState(s: SparkSession,
+      tsType: String = "timestamp"): DataFrame =
+    emptyDf(s, s"user_id BIGINT, t_signup $tsType, " +
+      s"t_click $tsType, t_purchase $tsType")
+
+  /** One funnel fold step — the batch op IS this fold applied once to the
+    * whole log over the empty state, and the streaming twin
+    * ([[graft.streaming.Streams.funnelSink]]) applies it per micro-batch,
+    * so they provably share the semantics. The per-user state is three
+    * timestamps; each step fills the next unfilled stage from the batch's
+    * strictly-later candidates (batch-internal chaining included: a
+    * signup and its click may land in the same batch). EXACT under
+    * per-user event-time-ordered arrival: stage k's first qualifying
+    * event can then never precede an already-folded batch, which is
+    * also trivially true for the whole-log single step. */
+  private[graft] def funnelFold(state: DataFrame, events: DataFrame): DataFrame = {
+    val b = events.select(col("user_id"), col("event_type"), col("ts"))
+    val users = state.select("user_id")
+      .unionByName(b.select("user_id")).distinct()
+    val st = users.join(state, Seq("user_id"), "left")
+    val bsu = b.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("b_su"))
+    val s1 = st.join(bsu, Seq("user_id"), "left")
       .select(col("user_id"),
+        coalesce(col("t_signup"), col("b_su")).as("t_signup"),
+        col("t_click"), col("t_purchase"))
+    val bcl = b.filter(col("event_type") === "click")
+      .join(s1.select("user_id", "t_signup"), "user_id")
+      .filter(col("ts") > col("t_signup"))
+      .groupBy("user_id").agg(min("ts").as("b_cl"))
+    val s2 = s1.join(bcl, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"),
+        coalesce(col("t_click"), col("b_cl")).as("t_click"),
+        col("t_purchase"))
+    val bpu = b.filter(col("event_type") === "purchase")
+      .join(s2.select("user_id", "t_click"), "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("b_pu"))
+    s2.join(bpu, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"),
+        coalesce(col("t_purchase"), col("b_pu")).as("t_purchase"))
+  }
+
+  /** Stage classification over the completed funnel state — shared final
+    * projection of the batch op and the streaming twin. */
+  private[graft] def funnelView(state: DataFrame): DataFrame =
+    state.select(col("user_id"),
         when(col("t_purchase").isNotNull, 3)
           .when(col("t_click").isNotNull, 2)
           .when(col("t_signup").isNotNull, 1)
           .otherwise(0).as("stage"),
         col("t_signup"), col("t_click"), col("t_purchase"))
       .orderBy("user_id")
-  }
 
   // --------------------------------------------------------------------
   // event_pattern — CEP / MATCH_RECOGNIZE shape: a purchase "converts"
@@ -640,18 +691,52 @@ object Events {
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS n_types_seen
       |FROM f ORDER BY event_id""".stripMargin) { (s, d) =>
+    rdFold(emptyRdSeen(s), t(s, d, "events"))._1.orderBy("event_id")
+  }
+
+  /** Empty (user_id, event_type) seen-grid (the fold identity). */
+  private[graft] def emptyRdSeen(s: SparkSession): DataFrame =
+    emptyDf(s, "user_id BIGINT, event_type STRING")
+
+  /** One running-distinct fold step: a batch row is a FIRST occurrence
+    * iff its (user, type) is absent from the carried seen-grid AND it is
+    * the first such row within the batch; its running count = the
+    * carried grid's per-user size + the intra-batch running flag sum.
+    * Returns (emitted rows, new seen-grid). The batch op IS this fold
+    * over the empty grid (the seen-join degenerates, the flag reduces to
+    * the one-window form); the streaming twin
+    * ([[graft.streaming.Streams.rdSink]]) applies it per micro-batch —
+    * EXACT under per-user event-time-ordered arrival. State is one bit
+    * per (user, type), the same formulation that keeps the batch window
+    * from buffering per-frame sets at 100 TB. */
+  private[graft] def rdFold(seen: DataFrame, events: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val b = events.select("event_id", "user_id", "ts", "event_type")
+    val prior = seen.groupBy("user_id").agg(count(lit(1)).as("n_prior"))
     val firstW = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts").asc, col("event_id").asc)
     val runW = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, d, "events")
-      .select("event_id", "user_id", "ts", "event_type")
-      .withColumn("fst", row_number().over(firstW) === 1)
+    // null-safe seen-join: a NULL event_type is its own tracked "type"
+    // on both engines, so it must match its own grid row across batches
+    val sn = seen.select(col("user_id").as("s_uid"),
+      col("event_type").as("s_type"), lit(true).as("__seen"))
+    val out = b.join(sn, col("user_id") <=> col("s_uid")
+          && col("event_type") <=> col("s_type"), "left")
+      .drop("s_uid", "s_type")
+      .withColumn("fst", col("__seen").isNull && row_number().over(firstW) === 1)
+      // null-safe for the same reason: a NULL user is its own partition
+      .join(prior.select(col("user_id").as("p_uid"), col("n_prior")),
+        col("user_id") <=> col("p_uid"), "left")
+      .drop("p_uid")
       .withColumn("n_types_seen",
-        sum(when(col("fst"), 1L).otherwise(0L)).over(runW))
+        coalesce(col("n_prior"), lit(0L))
+          + sum(when(col("fst"), 1L).otherwise(0L)).over(runW))
       .select("event_id", "user_id", "n_types_seen")
-      .orderBy("event_id")
+    val newSeen = seen
+      .unionByName(b.select("user_id", "event_type")).distinct()
+    (out, newSeen)
   }
 
   // --------------------------------------------------------------------
@@ -833,28 +918,53 @@ object Events {
       |  ELSE '4_ge_1h' END AS bucket,
       |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    val arrival = Window.partitionBy("user_id").orderBy("aus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketed = wmProjected(t(s, d, "events"))
+      .withColumn("hwm", max("tus").over(arrival))
+      .withColumn("bucket", wmBucket(wmLateness(col("hwm"), col("tus"))))
+    wmView(wmGrid(bucketed))
+  }
+
+  /** The (user, event, event-time-µs, arrival-µs) projection — the
+    * watermark audit's shared first stage (arrival = event time + a
+    * deterministic salted-hash jitter ≤10 min), used by the batch op and
+    * the streaming twin ([[graft.streaming.Streams.wmSink]]). */
+  private[graft] def wmProjected(events: DataFrame): DataFrame = {
     import graft.ops.Text.h60
     val tus = unix_micros(col("ts").cast("timestamp"))
     val jitterS = h60(concat(lit("jit:"), col("event_id").cast("string"))) % 600
-    val arrival = Window.partitionBy("user_id").orderBy("aus", "event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t(s, d, "events")
-      .select(col("user_id"), col("event_id"), tus.as("tus"),
-        (tus + jitterS * 1000000L).as("aus"))
-      .withColumn("hwm", max("tus").over(arrival))
-      .withColumn("late_us",
-        when(col("hwm").isNull || col("hwm") <= col("tus"), 0L)
-          .otherwise(col("hwm") - col("tus")))
-      .withColumn("bucket",
-        when(col("late_us") === 0, "0_on_time")
-          .when(col("late_us") < 60000000L, "1_lt_1m")
-          .when(col("late_us") < 300000000L, "2_lt_5m")
-          .when(col("late_us") < 3600000000L, "3_lt_1h")
-          .otherwise("4_ge_1h"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
-      .orderBy("bucket")
+    events.select(col("user_id"), col("event_id"), tus.as("tus"),
+      (tus + jitterS * 1000000L).as("aus"))
   }
+
+  /** Lateness of an event given its per-user arrival high-water mark —
+    * shared contract expression (NULL tus propagates to the ≥1h band on
+    * both engines, pinned by the NULL-fixture sweep). */
+  private[graft] def wmLateness(hwm: Column, tus: Column): Column =
+    when(hwm.isNull || hwm <= tus, 0L).otherwise(hwm - tus)
+
+  /** The watermark-delay band of a µs lateness — shared contract. */
+  private[graft] def wmBucket(lateUs: Column): Column =
+    when(lateUs === 0, "0_on_time")
+      .when(lateUs < 60000000L, "1_lt_1m")
+      .when(lateUs < 300000000L, "2_lt_5m")
+      .when(lateUs < 3600000000L, "3_lt_1h")
+      .otherwise("4_ge_1h")
+
+  /** (bucket, user_id, n) partials from per-event bands — the fact-scale
+    * pass; counts are algebraic, so the stream folds them with a keyed
+    * SUM merge. ≤5×|users| rows. */
+  private[graft] def wmGrid(bucketed: DataFrame): DataFrame =
+    bucketed.groupBy("bucket", "user_id").agg(count(lit(1)).as("n"))
+
+  /** Histogram over the completed grid: n = event count, n_users =
+    * distinct non-NULL users (count(col) skips the NULL-user cell —
+    * COUNT(DISTINCT user_id)'s exact semantics on the grid). */
+  private[graft] def wmView(grid: DataFrame): DataFrame =
+    grid.groupBy("bucket")
+      .agg(sum(col("n")).as("n"), count(col("user_id")).as("n_users"))
+      .orderBy("bucket")
 
   // --------------------------------------------------------------------
   // interval_merge — merge overlapping per-user intervals: each event
@@ -989,29 +1099,69 @@ object Events {
          |SELECT event_id, user_id, value,
          |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ema
          |FROM e ORDER BY event_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-      val lagged = (0 to 7).map { j =>
-        if (j == 0) col("cents") else lag("cents", j).over(w)
-      }
-      val num = (0 to 7).map { j =>
-        val wt = 1 << (7 - j)
-        if (j == 0) col("cents") * wt
-        else when(lagged(j).isNull, 0L).otherwise(lagged(j) * wt)
-      }.reduce(_ + _)
-      val den = (0 to 7).map { j =>
-        val wt = (1 << (7 - j)) * 100
-        if (j == 0) lit(wt.toLong)
-        else when(lagged(j).isNull, 0L).otherwise(lit(wt.toLong))
-      }.reduce(_ + _)
-      t(s, d, "events")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .withColumn("num", num)
-        .withColumn("den", den)
-        .select(col("event_id"), col("user_id"), col("value"),
-          (col("num").cast("double") / col("den").cast("double")).as("ema"))
+      emaFold(emptyEmaRing(s, "timestamp_ntz"), t(s, d, "events"))._1
         .orderBy("event_id")
     }
+  }
+
+  /** Empty per-user lag ring (the ema fold identity); ts type as in
+    * [[emptyFunnelState]]. */
+  private[graft] def emptyEmaRing(s: SparkSession,
+      tsType: String = "timestamp"): DataFrame =
+    emptyDf(s, s"event_id BIGINT, user_id BIGINT, ts $tsType, cents BIGINT")
+
+  /** The dyadic num/den EMA expressions over window w — the exact-int64
+    * weight arithmetic, shared by every fold path. */
+  private def emaNumDen(w: org.apache.spark.sql.expressions.WindowSpec)
+      : (Column, Column) = {
+    val lagged = (0 to 7).map { j =>
+      if (j == 0) col("cents") else lag("cents", j).over(w)
+    }
+    val num = (0 to 7).map { j =>
+      val wt = 1 << (7 - j)
+      if (j == 0) col("cents") * wt
+      else when(lagged(j).isNull, 0L).otherwise(lagged(j) * wt)
+    }.reduce(_ + _)
+    val den = (0 to 7).map { j =>
+      val wt = (1 << (7 - j)) * 100
+      if (j == 0) lit(wt.toLong)
+      else when(lagged(j).isNull, 0L).otherwise(lit(wt.toLong))
+    }.reduce(_ + _)
+    (num, den)
+  }
+
+  /** One EMA fold step: union the carried ≤7-row per-user lag ring with
+    * the batch, run the SAME dyadic window expressions, emit EMA rows for
+    * the batch's events only, and carry the new ring (the 7 latest rows
+    * per user — exactly the state a lag-8 window needs). Returns
+    * (emitted rows, new ring). The batch op IS this fold applied once
+    * over the empty ring; the streaming twin
+    * ([[graft.streaming.Streams.emaSink]]) applies it per micro-batch —
+    * EXACT under per-user event-time-ordered arrival. */
+  private[graft] def emaFold(ring: DataFrame, events: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val b = events.select(col("event_id"), col("user_id"), col("ts"),
+      col("value"), round(col("value") * 100).cast("long").as("cents"),
+      lit(true).as("__new"))
+    val r = ring.select(col("event_id"), col("user_id"), col("ts"),
+      lit(null).cast("double").as("value"), col("cents"),
+      lit(false).as("__new"))
+    val all = r.unionByName(b)
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val (num, den) = emaNumDen(w)
+    val out = all.withColumn("num", num).withColumn("den", den)
+      .filter(col("__new"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("num").cast("double") / col("den").cast("double")).as("ema"))
+    // new ring = the 7 latest rows per user in the REVERSED stream order
+    // (ts desc NULLS LAST, id desc — the mirror of the asc-nulls-first
+    // window order, so the carried rows are exactly the global tail)
+    val wLast = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc_nulls_last, col("event_id").desc)
+    val newRing = all.withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") <= 7)
+      .select("event_id", "user_id", "ts", "cents")
+    (out, newRing)
   }
 
   // --------------------------------------------------------------------
@@ -1093,11 +1243,37 @@ object Events {
       |  CASE WHEN total_dur_us = 0 THEN NULL
       |       ELSE CAST(wsum AS DOUBLE) / CAST(total_dur_us AS DOUBLE) / 100 END AS twa
       |FROM g ORDER BY user_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.types.DecimalType
+    val (_, acc) = twaFold(emptyTwaLast(s, "timestamp_ntz"), emptyTwaAcc(s),
+      t(s, d, "events"))
+    twaView(acc)
+  }
+
+  /** Empty per-user last-reading state (the twa fold identity); ts type
+    * as in [[emptyFunnelState]]. */
+  private[graft] def emptyTwaLast(s: SparkSession,
+      tsType: String = "timestamp"): DataFrame =
+    emptyDf(s, s"user_id BIGINT, ts $tsType, event_id BIGINT, cents BIGINT")
+
+  /** Empty per-user (n_intervals, total_dur_us, wsum) accumulator. */
+  private[graft] def emptyTwaAcc(s: SparkSession): DataFrame =
+    emptyDf(s, "user_id BIGINT, n_intervals BIGINT, total_dur_us BIGINT, " +
+      "wsum DECIMAL(38,0)")
+
+  /** One TWA fold step: union the carried last reading per user with the
+    * batch, compute inter-reading durations over the SAME (ts, id)
+    * window, accumulate the algebraic (count, Σdur, Σcents·dur)
+    * partials, and carry each user's latest reading forward (the only
+    * state an interval integral needs). Returns (new last, new acc).
+    * The batch op IS this fold applied once over empty states; the
+    * streaming twin ([[graft.streaming.Streams.twaSink]]) applies it per
+    * micro-batch — EXACT under per-user event-time-ordered arrival. */
+  private[graft] def twaFold(last: DataFrame, acc: DataFrame,
+      events: DataFrame): (DataFrame, DataFrame) = {
+    val b = events.select(col("user_id"), col("ts"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val all = last.select("user_id", "ts", "event_id", "cents").unionByName(b)
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    t(s, d, "events")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
+    val delta = all
       .withColumn("dur",
         unix_micros(lead("ts", 1).over(w).cast("timestamp"))
           - unix_micros(col("ts").cast("timestamp")))
@@ -1105,13 +1281,28 @@ object Events {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_intervals"),
         sum("dur").cast("long").as("total_dur_us"),
-        sum(col("cents").cast(DecimalType(38, 0)) * col("dur")).as("wsum"))
-      .select(col("user_id"), col("n_intervals"), col("total_dur_us"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("dur"))
+          .cast(DecimalType(38, 0)).as("wsum"))
+    val newAcc = acc.unionByName(delta).groupBy("user_id")
+      .agg(sum("n_intervals").as("n_intervals"),
+        sum("total_dur_us").cast("long").as("total_dur_us"),
+        sum("wsum").cast(DecimalType(38, 0)).as("wsum"))
+    val wLast = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc_nulls_last, col("event_id").desc)
+    val newLast = all.withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1).drop("__rn")
+    (newLast, newAcc)
+  }
+
+  /** The TWA contract projection over the completed accumulator (the
+    * zero-total-duration NULL guard included) — shared view. */
+  private[graft] def twaView(acc: DataFrame): DataFrame =
+    acc.select(col("user_id"), col("n_intervals"), col("total_dur_us"),
         when(col("total_dur_us") === 0, lit(null).cast("double"))
-          .otherwise(col("wsum").cast("double") / col("total_dur_us").cast("double") / 100)
+          .otherwise(col("wsum").cast("double")
+            / col("total_dur_us").cast("double") / 100)
           .as("twa"))
       .orderBy("user_id")
-  }
 
   // --------------------------------------------------------------------
   // cohort_ltv — retention_cohort's revenue twin: users grouped by

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming twins of the batch event-time ops in
@@ -755,4 +756,116 @@ object Streams {
     * ([[graft.ops.Events.ltvView]]). */
   def ltvView(state: DataFrame): DataFrame =
     graft.ops.Events.ltvView(state)
+
+  // ------------------------------------------------------------------
+  // Ordered-fold twins: the remaining per-event / chained-stage batch
+  // analytics. Their folds carry bounded per-key state (a 3-timestamp
+  // funnel, one last reading, a ≤7-row lag ring, a presence bit, an
+  // arrival high-water mark) and are EXACT under per-user event-time-
+  // ordered arrival — the Kafka-per-key / watermark-sorted-replay
+  // deployment shape; an out-of-order source would buffer each batch to
+  // its watermark boundary first (the session/ohlc twins' append-mode
+  // discipline). Every fold step is the batch op's own code
+  // (Events.*Fold — the batch op is the same fold applied once), so twin
+  // and op cannot drift.
+  // ------------------------------------------------------------------
+
+  /** foreachBatch fold for the signup→click→purchase funnel (twin of the
+    * batch event_funnel op): per-user stage timestamps advance as events
+    * arrive — the live growth-funnel counter. */
+  def funnelSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(graft.ops.Events.funnelFold(readState(), instantTs(batch)))
+    }
+
+  /** Read side of [[funnelSink]] — LITERALLY the batch op's view
+    * ([[graft.ops.Events.funnelView]]). */
+  def funnelView(state: DataFrame): DataFrame =
+    graft.ops.Events.funnelView(state)
+
+  /** foreachBatch fold for the time-weighted average (twin of the batch
+    * time_weighted_avg op): the gauge integral accumulates as readings
+    * arrive; state is ONE last reading + three algebraic partials per
+    * user. */
+  def twaSink(events: DataFrame)(readLast: () => DataFrame,
+      readAcc: () => DataFrame)(writeLast: DataFrame => Unit,
+      writeAcc: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val (last, acc) =
+        graft.ops.Events.twaFold(readLast(), readAcc(), instantTs(batch))
+      writeAcc(acc)
+      writeLast(last)
+    }
+
+  /** Read side of [[twaSink]] — LITERALLY the batch op's view
+    * ([[graft.ops.Events.twaView]]). */
+  def twaView(acc: DataFrame): DataFrame =
+    graft.ops.Events.twaView(acc)
+
+  /** foreachBatch fold for the dyadic EMA (twin of the batch win_ema
+    * op): per-event output, so the sink appends emitted rows to an
+    * output log next to the ≤7-row per-user lag ring it carries. */
+  def emaSink(events: DataFrame)(readRing: () => DataFrame,
+      readOut: () => DataFrame)(writeRing: DataFrame => Unit,
+      writeOut: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val (out, ring) = graft.ops.Events.emaFold(readRing(), instantTs(batch))
+      writeOut(readOut().unionByName(out))
+      writeRing(ring)
+    }
+
+  /** foreachBatch fold for the running-distinct counter (twin of the
+    * batch win_running_distinct op): per-event output over a one-bit
+    * (user, type) presence grid. */
+  def rdSink(events: DataFrame)(readSeen: () => DataFrame,
+      readOut: () => DataFrame)(writeSeen: DataFrame => Unit,
+      writeOut: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val (out, seen) = graft.ops.Events.rdFold(readSeen(), instantTs(batch))
+      writeOut(readOut().unionByName(out))
+      writeSeen(seen)
+    }
+
+  /** Merge (bucket, user, n) lateness partials — keyed SUM over null-safe
+    * keys (twin state of the batch watermark_audit op). */
+  def wmGridMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("bucket", "user_id")
+      .agg(sum(col("n")).as("n"))
+
+  /** foreachBatch fold for the watermark-sizing audit (twin of the batch
+    * watermark_audit op). A stream receives events in ARRIVAL order by
+    * definition, so this fold needs no ordering precondition at all: the
+    * carried per-user high-water mark + the intra-batch running max
+    * reproduce the batch op's arrival window exactly at any batch cut.
+    * State = one µs mark per user + the ≤5×|users| band grid. */
+  def wmSink(events: DataFrame)(readHwm: () => DataFrame,
+      readGrid: () => DataFrame)(writeHwm: DataFrame => Unit,
+      writeGrid: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import graft.ops.Events
+      val e = Events.wmProjected(instantTs(batch))
+      val intra = Window.partitionBy("user_id").orderBy("aus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val st = readHwm().select(col("user_id").as("h_uid"), col("hwm").as("s_hwm"))
+      val bucketed = e.withColumn("ihwm", max("tus").over(intra))
+        // null-safe: a NULL user is its own arrival-ordered partition
+        .join(st, col("user_id") <=> col("h_uid"), "left")
+        .withColumn("bucket", Events.wmBucket(
+          Events.wmLateness(greatest(col("ihwm"), col("s_hwm")), col("tus"))))
+      writeGrid(wmGridMerge(readGrid(), Events.wmGrid(bucketed)))
+      writeHwm(readHwm()
+        .unionByName(e.groupBy("user_id").agg(max("tus").as("hwm")))
+        .groupBy("user_id").agg(max("hwm").as("hwm")))
+    }
+
+  /** Read side of [[wmSink]] — LITERALLY the batch op's view
+    * ([[graft.ops.Events.wmView]]). */
+  def wmView(grid: DataFrame): DataFrame =
+    graft.ops.Events.wmView(grid)
 }

@@ -414,7 +414,10 @@ class StatsInvariantSpec extends SparkSpec {
       .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
     val got = SparkEntry.queries("tokenize_ids")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
-        r.getSeq[Long](r.fieldIndex("ids")))).toMap
+        // ids is a space-delimited VARCHAR since r11 (the contract hasher
+        // cannot canonicalize nested types) — parse it back for the check
+        r.getString(r.fieldIndex("ids")).split(" ", -1).map(_.toLong).toSeq))
+      .toMap
     got.keySet shouldBe docs.map(_._1).toSet
     docs.foreach { case (id, ws) =>
       val ids = ws.map(w => vocab.getOrElse(w, 0L)).toSeq

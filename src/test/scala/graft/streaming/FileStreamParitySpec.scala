@@ -80,6 +80,58 @@ class FileStreamParitySpec extends SparkSpec {
     readState()
   }
 
+  /** [[runGridFold]] for the dual-state sinks (hhSink-style signatures):
+    * two independently versioned state roots, final (A, B) returned. */
+  private def runDualFold(prefix: String, schemaSrc: DataFrame,
+      chunks: Seq[DataFrame], ddlA: String, ddlB: String,
+      mkSink: (DataFrame, () => DataFrame, () => DataFrame,
+        DataFrame => Unit, DataFrame => Unit) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+      : (DataFrame, DataFrame) = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    val staged = stageChunks(prefix, chunks)
+    def mkState(tag: String, ddl: String) = {
+      val root = Files.createTempDirectory(s"${prefix}_$tag").toString
+      val schema = StructType.fromDDL(ddl)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema).write.parquet(s"$root/v0")
+      (root, schema)
+    }
+    val (rootA, schemaA) = mkState("stateA", ddlA)
+    val (rootB, schemaB) = mkState("stateB", ddlB)
+    var vA = 0; var vB = 0
+    def readA(): DataFrame = spark.read.schema(schemaA).parquet(s"$rootA/v$vA")
+    def readB(): DataFrame = spark.read.schema(schemaB).parquet(s"$rootB/v$vB")
+    def writeA(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$rootA/v${vA + 1}"); vA += 1
+    }
+    def writeB(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$rootB/v${vB + 1}"); vB += 1
+    }
+    val stream = spark.readStream.schema(schemaSrc.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = mkSink(stream, readA _, readB _, writeA, writeB).start()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0) should be >= chunks.length
+    } finally q.stop()
+    vA should be >= chunks.length
+    vB should be >= chunks.length
+    (readA(), readB())
+  }
+
+  /** TIME-split event chunks (NULL-ts rows ride the first batch — they
+    * sort first in every asc-nulls-first batch window, so arrival order
+    * matches the batch ops' global order). */
+  private def timeSplitChunks(ev: DataFrame): Seq[DataFrame] = {
+    val cutA = lit("2024-01-12").cast("timestamp")
+    val cutB = lit("2024-01-24").cast("timestamp")
+    Seq(ev.filter(col("ts") < cutA || col("ts").isNull),
+      ev.filter(col("ts") >= cutA && col("ts") < cutB),
+      ev.filter(col("ts") >= cutB))
+  }
+
   test("file-source interval join: micro-batch watermark advance, equals the batch join") {
     import java.nio.file.{Files, Paths}
     val dir01 = "/root/testdata/sf0.01"
@@ -1055,5 +1107,99 @@ class FileStreamParitySpec extends SparkSpec {
     val batch = canon(graft.SparkEntry.queries("cohort_ltv")(spark, dir01).collect())
     streamed shouldBe batch
     streamed should not be empty
+  }
+
+  test("file-source funnel sink: 3-timestamp stage fold over time-split batches equals the batch event_funnel") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // time-split: stage chaining crosses batch boundaries (a user's
+    // signup lands in batch 1, the qualifying click in batch 2) — the
+    // carried 3-timestamp state must hand the chain across the cut
+    val state = runGridFold("events_funnel_stream", ev, timeSplitChunks(ev),
+      "user_id BIGINT, t_signup TIMESTAMP, t_click TIMESTAMP, t_purchase TIMESTAMP",
+      (s, r, w) => graft.streaming.Streams.funnelSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.funnelView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("event_funnel")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // non-vacuous: the stream actually completed funnels
+    graft.streaming.Streams.funnelView(state)
+      .filter(col("stage") === 3).count() should be > 0L
+  }
+
+  test("file-source TWA sink: last-reading + integral fold over time-split batches equals the batch time_weighted_avg") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // the interval CROSSING each batch cut is the property under test:
+    // its duration is only computable once the next reading arrives, so
+    // it must be accounted by the carried last-reading row
+    val (_, acc) = runDualFold("events_twa_stream", ev, timeSplitChunks(ev),
+      "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, cents BIGINT",
+      "user_id BIGINT, n_intervals BIGINT, total_dur_us BIGINT, wsum DECIMAL(38,0)",
+      (s, rL, rA, wL, wA) => graft.streaming.Streams.twaSink(s)(rL, rA)(wL, wA))
+    val streamed = canon(graft.streaming.Streams.twaView(acc).collect())
+    val batch = canon(graft.SparkEntry.queries("time_weighted_avg")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source EMA sink: 7-row lag-ring fold over time-split batches equals the batch win_ema") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // per-event output: a batch-2 event's 8-lag frame reaches back into
+    // batch 1 — the carried ring must reproduce those lags bit-for-bit
+    val (_, out) = runDualFold("events_ema_stream", ev, timeSplitChunks(ev),
+      "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, cents BIGINT",
+      "event_id BIGINT, user_id BIGINT, value DOUBLE, ema DOUBLE",
+      (s, rR, rO, wR, wO) => graft.streaming.Streams.emaSink(s)(rR, rO)(wR, wO))
+    val streamed = canon(out.collect())
+    val batch = canon(graft.SparkEntry.queries("win_ema")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source running-distinct sink: presence-bit fold over time-split batches equals the batch win_running_distinct") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // a type first seen in batch 1 must NOT re-count when batch 3 replays
+    // it for the same user — the seen-grid carries exactly that bit
+    val (_, out) = runDualFold("events_rd_stream", ev, timeSplitChunks(ev),
+      "user_id BIGINT, event_type STRING",
+      "event_id BIGINT, user_id BIGINT, n_types_seen BIGINT",
+      (s, rS, rO, wS, wO) => graft.streaming.Streams.rdSink(s)(rS, rO)(wS, wO))
+    val streamed = canon(out.collect())
+    val batch = canon(graft.SparkEntry.queries("win_running_distinct")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source watermark-audit sink: hwm + band-grid fold over ARRIVAL-split batches equals the batch watermark_audit") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // arrival-split on the SAME jittered arrival time the op models
+    // (via the shared wmProjected projection): a stream receives events
+    // in arrival order by definition, so this fold has no ordering
+    // precondition — the carried per-user hwm must seed batch 2/3's
+    // lateness exactly where batch 1's window stopped
+    val proj = graft.ops.Events.wmProjected(ev)
+      .select(col("event_id").as("p_eid"), col("aus"))
+    val evA = ev.join(proj, col("event_id") <=> col("p_eid")).cache()
+    val cutA = unix_micros(lit("2024-01-12").cast("timestamp"))
+    val cutB = unix_micros(lit("2024-01-24").cast("timestamp"))
+    def slice(pred: org.apache.spark.sql.Column) =
+      evA.filter(pred).drop("p_eid", "aus")
+    val chunks = Seq(slice(col("aus") < cutA || col("aus").isNull),
+      slice(col("aus") >= cutA && col("aus") < cutB), slice(col("aus") >= cutB))
+    val (_, grid) = runDualFold("events_wm_stream", ev, chunks,
+      "user_id BIGINT, hwm BIGINT",
+      "bucket STRING, user_id BIGINT, n BIGINT",
+      (s, rH, rG, wH, wG) => graft.streaming.Streams.wmSink(s)(rH, rG)(wH, wG))
+    val streamed = canon(graft.streaming.Streams.wmView(grid).collect())
+    val batch = canon(graft.SparkEntry.queries("watermark_audit")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // non-vacuous: late bands exist (the jitter does reorder arrivals)
+    graft.streaming.Streams.wmView(grid)
+      .filter(col("bucket") =!= "0_on_time").count() should be > 0L
   }
 }
