@@ -616,9 +616,23 @@ object Dedup {
   // with Σ block² — pick keys from domain knowledge: name prefix,
   // phonetic code, zip). A hot block is the salting case: split it on a
   // second key (suffix hash) before the self-join.
+  //
+  // DISTANCE UNIT = UTF-8 BYTES (declared contract, found by the r11
+  // unicode fixture): Spark's levenshtein counts code points but
+  // DuckDB's counts bytes, so the family computes distance over a
+  // byte-faithful latin-1 projection of the name — identical to char
+  // distance on ASCII, and strictly conservative on multibyte text (an
+  // accented edit costs ≥2, so the ≤1 gate can only under-merge, never
+  // false-merge). A deployment wanting code-point distance drops the
+  // projection and loses only the DuckDB oracle.
   // --------------------------------------------------------------------
   private val FuzzyBlockLen = 16
   private val FuzzyMaxDist = 1
+
+  /** Byte-faithful projection: each UTF-8 byte becomes one latin-1 char,
+    * so a code-point levenshtein over it IS byte-level distance. */
+  private def asBytes1(c: Column): Column =
+    decode(encode(c, "UTF-8"), "ISO-8859-1")
 
   private val dedupFuzzy = Op("dedup_fuzzy",
     s"""WITH c AS (SELECT c_custkey, lower(c_name) AS n FROM customer),
@@ -639,7 +653,7 @@ object Dedup {
     val b = c.select(col("c_custkey").as("id_b"), col("n").as("n_b"), col("blk"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("n_a"), col("n_b")))
+      .withColumn("dist", levenshtein(asBytes1(col("n_a")), asBytes1(col("n_b"))))
       .filter(col("dist") <= FuzzyMaxDist)
       .select("id_a", "id_b", "dist")
       .orderBy("id_a", "id_b")
@@ -763,7 +777,7 @@ object Dedup {
     val b = samp.select(col("c_custkey").as("id_b"), col("n").as("n_b"),
       col("blk").as("blk_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("n_a"), col("n_b")))
+      .withColumn("dist", levenshtein(asBytes1(col("n_a")), asBytes1(col("n_b"))))
       .filter(col("dist") <= FuzzyMaxDist + 1)
       .select(col("id_a"), col("id_b"), col("dist"),
         (col("blk_a") === col("blk_b")).as("blocked"))

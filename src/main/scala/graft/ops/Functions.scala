@@ -364,12 +364,16 @@ object Functions {
   // Default mask keeps punctuation; the custom form collapses everything.
   // Scan-stage Catalyst expression; the oracle reproduces the class map
   // with regexp_replace chains.
+  // Unicode classes, not [A-Z]: Spark's mask() classifies via
+  // Character.isUpperCase/isLowerCase/isDigit (unicode-aware), so the
+  // oracle chains must use \p{Lu}/\p{Ll}/\p{Nd} or an accented name
+  // escapes the mask on one side only (found by the r11 unicode fixture).
   private val fnMask = Op("fn_mask",
     """SELECT c_custkey,
       |  regexp_replace(regexp_replace(regexp_replace(c_name,
-      |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS name_masked,
+      |    '\p{Lu}', 'X', 'g'), '\p{Ll}', 'x', 'g'), '\p{Nd}', 'n', 'g') AS name_masked,
       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
-      |    '[A-Z]', '*', 'g'), '[a-z]', '*', 'g'), '[0-9]', '#', 'g'),
+      |    '\p{Lu}', '*', 'g'), '\p{Ll}', '*', 'g'), '\p{Nd}', '#', 'g'),
       |    '[^*#]', '-', 'g') AS seg_masked
       |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
     t(s, d, "customer").select(

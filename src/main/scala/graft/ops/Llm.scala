@@ -323,7 +323,7 @@ object Llm {
   // --------------------------------------------------------------------
   private val multimodalCols = Op("multimodal_cols",
     """SELECT d.doc_id, d.lang, d.source,
-      |  octet_length(CAST(d.text AS BLOB)) AS n_bytes,
+      |  octet_length(encode(d.text)) AS n_bytes,
       |  len(e.embedding) AS dim
       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
@@ -667,7 +667,7 @@ object Llm {
          |     AS DOUBLE) / 16777216.0""".stripMargin
     }
     s"""SELECT doc_id, n_bytes, f[1] AS f0, f[2] AS f1, f[3] AS f2, f[4] AS f3 FROM (
-       |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+       |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        |    [${featSqls.mkString(", ")}] AS f
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
@@ -705,7 +705,7 @@ object Llm {
 
   private val multimodalFrames = Op("multimodal_frames",
     s"""WITH f AS (
-       |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n_bytes,
+       |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
        |    (length(text) - 1) // $FrameChars + 1 AS n_frames
        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
        |fr AS (

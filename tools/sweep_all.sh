@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
-# Full three-fixture correctness sweep (the per-round gate, one command):
+# Full four-fixture correctness sweep (the per-round gate, one command):
 #   1. driver fixture  (sf0.01)         — the contract compare
 #   2. NULL-heavy      (make_null_fixture.py)  — three-valued logic
 #   3. empty-string    (make_empty_fixture.py) — degenerate string edges
+#   4. unicode         (make_unicode_fixture.py) — multibyte char-vs-byte
 # Each = graft.Verify dump + DuckDB hash compare. Exits nonzero on any red.
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -22,3 +23,7 @@ run /tmp/graft_nullfix /tmp/graft_sweep_null
 echo "== empty-string fixture =="
 python3 tools/make_empty_fixture.py /root/testdata/sf0.01 /tmp/graft_emptyfix >/dev/null
 run /tmp/graft_emptyfix /tmp/graft_sweep_empty
+
+echo "== multibyte/unicode fixture =="
+python3 tools/make_unicode_fixture.py /root/testdata/sf0.01 /tmp/graft_unifix >/dev/null
+run /tmp/graft_unifix /tmp/graft_sweep_uni
