@@ -46,6 +46,9 @@ object BenchBudget {
     "dedup_simhash" -> 5.40, "dedup_substring" -> 3.14,
     "fuzzy_eval" -> 1.68, // 3 x 0.56 s worst-of-three idle sf0.1 (r11)
     "substring_eval" -> 5.06, // 3 x 1.69 s worst-of-three idle sf0.1 (r11)
+    "tokenizer_fertility" -> 1.17, // 3 x 0.39 s worst-of-three idle sf0.1 (r11)
+    "sample_temperature" -> 0.96, // 3 x 0.32 s worst-of-three idle sf0.1 (r11)
+    "embed_drift" -> 3.45, // 3 x 1.15 s worst-of-three idle sf0.1 (r11)
     "decontaminate_fuzzy" -> 5.96, // 3 x 1.99 s warm (r9 continuation)
     "doc_fingerprint" -> 3.45,
     "dq_check" -> 2.3, "drift_report" -> 1.48, // 3 x 0.49 s idle sf0.1 (r10)

@@ -999,8 +999,91 @@ object Llm {
       .orderBy("qid")
   }
 
+  // --------------------------------------------------------------------
+  // embed_drift — embedding-space drift monitor: per language, the
+  // cosine between the centroid of one deterministic half of the corpus
+  // and the centroid of the other (a self-consistency baseline; in
+  // production the halves are yesterday's batch vs today's, and a
+  // centroid cosine dropping from ~1 flags an upstream embedding-model
+  // or corpus shift that value-histogram monitors like drift_report
+  // can't see). Centroid cosine is scale-invariant, so the mean divides
+  // cancel and the statistic is computed directly on the exact decimal
+  // SUM vectors: per-(lang, half, dim) sums in DECIMAL (the d97
+  // quantization the vector family shares), dot/norms as exact decimal
+  // products over the 64-dim grid, ONE final IEEE divide+sqrt dag on
+  // exactly-agreed aggregates (the ab_ttest statistic-as-contract rule).
+  //
+  // Scale shape: one fact-scale posexplode → map-side-combining sum to a
+  // |langs|×2×64 grid; everything downstream is grid-sized. At 100 TB
+  // the grid is identical — this is the cheapest possible drift probe
+  // over an embedding column.
+  // --------------------------------------------------------------------
+  private val embedDrift = Op("embed_drift", {
+    val h = graft.ops.Text.h60Sql("concat('drift:', CAST(vec_id AS VARCHAR))")
+    s"""WITH hv AS (
+       |  SELECT d.lang, $h % 2 AS half, e.embedding
+       |  FROM $embSql e JOIN documents d ON d.doc_id = e.vec_id),
+       |g AS (
+       |  SELECT lang, half, i AS pos,
+       |    CAST(SUM(${d97("embedding[i]")}) AS DECIMAL(18,7)) AS sv
+       |  FROM hv, (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY 1, 2, 3),
+       |n AS (SELECT lang, half, COUNT(*) AS n FROM hv GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.lang, SUM(a.sv * b.sv) AS dt,
+       |    SUM(a.sv * a.sv) AS na2, SUM(b.sv * b.sv) AS nb2
+       |  FROM g a JOIN g b
+       |    ON a.lang IS NOT DISTINCT FROM b.lang AND a.pos = b.pos
+       |   AND a.half = 0 AND b.half = 1
+       |  GROUP BY 1)
+       |SELECT p.lang, na.n AS n_a, nb.n AS n_b,
+       |  CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
+       |       ELSE CAST(dt AS DOUBLE)
+       |            / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+       |  END AS cos_drift
+       |FROM p
+       |JOIN n na ON na.lang IS NOT DISTINCT FROM p.lang AND na.half = 0
+       |JOIN n nb ON nb.lang IS NOT DISTINCT FROM p.lang AND nb.half = 1
+       |ORDER BY p.lang""".stripMargin
+  }) { (s, d) =>
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+    val hv = vecs(s, d)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .withColumn("half",
+        (graft.ops.Text.h60(concat(lit("drift:"), col("vec_id").cast("string")))
+          % 2).cast("long"))
+      .select("lang", "half", "embedding")
+    val g = hv
+      .select(col("lang"), col("half"),
+        posexplode(dec(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("lang", "half", "pos")
+      .agg(sum("x").cast(DecimalType(18, 7)).as("sv"))
+    val n = hv.groupBy("lang", "half").agg(count(lit(1)).as("n"))
+    val a = g.filter(col("half") === 0)
+      .select(col("lang").as("l_a"), col("pos"), col("sv").as("sa"))
+    val b = g.filter(col("half") === 1)
+      .select(col("lang").as("l_b"), col("pos").as("pos_b"), col("sv").as("sb"))
+    val p = a.join(b, col("l_a") <=> col("l_b") && col("pos") === col("pos_b"))
+      .groupBy(col("l_a").as("lang"))
+      .agg(sum(col("sa") * col("sb")).as("dt"),
+        sum(col("sa") * col("sa")).as("na2"),
+        sum(col("sb") * col("sb")).as("nb2"))
+    val na = n.filter(col("half") === 0)
+      .select(col("lang").as("ln_a"), col("n").as("n_a"))
+    val nb = n.filter(col("half") === 1)
+      .select(col("lang").as("ln_b"), col("n").as("n_b"))
+    p.join(na, col("lang") <=> col("ln_a"))
+      .join(nb, col("lang") <=> col("ln_b"))
+      .select(col("lang"), col("n_a"), col("n_b"),
+        when(col("na2") === 0 || col("nb2") === 0, lit(null).cast("double"))
+          .otherwise(col("dt").cast("double")
+            / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cos_drift"))
+      .orderBy("lang")
+  }
+
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
     dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
     annRecall, multimodalDecode, multimodalFrames, embedNormalize, vecQuantize,
-    searchRrf, knnJoinBucketed, knnClassify)
+    searchRrf, knnJoinBucketed, knnClassify, embedDrift)
 }

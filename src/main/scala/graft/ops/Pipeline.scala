@@ -705,9 +705,53 @@ object Pipeline {
       .orderBy("c_custkey")
   }
 
+  // --------------------------------------------------------------------
+  // sample_temperature — temperature-scaled source mixing (the mC4/XLM-R
+  // multilingual-mixing computation): resampling weights w_i ∝ n_i^α with
+  // α = 1/2, which UPWEIGHTS small sources relative to proportional
+  // sampling so head sources don't drown the tail; the output is the
+  // mixing table a corpus-assembly job executes — per source its weight
+  // and its repeat factor (>10000 bp = upsampled / multiple epochs).
+  //
+  // Determinism: n^α is sqrt — the ONE transcendental that IEEE-754
+  // requires correctly rounded, so sqrt(BIGINT→double) is bit-identical
+  // on both engines; it is immediately quantized (floor(·×10⁶) → BIGINT)
+  // and everything downstream is pure integer arithmetic (the rate_alert
+  // cross-multiplication discipline). ln/exp-based general-α is exactly
+  // what this formulation avoids (the drift_report libm lesson).
+  //
+  // Scale shape: ONE map-side-combining fact aggregate to ≤|sources|
+  // rows; the share window runs over that bounded grid only.
+  // --------------------------------------------------------------------
+  private val sampleTemperature = Op("sample_temperature",
+    """WITH g AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE text IS NOT NULL
+      |  GROUP BY source),
+      |s AS (SELECT *,
+      |        CAST(floor(sqrt(n_tokens) * 1000000) AS BIGINT) AS sq FROM g),
+      |w AS (SELECT *, CAST(sq * 10000 // SUM(sq) OVER () AS BIGINT) AS w_bp,
+      |        SUM(n_tokens) OVER () AS total_tok FROM s)
+      |SELECT source, n_docs, n_tokens, w_bp,
+      |  CAST((total_tok * w_bp // 10000) * 10000 // n_tokens AS BIGINT) AS repeat_bp
+      |FROM w ORDER BY source""".stripMargin) { (s, d) =>
+    t(s, d, "documents").filter(col("text").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text")))).as("n_tokens"))
+      // ≤|sources| rows: the justified tiny unpartitioned window
+      .withColumn("sq", floor(sqrt(col("n_tokens")) * 1e6).cast("long"))
+      .withColumn("w_bp", expr("sq * 10000 div sum(sq) OVER ()"))
+      .withColumn("total_tok", sum("n_tokens").over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_bp"),
+        expr("(total_tok * w_bp div 10000) * 10000 div n_tokens").as("repeat_bp"))
+      .orderBy("source")
+  }
+
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
     interleaveSources, corpusShuffle, sampleHash, featureScale, sampleBalance,
     sampleWeighted, rankNormalize, datasetKfold, rareCollapse, featureWinsorize,
-    chunkMerge)
+    chunkMerge, sampleTemperature)
 }

@@ -918,8 +918,49 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // tokenizer_fertility — the tokenizer-efficiency table every
+  // multilingual training run budgets from: per language, how many
+  // BPE-ish tokens a whitespace word costs (fertility), how many chars a
+  // word carries, and how many UTF-8 bytes a char costs (the multibyte
+  // premium — zh pays ~3×). High fertility = the tokenizer fragments
+  // that language = fewer effective words per context window; this table
+  // is what vocab-size / per-language-budget decisions read. All ratios
+  // in integer basis points over exact per-language sums (no float).
+  //
+  // Scale shape: ONE map-side-combining fact aggregate to ≤|langs| rows;
+  // the ratio arithmetic runs on the bounded grid.
+  // --------------------------------------------------------------------
+  private val tokenizerFertility = Op("tokenizer_fertility",
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(text, '$bpeRe'))) AS BIGINT) AS n_bpe,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws,
+       |  CAST(SUM(len(regexp_extract_all(text, '$bpeRe'))) * 10000
+       |    // SUM(len(string_split(text, ' '))) AS BIGINT) AS fertility_bp,
+       |  CAST(SUM(length(text)) * 10000
+       |    // SUM(len(string_split(text, ' '))) AS BIGINT) AS chars_per_word_bp,
+       |  CAST(SUM(octet_length(encode(text))) * 10000
+       |    // SUM(length(text)) AS BIGINT) AS bytes_per_char_bp
+       |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit(bpeRe), lit(0))))
+          .as("n_bpe"),
+        sum(size(words(col("text")))).as("n_ws"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(expr("octet_length(text)")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_bpe"), col("n_ws"),
+        expr("n_bpe * 10000 div n_ws").as("fertility_bp"),
+        expr("n_chars * 10000 div n_ws").as("chars_per_word_bp"),
+        expr("n_bytes * 10000 div n_chars").as("bytes_per_char_bp"))
+      .orderBy("lang")
+  }
+
   val ops: Seq[Op] = Seq(tokenCount, langId, langIdEval, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
     oovRate, corpusGini, featureHash, heavyHitters, bpePairCounts, ngramNovelty,
-    tokenizeIds)
+    tokenizeIds, tokenizerFertility)
 }

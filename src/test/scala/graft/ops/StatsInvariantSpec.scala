@@ -565,4 +565,81 @@ class StatsInvariantSpec extends SparkSpec {
     // non-vacuous on the driver fixture: the corpus contains duplicated runs
     rows.count(_.getBoolean(3)) should be > 0
   }
+
+  test("tokenizer_fertility: every per-language sum recomputes from scratch") {
+    val bpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]".r
+    val docs = Tables(spark, dir, "documents").collect()
+      .flatMap(r => Option(r.getAs[String]("text"))
+        .filter(_.nonEmpty)
+        .map(t => Option(r.getAs[String]("lang")) -> t))
+    val byLang = docs.groupBy(_._1).map { case (l, xs) =>
+      val ts = xs.map(_._2)
+      val ws = ts.map(_.split(" ", -1).length.toLong).sum
+      val bpe = ts.map(t => bpeRe.findAllIn(t).length.toLong).sum
+      val chars = ts.map(t => t.codePointCount(0, t.length).toLong).sum
+      val bytes = ts.map(_.getBytes("UTF-8").length.toLong).sum
+      l -> ((ts.length.toLong, bpe, ws, bpe * 10000 / ws,
+        chars * 10000 / ws, bytes * 10000 / chars))
+    }
+    val got = SparkEntry.queries("tokenizer_fertility")(spark, dir).collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    got.keySet shouldBe byLang.keySet
+    byLang.foreach { case (l, exp) =>
+      withClue(s"lang $l: ") { got(l) shouldBe exp }
+    }
+  }
+
+  test("sample_temperature: alpha=1/2 weights recompute exactly and upweight the tail") {
+    val rows = SparkEntry.queries("sample_temperature")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("n_tokens")),
+        r.getLong(r.fieldIndex("w_bp")), r.getLong(r.fieldIndex("repeat_bp"))))
+    rows should not be empty
+    // first principles: sq = floor(sqrt(n)*1e6); w = sq*10000 div sum(sq)
+    val sq = rows.map { case (src, n, _, _) =>
+      src -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+    }.toMap
+    val totSq = sq.values.sum
+    val totTok = rows.map(_._2).sum
+    rows.foreach { case (src, n, w, rep) =>
+      withClue(s"source $src: ") {
+        w shouldBe sq(src) * 10000 / totSq
+        rep shouldBe (totTok * w / 10000) * 10000 / n
+      }
+    }
+    // floor division loses at most |sources| bp of mass
+    val wSum = rows.map(_._3).sum
+    wSum should be <= 10000L
+    wSum should be > 10000L - rows.length.toLong
+    // the point of temperature < 1: smaller sources get LARGER repeat
+    // factors (strictly ordered pairs must not invert)
+    for (a <- rows; b <- rows if a._2 < b._2)
+      withClue(s"${a._1} (${a._2} tok) vs ${b._1} (${b._2} tok): ") {
+        a._4 should be >= b._4
+      }
+  }
+
+  test("embed_drift: halves partition each language's vectors and the cosine is Cauchy-Schwarz-bounded") {
+    val rows = SparkEntry.queries("embed_drift")(spark, dir).collect()
+    rows should not be empty
+    // first principles: per-lang vector count (64-dim contract filter)
+    val perLang = Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64)
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val lang = Option(r.getString(0))
+      withClue(s"lang $lang: ") {
+        val (na, nb) = (r.getLong(1), r.getLong(2))
+        na should be > 0L
+        nb should be > 0L
+        (na + nb) shouldBe perLang(lang)
+        // exact-decimal dot/norms => |cos| <= 1 up to one double rounding
+        math.abs(r.getDouble(3)) should be <= 1.0 + 1e-12
+      }
+    }
+  }
 }
