@@ -1046,19 +1046,39 @@ object Llm {
        |JOIN n nb ON nb.lang IS NOT DISTINCT FROM p.lang AND nb.half = 1
        |ORDER BY p.lang""".stripMargin
   }) { (s, d) =>
-    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
-    val hv = vecs(s, d)
+    val hv = driftHalves(vecs(s, d),
+      t(s, d, "documents").select(col("doc_id"), col("lang")))
+    driftView(driftSumGrid(hv), driftCountGrid(hv))
+  }
+
+  /** The (lang, half, embedding) frame: 64-dim-contract vectors enriched
+    * with the document language (stream-static join in the twin) and the
+    * deterministic half assignment — embed_drift's shared first stage. */
+  private[graft] def driftHalves(emb: DataFrame, docs: DataFrame): DataFrame =
+    emb.filter(size(col("embedding")) === Dim)
       .join(docs, col("vec_id") === col("doc_id"))
       .withColumn("half",
         (graft.ops.Text.h60(concat(lit("drift:"), col("vec_id").cast("string")))
           % 2).cast("long"))
       .select("lang", "half", "embedding")
-    val g = hv
-      .select(col("lang"), col("half"),
+
+  /** Per-(lang, half, dim) exact-decimal component sums — the fact-scale
+    * pass; algebraic, so the streaming twin
+    * ([[graft.streaming.Streams.driftVecSink]]) folds per-batch partials
+    * with a keyed SUM merge. |langs|×2×64 rows. */
+  private[graft] def driftSumGrid(hv: DataFrame): DataFrame =
+    hv.select(col("lang"), col("half"),
         posexplode(dec(col("embedding"))).as(Seq("pos", "x")))
       .groupBy("lang", "half", "pos")
       .agg(sum("x").cast(DecimalType(18, 7)).as("sv"))
-    val n = hv.groupBy("lang", "half").agg(count(lit(1)).as("n"))
+
+  /** Per-(lang, half) vector counts — the twin's second algebraic fold. */
+  private[graft] def driftCountGrid(hv: DataFrame): DataFrame =
+    hv.groupBy("lang", "half").agg(count(lit(1)).as("n"))
+
+  /** Centroid cosine per language over the completed grids (grid-scale
+    * decimal products + ONE IEEE divide/sqrt dag). */
+  private[graft] def driftView(g: DataFrame, n: DataFrame): DataFrame = {
     val a = g.filter(col("half") === 0)
       .select(col("lang").as("l_a"), col("pos"), col("sv").as("sa"))
     val b = g.filter(col("half") === 1)

@@ -736,10 +736,25 @@ object Pipeline {
       |SELECT source, n_docs, n_tokens, w_bp,
       |  CAST((total_tok * w_bp // 10000) * 10000 // n_tokens AS BIGINT) AS repeat_bp
       |FROM w ORDER BY source""".stripMargin) { (s, d) =>
-    t(s, d, "documents").filter(col("text").isNotNull)
+    temperatureView(temperatureGrid(t(s, d, "documents")))
+  }
+
+  /** The per-source (docs, tokens) sum grid — sample_temperature's only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.temperatureSink]]): both are algebraic
+    * sums; ≤|sources| rows. */
+  private[graft] def temperatureGrid(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("text").isNotNull)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(words(col("text")))).as("n_tokens"))
+
+  /** The α=1/2 mixing table over the completed grid (sqrt-then-quantize,
+    * then pure integer — see op comment). */
+  private[graft] def temperatureView(grid: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    grid
       // ≤|sources| rows: the justified tiny unpartitioned window
       .withColumn("sq", floor(sqrt(col("n_tokens")) * 1e6).cast("long"))
       .withColumn("w_bp", expr("sq * 10000 div sum(sq) OVER ()"))
@@ -747,7 +762,6 @@ object Pipeline {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("w_bp"),
         expr("(total_tok * w_bp div 10000) * 10000 div n_tokens").as("repeat_bp"))
       .orderBy("source")
-  }
 
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,

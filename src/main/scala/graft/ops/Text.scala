@@ -943,7 +943,16 @@ object Text {
        |    // SUM(length(text)) AS BIGINT) AS bytes_per_char_bp
        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-    t(s, d, "documents")
+    fertilityView(fertilityGrid(t(s, d, "documents")))
+  }
+
+  /** The per-language (docs, bpe, words, chars, bytes) sum grid —
+    * tokenizer_fertility's only fact-scale pass, shared with the
+    * streaming twin ([[graft.streaming.Streams.fertilitySink]]): all five
+    * are algebraic sums, so per-batch partials fold with a keyed SUM
+    * merge; ≤|langs| rows. */
+  private[graft] def fertilityGrid(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -952,12 +961,14 @@ object Text {
         sum(size(words(col("text")))).as("n_ws"),
         sum(length(col("text"))).as("n_chars"),
         sum(expr("octet_length(text)")).as("n_bytes"))
-      .select(col("lang"), col("n_docs"), col("n_bpe"), col("n_ws"),
+
+  /** The fertility ratio table over the completed grid. */
+  private[graft] def fertilityView(grid: DataFrame): DataFrame =
+    grid.select(col("lang"), col("n_docs"), col("n_bpe"), col("n_ws"),
         expr("n_bpe * 10000 div n_ws").as("fertility_bp"),
         expr("n_chars * 10000 div n_ws").as("chars_per_word_bp"),
         expr("n_bytes * 10000 div n_chars").as("bytes_per_char_bp"))
       .orderBy("lang")
-  }
 
   val ops: Seq[Op] = Seq(tokenCount, langId, langIdEval, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,

@@ -868,4 +868,91 @@ object Streams {
     * ([[graft.ops.Events.wmView]]). */
   def wmView(grid: DataFrame): DataFrame =
     graft.ops.Events.wmView(grid)
+
+  // ------------------------------------------------------------------
+  // Grid-fold twins beyond the event family: the corpus-table monitors
+  // (documents / embeddings streams). Same algebraic-fold discipline —
+  // the batch ops' own grid passes and views, shared verbatim.
+  // ------------------------------------------------------------------
+
+  /** Merge per-language fertility sum partials (twin state of the batch
+    * tokenizer_fertility op) — five algebraic sums, keyed SUM merge. */
+  def fertilityMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("lang")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_bpe")).as("n_bpe"),
+        sum(col("n_ws")).as("n_ws"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bytes")).as("n_bytes"))
+
+  /** foreachBatch fold for the tokenizer-efficiency table (twin of the
+    * batch tokenizer_fertility op): the fertility table every
+    * multilingual budget reads stays current as documents arrive. */
+  def fertilitySink(docs: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(fertilityMerge(readState(),
+        graft.ops.Text.fertilityGrid(batch)))
+    }
+
+  /** Read side of [[fertilitySink]] — LITERALLY the batch op's view. */
+  def fertilityView(state: DataFrame): DataFrame =
+    graft.ops.Text.fertilityView(state)
+
+  /** Merge per-source (docs, tokens) partials (twin state of the batch
+    * sample_temperature op). */
+  def temperatureMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+
+  /** foreachBatch fold for the temperature-mixing table (twin of the
+    * batch sample_temperature op): the mixing weights a corpus-assembly
+    * job executes are recomputed continuously as the corpus grows —
+    * which is exactly how production re-balances a live crawl. */
+  def temperatureSink(docs: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(temperatureMerge(readState(),
+        graft.ops.Pipeline.temperatureGrid(batch)))
+    }
+
+  /** Read side of [[temperatureSink]] — LITERALLY the batch op's view
+    * (sqrt-then-quantize runs in the view over the completed sums, so
+    * the fold state stays pure integers). */
+  def temperatureView(state: DataFrame): DataFrame =
+    graft.ops.Pipeline.temperatureView(state)
+
+  /** Merge per-(lang, half, dim) exact-decimal component-sum partials —
+    * twin state of the batch embed_drift op; union + re-aggregate keeps
+    * SUM's NULL algebra (see the grid-fold block comment above). */
+  def driftVecMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("lang", "half", "pos")
+      .agg(sum(col("sv"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 7)).as("sv"))
+
+  /** Merge per-(lang, half) vector-count partials. */
+  def driftCountMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("lang", "half")
+      .agg(sum(col("n")).as("n"))
+
+  /** foreachBatch fold for the embedding-space drift monitor (twin of
+    * the batch embed_drift op): embeddings STREAM in (the live encoder
+    * output) and join the static documents dim for language — the
+    * stream-static enrichment shape — then fold into the bounded
+    * |langs|×2×64 decimal sum grid; the centroid cosine is recomputed
+    * from the completed fold at any cut. */
+  def driftVecSink(emb: DataFrame, docs: DataFrame)(
+      readSums: () => DataFrame, readCounts: () => DataFrame)(
+      writeSums: DataFrame => Unit, writeCounts: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val hv = graft.ops.Llm.driftHalves(batch, docs)
+      writeSums(driftVecMerge(readSums(), graft.ops.Llm.driftSumGrid(hv)))
+      writeCounts(driftCountMerge(readCounts(), graft.ops.Llm.driftCountGrid(hv)))
+    }
+
+  /** Read side of [[driftVecSink]] — LITERALLY the batch op's view. */
+  def driftVecView(sums: DataFrame, counts: DataFrame): DataFrame =
+    graft.ops.Llm.driftView(sums, counts)
 }

@@ -1202,4 +1202,52 @@ class FileStreamParitySpec extends SparkSpec {
     graft.streaming.Streams.wmView(grid)
       .filter(col("bucket") =!= "0_on_time").count() should be > 0L
   }
+
+  test("file-source fertility sink: per-language sum fold over hash-split document batches equals the batch tokenizer_fertility") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val state = runGridFold("docs_fert_stream", docs, chunks,
+      "lang STRING, n_docs BIGINT, n_bpe BIGINT, n_ws BIGINT, n_chars BIGINT, n_bytes BIGINT",
+      (s, r, w) => graft.streaming.Streams.fertilitySink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.fertilityView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("tokenizer_fertility")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source temperature sink: per-source sum fold over hash-split document batches equals the batch sample_temperature") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    // sqrt-then-quantize runs in the VIEW over the completed sums — the
+    // fold state is pure integers, so batch composition washes out exactly
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val state = runGridFold("docs_temp_stream", docs, chunks,
+      "source STRING, n_docs BIGINT, n_tokens BIGINT",
+      (s, r, w) => graft.streaming.Streams.temperatureSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.temperatureView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("sample_temperature")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
+    val dir01 = "/root/testdata/sf0.01"
+    val emb = graft.Tables(spark, dir01, "embeddings").cache()
+    val docs = graft.Tables(spark, dir01, "documents")
+      .select(col("doc_id"), col("lang")).cache()
+    // the stream is the EMBEDDINGS table (the live encoder output);
+    // documents is the static dim side — stream-static enrichment
+    // feeding a decimal grid fold
+    val chunks = (0 until 3).map(i => emb.filter(pmod(col("vec_id"), lit(3)) === i))
+    val (sums, counts) = runDualFold("emb_drift_stream", emb, chunks,
+      "lang STRING, half BIGINT, pos INT, sv DECIMAL(18,7)",
+      "lang STRING, half BIGINT, n BIGINT",
+      (s, rS, rC, wS, wC) =>
+        graft.streaming.Streams.driftVecSink(s, docs)(rS, rC)(wS, wC))
+    val streamed = canon(graft.streaming.Streams.driftVecView(sums, counts).collect())
+    val batch = canon(graft.SparkEntry.queries("embed_drift")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
 }
