@@ -188,11 +188,18 @@ object Stats {
   private val abTtest = Op("ab_ttest", {
     // per-arm exact moments; x is the cents-quantized decimal value
     def m(arm: String, suf: String) =
+      // decimal → double goes through VARCHAR: DuckDB's direct decimal
+      // cast converts the scaled integer to double FIRST and divides by
+      // 10^scale after (two roundings — 1 ulp off beyond 2^53), while the
+      // string parse is correctly rounded, matching Spark's
+      // BigDecimal.doubleValue. Only fires at 1e9-scale values (the
+      // numeric-edge fixture); exact below 2^53 either way.
       s"""count(*) FILTER (WHERE event_type = '$arm') AS n_$suf,
-         |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
-         |         FILTER (WHERE event_type = '$arm') AS DOUBLE) AS sx_$suf,
-         |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
-         |         FILTER (WHERE event_type = '$arm') AS DOUBLE) AS sxx_$suf""".stripMargin
+         |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         |         FILTER (WHERE event_type = '$arm') AS VARCHAR) AS DOUBLE) AS sx_$suf,
+         |    CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(19,2))
+         |             * CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(19,2)))
+         |         FILTER (WHERE event_type = '$arm') AS VARCHAR) AS DOUBLE) AS sxx_$suf""".stripMargin
     def vr(suf: String) =
       s"(sxx_$suf - sx_$suf * sx_$suf / n_$suf) / (n_$suf - 1)"
     s"""WITH mo AS (

@@ -27,3 +27,7 @@ run /tmp/graft_emptyfix /tmp/graft_sweep_empty
 echo "== multibyte/unicode fixture =="
 python3 tools/make_unicode_fixture.py /root/testdata/sf0.01 /tmp/graft_unifix >/dev/null
 run /tmp/graft_unifix /tmp/graft_sweep_uni
+
+echo "== numeric-edge fixture =="
+python3 tools/make_numeric_fixture.py /root/testdata/sf0.01 /tmp/graft_numfix >/dev/null
+run /tmp/graft_numfix /tmp/graft_sweep_num
