@@ -514,6 +514,26 @@ object Llm {
   private val NumAnnProbes = 20
   private val RecallK = 10
 
+  /** The recall audits' shared EXACT leg: per-probe brute-force
+    * top-[[RecallK]] by exact cosine — codegen'd double-cosine prefilter
+    * to top-[[RefineK]] per qid (rank()<=k plans WindowGroupLimit
+    * per-partition heaps), exact decimal rescore on the shortlist only.
+    * `eN` must carry (vec_id, embedding, r7, dn) behind its exchange; `qs`
+    * must broadcast (qid, qv, rq, qn, dqn). Extra columns (an LSH sketch,
+    * an IVF list id) flow through untouched — the audits' candidate legs
+    * filter on them BEFORE scoring, the ground truth never does. */
+  private def exactTopK(s: SparkSession)(eN: DataFrame, qs: DataFrame): DataFrame = {
+    val wPre = Window.partitionBy("qid").orderBy(col("dcos").desc, col("vec_id").asc)
+    val wX = Window.partitionBy("qid").orderBy(col("xcos").desc, col("vec_id").asc)
+    eN.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+      .withColumn("dcos", dot(s)(col("r7"), col("rq")) / (col("dn") * col("dqn")))
+      .withColumn("prn", row_number().over(wPre)).filter(col("prn") <= RefineK)
+      .withColumn("xcos", pairCos(col("embedding"), col("qv"),
+        sqrt(sqNorm(col("embedding"))), col("qn")))
+      .withColumn("xrn", row_number().over(wX)).filter(col("xrn") <= RecallK)
+      .select(col("qid"), col("vec_id"))
+  }
+
   private val annRecall = Op("ann_recall", {
     val h = graft.ops.Text.h60Sql("'probe:' || CAST(vec_id AS VARCHAR)")
     s"""WITH cen AS (
@@ -591,17 +611,8 @@ object Llm {
       .select(col("cid"), col("cv"), sqrt(sqNorm(col("cv"))).as("cn"),
         rounded7(col("cv")).as("rc")))
       .withColumn("dcn", sqrt(dot(s)(col("rc"), col("rc"))))
-    // EXACT leg: double prefilter per qid → decimal rescore of the
-    // shortlist; rank()<=k over qid partitions plans WindowGroupLimit
-    val wPre = Window.partitionBy("qid").orderBy(col("dcos").desc, col("vec_id").asc)
-    val wX = Window.partitionBy("qid").orderBy(col("xcos").desc, col("vec_id").asc)
-    val exactTop = eN.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
-      .withColumn("dcos", dot(s)(col("r7"), col("rq")) / (col("dn") * col("dqn")))
-      .withColumn("prn", row_number().over(wPre)).filter(col("prn") <= RefineK)
-      .withColumn("xcos", pairCos(col("embedding"), col("qv"),
-        sqrt(sqNorm(col("embedding"))), col("qn")))
-      .withColumn("xrn", row_number().over(wX)).filter(col("xrn") <= RecallK)
-      .select(col("qid"), col("vec_id"))
+    // EXACT leg: the shared audit ground truth
+    val exactTop = exactTopK(s)(eN, qs)
     // IVF leg: the sim_search_ivf assignment argmax, verbatim discipline
     val wD = Window.partitionBy("vec_id").orderBy(col("dcos").desc, col("cid").asc)
     val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
@@ -644,6 +655,96 @@ object Llm {
       // otherwise it would surface with a NULL recall_bp (0 div 0).
       .filter(col("n_exact") > 0)
       .select(col("qid"), col("n_exact"), col("n_ivf"), col("n_hit"),
+        expr("n_hit * 10000 div n_exact").as("recall_bp"))
+      .orderBy("qid")
+  }
+
+  // --------------------------------------------------------------------
+  // ann_recall_bucketed — the recall audit for the OTHER shipped ANN path:
+  // recall@10 of the sign-sketch LSH multiprobe rule (sim_search_bucketed's
+  // exact hamming<=1 candidate gate) against the brute-force top-10, over
+  // the SAME 20-probe set as ann_recall — the two audits are directly
+  // comparable per probe, so an index choice (IVF vs LSH) is a table read,
+  // not a judgment call. Same integers-only contract (hit counts, basis
+  // points); the ground-truth leg is exactTopK, shared verbatim with
+  // ann_recall.
+  //
+  // Plan shape: the LSH leg is the exact leg's probes×corpus double-dot
+  // grid with the 1-instruction sketch gate applied BEFORE any scoring —
+  // at 3 sketch bits the gate passes 4/8 buckets (~half the corpus); at
+  // the production m-bit sketch it passes (m+1)/2^m. The audit stays a
+  // probe SAMPLE by construction, like ann_recall.
+  // --------------------------------------------------------------------
+  private val annRecallBucketed = Op("ann_recall_bucketed", {
+    val h = graft.ops.Text.h60Sql("'probe:' || CAST(vec_id AS VARCHAR)")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, ${sketchSql("embedding")} AS sk FROM $embSql),
+       |qs AS (
+       |  SELECT qid, qv, qsk FROM (
+       |    SELECT vec_id AS qid, embedding AS qv, sk AS qsk, $h AS h FROM s)
+       |  ORDER BY h, qid LIMIT $NumAnnProbes),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id, ${cosineSql("e.embedding", "q.qv")} AS cs
+       |    FROM s e, qs q WHERE e.vec_id <> q.qid)
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+       |          <= $RecallK),
+       |lsh AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id, ${cosineSql("e.embedding", "q.qv")} AS cs
+       |    FROM s e, qs q
+       |    WHERE e.vec_id <> q.qid
+       |      AND bit_count(xor(CAST(e.sk AS BIGINT), CAST(q.qsk AS BIGINT))) <= 1)
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+       |          <= $RecallK),
+       |agg AS (
+       |  SELECT x.qid, count(*) AS n_exact, count(l.vec_id) AS n_hit
+       |  FROM exact x LEFT JOIN lsh l ON l.qid = x.qid AND l.vec_id = x.vec_id
+       |  GROUP BY x.qid),
+       |lc AS (SELECT qid, count(*) AS n_lsh FROM lsh GROUP BY qid)
+       |SELECT a.qid, a.n_exact, CAST(COALESCE(lc.n_lsh, 0) AS BIGINT) AS n_lsh,
+       |  a.n_hit, a.n_hit * 10000 // a.n_exact AS recall_bp
+       |FROM agg a LEFT JOIN lc ON lc.qid = a.qid
+       |ORDER BY a.qid""".stripMargin
+  }) { (s, d) =>
+    val e = vecs(s, d)
+    val r7e = rounded7(col("embedding"))
+    val eN = exchange(e.select(col("vec_id"), col("embedding"),
+      r7e.as("r7"), sqrt(dot(s)(r7e, r7e)).as("dn"),
+      sketch(col("embedding")).as("sk")))
+    val qs = broadcast(e
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sketch(col("embedding")).as("qsk"),
+        graft.ops.Text.h60(concat(lit("probe:"), col("vec_id").cast("string")))
+          .as("h"))
+      .orderBy(col("h").asc, col("qid").asc).limit(NumAnnProbes)
+      .drop("h")
+      .select(col("qid"), col("qv"), col("qsk"), rounded7(col("qv")).as("rq"),
+        sqrt(sqNorm(col("qv"))).as("qn")))
+      .withColumn("dqn", sqrt(dot(s)(col("rq"), col("rq"))))
+    val exactTop = exactTopK(s)(eN, qs)
+    // LSH leg: the sketch gate fires BEFORE any scoring — then the exact
+    // legs' identical prefilter/rescore discipline inside the candidates
+    val wPre = Window.partitionBy("qid").orderBy(col("dcos").desc, col("vec_id").asc)
+    val wL = Window.partitionBy("qid").orderBy(col("lcos").desc, col("vec_id").asc)
+    val lshTop = eN.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+      .filter(bit_count(col("sk").cast("long")
+        .bitwiseXOR(col("qsk").cast("long"))) <= 1)
+      .withColumn("dcos", dot(s)(col("r7"), col("rq")) / (col("dn") * col("dqn")))
+      .withColumn("prn", row_number().over(wPre)).filter(col("prn") <= RefineK)
+      .withColumn("lcos", pairCos(col("embedding"), col("qv"),
+        sqrt(sqNorm(col("embedding"))), col("qn")))
+      .withColumn("lrn", row_number().over(wL)).filter(col("lrn") <= RecallK)
+      .select(col("qid"), col("vec_id"))
+    // integer audit: ONE full-outer join feeds every count (the ann_recall
+    // double-reference argument)
+    val j = exactTop.withColumn("ex", lit(1))
+      .join(lshTop.withColumn("lv", lit(1)), Seq("qid", "vec_id"), "full_outer")
+    j.groupBy("qid")
+      .agg(count(col("ex")).as("n_exact"), count(col("lv")).as("n_lsh"),
+        count(when(col("ex").isNotNull && col("lv").isNotNull, 1)).as("n_hit"))
+      .filter(col("n_exact") > 0)
+      .select(col("qid"), col("n_exact"), col("n_lsh"), col("n_hit"),
         expr("n_hit * 10000 div n_exact").as("recall_bp"))
       .orderBy("qid")
   }
@@ -1104,6 +1205,7 @@ object Llm {
 
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
     dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
-    annRecall, multimodalDecode, multimodalFrames, embedNormalize, vecQuantize,
-    searchRrf, knnJoinBucketed, knnClassify, embedDrift)
+    annRecall, annRecallBucketed, multimodalDecode, multimodalFrames,
+    embedNormalize, vecQuantize, searchRrf, knnJoinBucketed, knnClassify,
+    embedDrift)
 }

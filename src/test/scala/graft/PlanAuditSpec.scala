@@ -308,6 +308,7 @@ class PlanAuditSpec extends SparkSpec {
       "sample_balance" -> "1-row min-class-count cap broadcast over the ranked classes",
       "rare_collapse" -> "1-row corpus-total scalar broadcast over the category grid",
       "ann_recall" -> "20-row probe-set + 8-row centroid broadcasts against the corpus scan (the audit's probe sample is bounded by construction)",
+      "ann_recall_bucketed" -> "20-row probe-set broadcast against the corpus scan (the sketch-gated audit's probe sample is bounded by construction)",
       "fuzzy_eval" -> "200x200 sample-pair grid, both sides LIMIT-bounded by construction (the blocking-recall audit's exact leg)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
@@ -708,6 +709,17 @@ class PlanAuditSpec extends SparkSpec {
     // second reference would re-run the whole leg — count the probe-list
     // window, which exists once per IVF-leg evaluation
     "pcos".r.findAllIn(plan).size should be <= 6
+  }
+
+  test("ann_recall_bucketed: probe side broadcasts; sketch gate precedes scoring; per-qid top-k plans WindowGroupLimit heaps") {
+    val plan = planOf("ann_recall_bucketed")
+    plan should not include "CartesianProduct"
+    plan should include("WindowGroupLimit")
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be >= 2 // qs on both legs
+    // the LSH leg's sketch gate is a join-condition/filter on bit_count —
+    // it must appear in the plan (the candidate cut happens BEFORE the
+    // prefilter dots, not after)
+    plan.toLowerCase should include("bit_count")
   }
 
   test("tokenize_ids: the 256-word vocab broadcasts into the token stream; top-K is a heap") {

@@ -323,6 +323,54 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall_bucketed: recall counts recompute from a from-scratch rebuild of the exact and sketch-gated legs") {
+    def dec7(f: Float): BigDecimal =
+      BigDecimal(f.toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    def dot(a: Array[BigDecimal], b: Array[BigDecimal]): BigDecimal =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }
+        .foldLeft(BigDecimal(0))(_ + _)
+    def h60s(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+      .toMap
+    val vecs = raw.map { case (id, v) => id -> v.map(dec7) }
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v).toDouble) }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)).toDouble / (norm(a) * norm(b))
+    // the op's 3-bit sign sketch: 1-based dims (1, 22, 43) = 0-based (0, 21, 42)
+    def sk(id: Long): Int =
+      Seq(0, 21, 42).zipWithIndex.map { case (d, bit) =>
+        if (raw(id)(d) >= 0) 1 << bit else 0
+      }.sum
+    val qids = vecs.keys.toSeq
+      .sortBy(id => (h60s(s"probe:$id"), id)).take(20)
+    val got = SparkEntry.queries("ann_recall_bucketed")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    got.keySet shouldBe qids.toSet
+    qids.foreach { q =>
+      val others = vecs.keys.filter(_ != q).toSeq
+      val exact = others.map(id => (id, cos(id, q)))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val lsh = others
+        .filter(id => Integer.bitCount(sk(id) ^ sk(q)) <= 1)
+        .map(id => (id, cos(id, q)))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      withClue(s"probe $q: ") {
+        got(q) shouldBe ((exact.size.toLong, lsh.size.toLong,
+          (exact intersect lsh).size.toLong,
+          (exact intersect lsh).size.toLong * 10000 / exact.size))
+      }
+    }
+  }
+
   test("chunk_merge: every reassembly is exact and multi-chunk docs are actually exercised") {
     val rows = SparkEntry.queries("chunk_merge")(spark, dir).collect()
     rows should not be empty
