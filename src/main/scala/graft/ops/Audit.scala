@@ -36,6 +36,22 @@ object Audit {
   private val BenchSource = "src0"
   private val DecontN = 5
 
+  /** The decontamination shingle currency — one row per (doc_id, source,
+    * [[DecontN]]-word shingle hash). Shared by decontaminate (the
+    * benchmark-vs-rest probe) and contamination_matrix (the full
+    * source×source overlap table), so the matrix measures exactly the
+    * currency the decontamination gate operates on. NULL-text docs
+    * produce no shingles on either engine (Spark would hash concat_ws's
+    * "" where DuckDB yields NULL — excluding them keeps the engines
+    * symmetric). */
+  private def shingleStage(docs: DataFrame): DataFrame =
+    exchange(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), words(col("text")).as("w")))
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("w")) - (DecontN - 1), lit(1)) - 1),
+          i => h60(concat_ws(" ", slice(col("w"), i + 1, lit(DecontN)))))).as("h"))
+
   private val decontaminate = Op("decontaminate", {
     val shingle = s"array_to_string(list_slice(w, i+1, i+$DecontN), ' ')"
     s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
@@ -53,15 +69,7 @@ object Audit {
        |ORDER BY d.doc_id""".stripMargin
   }) { (s, d) =>
     val docs = t(s, d, "documents")
-    // null-text docs produce no shingles on either engine (Spark would
-    // hash concat_ws's "" where DuckDB yields NULL — excluding them keeps
-    // the engines symmetric; they still appear in the verdict, clean)
-    val sh = exchange(docs.filter(col("text").isNotNull)
-        .select(col("doc_id"), col("source"), words(col("text")).as("w")))
-      .select(col("doc_id"), col("source"),
-        explode(transform(
-          sequence(lit(0), greatest(size(col("w")) - (DecontN - 1), lit(1)) - 1),
-          i => h60(concat_ws(" ", slice(col("w"), i + 1, lit(DecontN)))))).as("h"))
+    val sh = shingleStage(docs)
     val bench = sh.filter(col("source") === BenchSource).select("h").distinct()
     val bad = sh.filter(col("source") =!= BenchSource)
       .join(broadcast(bench), Seq("h"), "left_semi")
@@ -72,6 +80,66 @@ object Audit {
       .select(col("doc_id"), col("source"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // contamination_matrix — decontaminate generalized from one benchmark
+  // source to the full source×source overlap table: for every source
+  // pair, the count of distinct 5-word shingle hashes they share, their
+  // per-source distinct-shingle totals, and the overlap coefficient in
+  // basis points (shared / min(n_a, n_b)). This is the "which sources
+  // leak into which" table a corpus curator reads BEFORE choosing which
+  // source to treat as held-out — decontaminate then enforces the choice.
+  // Shingle stage shared verbatim with decontaminate (shingleStage), so
+  // the matrix measures exactly the gate's currency. Pairs with zero
+  // shared shingles are absent by construction (inner join).
+  //
+  // Scale shape: ONE fact pass into the distinct (source, h) grid
+  // (map-side-combined distinct on a fixed-width hash), then a
+  // self-equi-join on h whose per-key expansion is bounded by the source
+  // enum (≤ |sources|² rows per shingle, |sources| is a catalog, not
+  // data); per-source totals are a grid-sized agg broadcast back over
+  // the ≤ |sources|² result. No all-pairs document comparison anywhere.
+  // --------------------------------------------------------------------
+  private val contaminationMatrix = Op("contamination_matrix", {
+    val shingle = s"array_to_string(list_slice(w, i+1, i+$DecontN), ' ')"
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS w
+       |           FROM documents WHERE text IS NOT NULL),
+       |sh0 AS (SELECT source,
+       |          unnest(list_transform(range(0, greatest(len(w) - ${DecontN - 1}, 1)),
+       |                 i -> ${h60Sql(shingle)})) AS h
+       |        FROM t),
+       |sh AS (SELECT DISTINCT source, h FROM sh0),
+       |n AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b,
+       |        count(*) AS shared_shingles
+       |      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, p.shared_shingles,
+       |  na.n AS n_a, nb.n AS n_b,
+       |  p.shared_shingles * 10000 // least(na.n, nb.n) AS overlap_bp
+       |FROM p
+       |JOIN n na ON na.source = p.source_a
+       |JOIN n nb ON nb.source = p.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  }) { (s, d) =>
+    val sh = shingleStage(t(s, d, "documents"))
+      .select("source", "h").distinct()
+    val n = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("h"), col("source").as("source_a"))
+      .join(sh.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+    pairs
+      .join(broadcast(n.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(n.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_shingles"),
+        col("n_a"), col("n_b"),
+        expr("shared_shingles * 10000 div least(n_a, n_b)").as("overlap_bp"))
+      .orderBy("source_a", "source_b")
   }
 
   // --------------------------------------------------------------------
@@ -744,7 +812,8 @@ object Audit {
       .orderBy("event_id")
   }
 
-  val ops: Seq[Op] = Seq(decontaminate, packSequences, repetitionFilter,
-    profileStats, outlierFilter, gapDetect, anomalyMad, snapshotDiff,
-    skewReport, dqCheck, gapFill, datasetCard, splitTemporal, numericSanitize)
+  val ops: Seq[Op] = Seq(decontaminate, contaminationMatrix, packSequences,
+    repetitionFilter, profileStats, outlierFilter, gapDetect, anomalyMad,
+    snapshotDiff, skewReport, dqCheck, gapFill, datasetCard, splitTemporal,
+    numericSanitize)
 }

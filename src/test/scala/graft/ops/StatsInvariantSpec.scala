@@ -371,6 +371,36 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("contamination_matrix: every cell recomputes from first-principles string shingle sets") {
+    // rebuild with raw STRING shingles (no hashing at all) — agreement
+    // also certifies the shipped 60-bit hash stage collision-free here
+    val docs = Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .filter(_.get(1) != null)
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).map { case (src, rows) =>
+      src -> rows.flatMap { case (_, text) =>
+        val w = text.split(" ", -1)
+        val n = math.max(w.length - 4, 1)
+        (0 until n).map(i => w.slice(i, i + 5).mkString(" "))
+      }.toSet
+    }
+    val got = SparkEntry.queries("contamination_matrix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      shared = (bySource(a) intersect bySource(b)).size if shared > 0
+    } yield (a, b) -> ((shared.toLong, bySource(a).size.toLong,
+      bySource(b).size.toLong,
+      shared.toLong * 10000 / math.min(bySource(a).size, bySource(b).size)))).toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (k, v) =>
+      withClue(s"pair $k: ") { got(k) shouldBe v }
+    }
+    got should not be empty // the overlap table is non-vacuous on the fixture
+  }
+
   test("chunk_merge: every reassembly is exact and multi-chunk docs are actually exercised") {
     val rows = SparkEntry.queries("chunk_merge")(spark, dir).collect()
     rows should not be empty
