@@ -762,6 +762,100 @@ object Audit {
       .orderBy("event_type")
 
   // --------------------------------------------------------------------
+  // benford_audit — first-significant-digit distribution of the ledger
+  // values vs Benford's law, per event type: the classic fabricated-data /
+  // unit-mix-up screen on any financial column. Runs on the house
+  // cents-quantized value (DECIMAL(18,2)·100 → BIGINT), so digit
+  // extraction is INTEGER-to-string — no float-formatting fork between
+  // engines; zero-cent values carry no leading significant digit and are
+  // excluded (declared). Expected shares are the 9 Benford constants
+  // round(10⁴·log₁₀(1+1/d)) hardcoded identically on both sides (they sum
+  // to exactly 10000). χ²₈ per type via the drift_report discipline: each
+  // of the 9 terms is a fixed scalar IEEE tree over exactly-agreed
+  // integers, quantized to DECIMAL(28,9), then summed EXACTLY (the 9-term
+  // float sum would be partial-order-dependent); skewed flags the 95%
+  // χ²₈ critical value. Digits with zero observations still contribute
+  // ((0−e)²/e) via the type×digit scaffold.
+  //
+  // Scale shape: ONE fact pass into the (type, digit) grid (≤ 9·|types|
+  // rows, map-side combine); scaffold, totals, and χ² are all grid-sized
+  // windows. Overflow bound: |10⁴·o − n·e| stays in BIGINT to n ≈ 9·10¹⁴
+  // events per type (a quadrillion rows); beyond that, widen to the
+  // decimal term first.
+  // --------------------------------------------------------------------
+  private val BenfordBp = Seq(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+  private val Chi2Crit8 = "15.507" // 95% critical value, chi-square df=8
+
+  private val benfordAudit = Op("benford_audit", {
+    val lst = BenfordBp.mkString("[", ",", "]")
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+       |d AS (
+       |  SELECT event_type,
+       |    CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM b WHERE cents <> 0),
+       |c AS (SELECT event_type, digit, count(*) AS n_obs FROM d GROUP BY 1, 2),
+       |sc AS (SELECT t.event_type, g.digit
+       |       FROM (SELECT DISTINCT event_type FROM c) t,
+       |            (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit) g),
+       |g AS (SELECT sc.event_type, sc.digit, COALESCE(c.n_obs, 0) AS n_obs
+       |      FROM sc LEFT JOIN c
+       |        ON c.event_type = sc.event_type AND c.digit = sc.digit),
+       |e AS (SELECT *,
+       |        CAST(sum(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |        $lst[digit] AS exp_bp
+       |      FROM g),
+       |t AS (SELECT *,
+       |        n_obs * 10000 // n AS obs_bp,
+       |        CAST((CAST(10000 * n_obs - n * exp_bp AS DOUBLE)
+       |              * CAST(10000 * n_obs - n * exp_bp AS DOUBLE))
+       |             / (CAST(10000 AS DOUBLE) * CAST(n AS DOUBLE)
+       |                * CAST(exp_bp AS DOUBLE))
+       |          AS DECIMAL(28,9)) AS term
+       |      FROM e)
+       |SELECT event_type, digit, n_obs, n, obs_bp,
+       |  CAST(exp_bp AS BIGINT) AS exp_bp, obs_bp - exp_bp AS dev_bp,
+       |  CAST(sum(term) OVER (PARTITION BY event_type) AS DOUBLE) AS chi2,
+       |  CAST(sum(term) OVER (PARTITION BY event_type) AS DOUBLE)
+       |    > CAST($Chi2Crit8 AS DOUBLE) AS skewed
+       |FROM t ORDER BY event_type, digit""".stripMargin
+  }) { (s, d) =>
+    val wT = Window.partitionBy("event_type")
+    // NULL event_type rows have no per-type cell (a NULL scaffold key
+    // would never equi-join back) — excluded, like the type-keyed stats ops
+    val counts = t(s, d, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .filter(col("cents") =!= 0)
+      .select(col("event_type"),
+        substring(abs(col("cents")).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("event_type", "digit").agg(count(lit(1)).as("n_obs"))
+    val grid = counts.select("event_type").distinct()
+      .select(col("event_type"), explode(sequence(lit(1), lit(9))).as("digit"))
+      .join(counts, Seq("event_type", "digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .withColumn("n", sum("n_obs").over(wT))
+      .withColumn("exp_bp",
+        element_at(array(BenfordBp.map(lit): _*), col("digit")))
+    val num = (lit(10000L) * col("n_obs") - col("n") * col("exp_bp")).cast("double")
+    val scored = grid
+      .withColumn("term",
+        (num * num / (lit(10000d) * col("n").cast("double")
+          * col("exp_bp").cast("double"))).cast(DecimalType(28, 9)))
+      .withColumn("chi2", sum("term").over(wT).cast("double"))
+    scored.select(col("event_type"), col("digit"), col("n_obs"), col("n"),
+        expr("n_obs * 10000 div n").as("obs_bp"),
+        col("exp_bp").cast("long").as("exp_bp"),
+        (expr("n_obs * 10000 div n") - col("exp_bp")).as("dev_bp"),
+        col("chi2"),
+        (col("chi2") > lit(Chi2Crit8).cast("double")).as("skewed"))
+      .orderBy("event_type", "digit")
+  }
+
+  // --------------------------------------------------------------------
   // numeric_sanitize — the non-finite ingestion gate: classify every
   // measure as ok / null / nan / inf and emit the sanitized value
   // (non-finite → NULL). This is the CONTRACT BOUNDARY for the whole
@@ -815,5 +909,5 @@ object Audit {
   val ops: Seq[Op] = Seq(decontaminate, contaminationMatrix, packSequences,
     repetitionFilter, profileStats, outlierFilter, gapDetect, anomalyMad,
     snapshotDiff, skewReport, dqCheck, gapFill, datasetCard, splitTemporal,
-    numericSanitize)
+    numericSanitize, benfordAudit)
 }

@@ -371,6 +371,45 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("benford_audit: digits, counts and chi2 recompute from first-principles cents arithmetic") {
+    val events = Tables(spark, dir, "events")
+      .select("event_type", "value").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val digits = events.flatMap { case (t, v) =>
+      val cents = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+      if (cents == 0) None
+      else Some((t, math.abs(cents).toString.charAt(0).asDigit))
+    }
+    val expBp = Seq(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+    expBp.sum shouldBe 10000 // the Benford constants are a full partition
+    val byType = digits.groupBy(_._1)
+    val got = SparkEntry.queries("benford_audit")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7), r.getBoolean(8))).toMap
+    got.keySet shouldBe byType.keySet.flatMap(t => (1 to 9).map(t -> _))
+    byType.foreach { case (typ, rows) =>
+      val n = rows.length.toLong
+      val terms = (1 to 9).map { dg =>
+        val o = rows.count(_._2 == dg).toLong
+        val e = expBp(dg - 1)
+        val num = (10000L * o - n * e).toDouble
+        val term = BigDecimal(num * num / (10000d * n.toDouble * e.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        (dg, o, term)
+      }
+      val chi2 = terms.map(_._3).sum.toDouble
+      terms.foreach { case (dg, o, _) =>
+        withClue(s"($typ, $dg): ") {
+          got((typ, dg)) shouldBe ((o, n, o * 10000 / n, expBp(dg - 1).toLong,
+            o * 10000 / n - expBp(dg - 1), chi2, chi2 > 15.507))
+        }
+      }
+    }
+  }
+
   test("contamination_matrix: every cell recomputes from first-principles string shingle sets") {
     // rebuild with raw STRING shingles (no hashing at all) — agreement
     // also certifies the shipped 60-bit hash stage collision-free here
