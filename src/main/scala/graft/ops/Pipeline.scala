@@ -407,6 +407,63 @@ object Pipeline {
   // expansion is a scan-stage 2-element explode. At 100 TB this is
   // exactly the shuffle-and-shard pass a data loader runs per epoch.
   // --------------------------------------------------------------------
+  // --------------------------------------------------------------------
+  // curriculum_order — curriculum scheduling for a training run: band
+  // every doc by GLOBAL quality quartile (band 1 = cleanest quarter,
+  // trained first), then order deterministically WITHIN each
+  // (source, band) shard by salted hash — clean-to-noisy across bands,
+  // decorrelated within. Scoring stage is quality_score's composite,
+  // shared verbatim (Text.qualityView), so the curriculum bands on
+  // exactly the signal the quality table reports. NULL-text docs carry no
+  // score and are excluded (declared). Hash-ordered (not rand()) so the
+  // schedule is stable across retries/partitioning — the reproducibility
+  // property resumable training needs.
+  //
+  // Scale shape: scan-stage scoring; quartile thresholds are ONE exact-
+  // percentile aggregate broadcast back as a 1-row scalar (the anomaly_mad
+  // pattern; production swaps in the mergeable sketch like
+  // agg_percentile_approx documents); position numbering windows on
+  // (source, band) — the shard key times 4, so parallelism scales with
+  // shards and no global sort exists anywhere except the contract ORDER BY.
+  // --------------------------------------------------------------------
+  private val curriculumOrder = Op("curriculum_order",
+    s"""WITH q AS (${Text.qualitySql("WHERE text IS NOT NULL")}),
+       |th AS (SELECT quantile_cont(quality, 0.25) AS t25,
+       |              quantile_cont(quality, 0.5) AS t50,
+       |              quantile_cont(quality, 0.75) AS t75 FROM q),
+       |b AS (SELECT q.doc_id, q.source, q.quality,
+       |        CASE WHEN quality >= t75 THEN 1
+       |             WHEN quality >= t50 THEN 2
+       |             WHEN quality >= t25 THEN 3
+       |             ELSE 4 END AS band
+       |      FROM q, th)
+       |SELECT doc_id, source, quality, band,
+       |  CAST(row_number() OVER (PARTITION BY source, band
+       |    ORDER BY ${h60Sql("'curriculum:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM b ORDER BY source, band, pos""".stripMargin) { (s, d) =>
+    val q = Text.qualityView(
+      t(s, d, "documents").filter(col("text").isNotNull))
+    val th = q.agg(percentile(col("quality"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+      .select(col("ps")(0).as("t25"), col("ps")(1).as("t50"),
+        col("ps")(2).as("t75"))
+    val w = Window.partitionBy("source", "band")
+      .orderBy(col("__h").asc, col("doc_id").asc)
+    q.crossJoin(broadcast(th))
+      .withColumn("band",
+        when(col("quality") >= col("t75"), 1)
+          .when(col("quality") >= col("t50"), 2)
+          .when(col("quality") >= col("t25"), 3)
+          .otherwise(4))
+      .withColumn("__h",
+        h60(concat(lit("curriculum:"), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("quality"), col("band"),
+        col("pos"))
+      .orderBy("source", "band", "pos")
+  }
+
   private val corpusShuffle = Op("corpus_shuffle",
     s"""SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
        |  ${h60Sql("concat('shuf', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")} AS skey
@@ -767,5 +824,5 @@ object Pipeline {
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
     interleaveSources, corpusShuffle, sampleHash, featureScale, sampleBalance,
     sampleWeighted, rankNormalize, datasetKfold, rareCollapse, featureWinsorize,
-    chunkMerge, sampleTemperature)
+    chunkMerge, sampleTemperature, curriculumOrder)
 }

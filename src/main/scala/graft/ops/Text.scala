@@ -169,41 +169,58 @@ object Text {
   // score in exact decimal arithmetic (bit-identical across engines).
   // --------------------------------------------------------------------
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-  private val qualityScore = Op("quality_score", {
+
+  /** The quality composite shared by quality_score (the per-doc signal
+    * table) and curriculum_order (banding on the same signal): doc_id,
+    * source + the four signals + the exact-decimal composite. Ratios are
+    * IEEE double division of small exact ints — bit-identical across
+    * engines (decimal division scales differ between Spark/DuckDB);
+    * unused columns prune out of the scan per caller. */
+  private[ops] def qualityView(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nTok = size(ws)
+    docs.select(
+        col("doc_id"), col("source"),
+        nTok.as("n_tok"),
+        (col("n_chars").cast("double") / nTok).as("mean_wlen"),
+        (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("double") / nTok).as("punct_ratio"),
+        (size(filter(ws, w => w.isin(stopwords: _*)))
+          .cast("double") / nTok).as("stop_ratio"))
+      .withColumn("quality",
+        (lit(0.4).cast(DecimalType(8, 4)) * col("stop_ratio").cast(DecimalType(8, 4))
+          + lit(0.3).cast(DecimalType(8, 4)) * when(col("n_tok").between(20, 1000), 1).otherwise(0)
+          + lit(0.3).cast(DecimalType(8, 4)) * when(col("punct_ratio") <= 0.2, 1).otherwise(0))
+          .cast("double"))
+  }
+
+  /** Oracle twin of [[qualityView]] — a subquery string over `documents`
+    * rows satisfying `where`. */
+  private[ops] def qualitySql(where: String): String = {
     val inList = stopwords.map(w => s"'$w'").mkString(", ")
-    s"""SELECT doc_id, n_tok, mean_wlen, punct_ratio, stop_ratio,
+    s"""SELECT doc_id, source, n_tok, mean_wlen, punct_ratio, stop_ratio,
        |  CAST(CAST(0.4 AS DECIMAL(8,4)) * CAST(stop_ratio AS DECIMAL(8,4))
        |     + CAST(0.3 AS DECIMAL(8,4)) * (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
        |     + CAST(0.3 AS DECIMAL(8,4)) * (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END)
        |    AS DOUBLE) AS quality
        |FROM (
-       |  SELECT doc_id,
+       |  SELECT doc_id, source,
        |    len(string_split(text, ' ')) AS n_tok,
        |    CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS mean_wlen,
        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
        |         / len(string_split(text, ' ')) AS punct_ratio,
        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS DOUBLE)
        |         / len(string_split(text, ' ')) AS stop_ratio
-       |  FROM documents)
-       |ORDER BY doc_id""".stripMargin
-  }) { (s, d) =>
-    val ws = words(col("text"))
-    val nTok = size(ws)
-    // ratios via IEEE double division of small exact ints — bit-identical
-    // across engines (decimal division scales differ between Spark/DuckDB)
-    val base = t(s, d, "documents").select(
-      col("doc_id"),
-      nTok.as("n_tok"),
-      (col("n_chars").cast("double") / nTok).as("mean_wlen"),
-      (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
-        .cast("double") / nTok).as("punct_ratio"),
-      (size(filter(ws, w => w.isin(stopwords: _*)))
-        .cast("double") / nTok).as("stop_ratio"))
-    base.withColumn("quality",
-        (lit(0.4).cast(DecimalType(8, 4)) * col("stop_ratio").cast(DecimalType(8, 4))
-          + lit(0.3).cast(DecimalType(8, 4)) * when(col("n_tok").between(20, 1000), 1).otherwise(0)
-          + lit(0.3).cast(DecimalType(8, 4)) * when(col("punct_ratio") <= 0.2, 1).otherwise(0))
-          .cast("double"))
+       |  FROM documents $where)""".stripMargin
+  }
+
+  private val qualityScore = Op("quality_score",
+    s"""SELECT doc_id, n_tok, mean_wlen, punct_ratio, stop_ratio, quality
+       |FROM (${qualitySql("")})
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    qualityView(t(s, d, "documents"))
+      .select("doc_id", "n_tok", "mean_wlen", "punct_ratio", "stop_ratio",
+        "quality")
       .orderBy("doc_id")
   }
 

@@ -371,6 +371,51 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("curriculum_order: bands and positions recompute from the quality table plus first-principles quartiles") {
+    def h60s(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // ground quality in the SHIPPED quality_score output (shared stage),
+    // restricted to scorable docs like the curriculum contract
+    val textful = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val quality = SparkEntry.queries("quality_score")(spark, dir).collect()
+      .filter(r => textful.contains(r.getLong(0)))
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
+    // percentile_cont: rank (n-1)p, linear interpolation on the sorted run
+    val sorted = quality.values.toArray.sorted
+    def pct(p: Double): Double = {
+      val rank = (sorted.length - 1) * p
+      val lo = rank.toInt
+      if (lo == rank) sorted(lo)
+      else sorted(lo) + (rank - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val (t25, t50, t75) = (pct(0.25), pct(0.5), pct(0.75))
+    def band(q: Double): Int =
+      if (q >= t75) 1 else if (q >= t50) 2 else if (q >= t25) 3 else 4
+    val expected = quality.toSeq
+      .map { case (id, q) => (id, textful(id), q, band(q)) }
+      .groupBy { case (_, src, _, b) => (src, b) }
+      .flatMap { case (_, rows) =>
+        rows.sortBy { case (id, _, _, _) => (h60s(s"curriculum:$id"), id) }
+          .zipWithIndex
+          .map { case ((id, src, q, b), i) => id -> ((src, q, b, i + 1L)) }
+      }
+    val got = SparkEntry.queries("curriculum_order")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getInt(3), r.getLong(4)))).toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (id, v) =>
+      withClue(s"doc $id: ") { got(id) shouldBe v }
+    }
+    // every band is non-vacuous on the fixture
+    got.values.map(_._3).toSet shouldBe Set(1, 2, 3, 4)
+  }
+
   test("benford_audit: digits, counts and chi2 recompute from first-principles cents arithmetic") {
     val events = Tables(spark, dir, "events")
       .select("event_type", "value").collect()
