@@ -123,8 +123,21 @@ object Audit {
        |JOIN n nb ON nb.source = p.source_b
        |ORDER BY source_a, source_b""".stripMargin
   }) { (s, d) =>
-    val sh = shingleStage(t(s, d, "documents"))
-      .select("source", "h").distinct()
+    contaminationView(contaminationGrid(t(s, d, "documents")))
+  }
+
+  /** The distinct (source, shingle-hash) presence grid —
+    * contamination_matrix's only fact-scale pass, shared with the
+    * streaming twin ([[graft.streaming.Streams.contaminationSink]]): a
+    * presence set is IDEMPOTENT under union+distinct, so the fold absorbs
+    * replays/redelivery outright (the rolling_active_users argument) and
+    * [[contaminationView]] reproduces the batch matrix at any batch
+    * cut — cross-source leakage surfaces as the crawl streams in. */
+  private[graft] def contaminationGrid(docs: DataFrame): DataFrame =
+    shingleStage(docs).select("source", "h").distinct()
+
+  /** Pair overlap + totals over a completed presence grid. */
+  private[graft] def contaminationView(sh: DataFrame): DataFrame = {
     val n = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("h"), col("source").as("source_a"))
       .join(sh.select(col("h"), col("source").as("source_b")), Seq("h"))
@@ -822,10 +835,20 @@ object Audit {
        |    > CAST($Chi2Crit8 AS DOUBLE) AS skewed
        |FROM t ORDER BY event_type, digit""".stripMargin
   }) { (s, d) =>
-    val wT = Window.partitionBy("event_type")
-    // NULL event_type rows have no per-type cell (a NULL scaffold key
-    // would never equi-join back) — excluded, like the type-keyed stats ops
-    val counts = t(s, d, "events")
+    benfordView(benfordGrid(t(s, d, "events")))
+  }
+
+  /** The (event_type, digit) observation grid — benford_audit's only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.benfordSink]]): cells are ALGEBRAIC
+    * counts, so a stream folds per-batch partials in with a keyed SUM
+    * merge and [[benfordView]] reproduces the batch audit at any batch
+    * cut — the fabricated-data screen recomputed as ledger rows arrive.
+    * NULL event_type rows have no per-type cell (a NULL scaffold key
+    * would never equi-join back) — excluded, like the type-keyed stats
+    * ops. */
+  private[graft] def benfordGrid(events: DataFrame): DataFrame =
+    events
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
@@ -833,6 +856,11 @@ object Audit {
       .select(col("event_type"),
         substring(abs(col("cents")).cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("event_type", "digit").agg(count(lit(1)).as("n_obs"))
+
+  /** Scaffold + χ² over a completed grid (grid-sized input: ≤9·|types|
+    * rows). */
+  private[graft] def benfordView(counts: DataFrame): DataFrame = {
+    val wT = Window.partitionBy("event_type")
     val grid = counts.select("event_type").distinct()
       .select(col("event_type"), explode(sequence(lit(1), lit(9))).as("digit"))
       .join(counts, Seq("event_type", "digit"), "left")

@@ -955,4 +955,48 @@ object Streams {
   /** Read side of [[driftVecSink]] — LITERALLY the batch op's view. */
   def driftVecView(sums: DataFrame, counts: DataFrame): DataFrame =
     graft.ops.Llm.driftView(sums, counts)
+
+  /** Merge (event_type, digit) observation-count partials (twin state of
+    * the batch benford_audit op) — keyed SUM merge. */
+  def benfordMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("event_type", "digit")
+      .agg(sum(col("n_obs")).as("n_obs"))
+
+  /** foreachBatch fold for the first-digit screen (twin of the batch
+    * benford_audit op): the fabricated-data / unit-mix-up audit stays
+    * current as ledger events arrive. */
+  def benfordSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(benfordMerge(readState(),
+        graft.ops.Audit.benfordGrid(batch)))
+    }
+
+  /** Read side of [[benfordSink]] — LITERALLY the batch op's view. */
+  def benfordView(state: DataFrame): DataFrame =
+    graft.ops.Audit.benfordView(state)
+
+  /** Merge distinct (source, shingle-hash) presence partials (twin state
+    * of the batch contamination_matrix op) — union + distinct, IDEMPOTENT:
+    * replays and redelivered batches are absorbed outright (a presence
+    * set, the rolling_active_users argument). */
+  def contaminationMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).distinct()
+
+  /** foreachBatch fold for the cross-source leakage matrix (twin of the
+    * batch contamination_matrix op): which sources leak into which,
+    * recomputed as the crawl streams in — the table a curator watches to
+    * catch a mirror site entering the corpus under a second source name. */
+  def contaminationSink(docs: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(contaminationMerge(readState(),
+        graft.ops.Audit.contaminationGrid(batch)))
+    }
+
+  /** Read side of [[contaminationSink]] — LITERALLY the batch op's view. */
+  def contaminationView(state: DataFrame): DataFrame =
+    graft.ops.Audit.contaminationView(state)
 }

@@ -1231,6 +1231,41 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source benford sink: digit-count grid fold over time-split event batches equals the batch benford_audit") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // time-split: every type's digit mix keeps shifting across cuts, so
+    // the chi2 recomputed from the folded grid moves batch to batch —
+    // only the completed fold can equal the batch audit
+    val state = runGridFold("events_benford_stream", ev, timeSplitChunks(ev),
+      "event_type STRING, digit INT, n_obs BIGINT",
+      (s, r, w) => graft.streaming.Streams.benfordSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.benfordView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("benford_audit")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source contamination sink: shingle presence-grid fold over hash-split document batches equals the batch contamination_matrix") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    // hash-split: an overlapping source pair's shingles arrive in
+    // DIFFERENT batches — the pair only materializes in the folded set
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val state = runGridFold("docs_contam_stream", docs, chunks,
+      "source STRING, h BIGINT",
+      (s, r, w) => graft.streaming.Streams.contaminationSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.contaminationView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("contamination_matrix")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // redelivery honesty: presence is idempotent, so refolding a chunk
+    // is a no-op (the rolling_active_users argument)
+    val refolded = graft.streaming.Streams.contaminationMerge(state,
+      graft.ops.Audit.contaminationGrid(chunks.head))
+    canon(graft.streaming.Streams.contaminationView(refolded).collect()) shouldBe streamed
+  }
+
   test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
     val dir01 = "/root/testdata/sf0.01"
     val emb = graft.Tables(spark, dir01, "embeddings").cache()
