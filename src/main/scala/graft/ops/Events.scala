@@ -1542,10 +1542,106 @@ object Events {
       .orderBy("day")
   }
 
+  // --------------------------------------------------------------------
+  // event_rfm — recency / frequency / monetary segmentation, the
+  // standard customer-value table behind every lifecycle campaign: per
+  // user, days since last event (vs the corpus max-day anchor — an
+  // IN-DATA anchor, so the op is deterministic and retry-stable), event
+  // count, and exact cents total; each metric then scores 1–5 against its
+  // own GLOBAL quintile thresholds (recency inverted: fresher = higher),
+  // and the concatenated segment code ('555' = best) is what downstream
+  // joins on. Timeless events can't be "recent" and NULL users aren't a
+  // segment — both excluded (declared); NULL values count as 0 cents.
+  //
+  // Scale shape: ONE fact pass into the user grid (map-side combine);
+  // the anchor and the 12 quintile thresholds are 1-row scalar
+  // broadcasts back over the GRID (anomaly_mad / curriculum_order
+  // pattern — the exact percentile is the verification shape, the
+  // production swap is the mergeable sketch per agg_percentile_approx);
+  // scoring is scan-stage comparisons. No windows anywhere.
+  // --------------------------------------------------------------------
+  private val eventRfm = Op("event_rfm", {
+    def qs(e: String, pfx: String) =
+      Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (p, i) =>
+        s"quantile_cont(CAST($e AS DOUBLE), $p) AS $pfx${i + 1}"
+      }.mkString(",\n       |        ")
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CASE WHEN value IS NULL THEN 0
+       |         ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |    END AS cents
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |u AS (
+       |  SELECT user_id,
+       |    CAST(datediff('day', max(CAST(ts AS DATE)),
+       |      (SELECT max(CAST(ts AS DATE)) FROM e)) AS BIGINT) AS r_days,
+       |    count(*) AS f,
+       |    CAST(sum(cents) AS BIGINT) AS m_cents
+       |  FROM e GROUP BY user_id),
+       |th AS (SELECT ${qs("r_days", "r")},
+       |        ${qs("f", "f")},
+       |        ${qs("m_cents", "m")}
+       |      FROM u),
+       |sc AS (
+       |  SELECT u.*,
+       |    1 + (CASE WHEN r_days < r1 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN r_days < r2 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN r_days < r3 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN r_days < r4 THEN 1 ELSE 0 END) AS r_score,
+       |    1 + (CASE WHEN f > f1 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN f > f2 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN f > f3 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN f > f4 THEN 1 ELSE 0 END) AS f_score,
+       |    1 + (CASE WHEN m_cents > m1 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN m_cents > m2 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN m_cents > m3 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN m_cents > m4 THEN 1 ELSE 0 END) AS m_score
+       |  FROM u, th)
+       |SELECT user_id, r_days, f, m_cents, r_score, f_score, m_score,
+       |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+       |    || CAST(m_score AS VARCHAR) AS segment
+       |FROM sc ORDER BY user_id""".stripMargin
+  }) { (s, d) =>
+    val e = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"),
+        when(col("value").isNull, 0L)
+          .otherwise((col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("cents"))
+    val u = e.groupBy("user_id")
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("f"), sum("cents").as("m_cents"))
+    val anchor = u.agg(max("last_day").as("asof"))
+    val uu = u.crossJoin(broadcast(anchor))
+      .withColumn("r_days", datediff(col("asof"), col("last_day")).cast("long"))
+    def quints(c: Column, pfx: String) =
+      percentile(c.cast("double"),
+        array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))).as(s"${pfx}q")
+    val th = uu.agg(quints(col("r_days"), "r"), quints(col("f"), "f"),
+        quints(col("m_cents"), "m"))
+      .select((for (p <- Seq("r", "f", "m"); i <- 1 to 4)
+        yield col(s"${p}q")(i - 1).as(s"$p$i")): _*)
+    def up(v: Column, pfx: String) =
+      (1 to 4).map(i => when(v > col(s"$pfx$i"), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+    def down(v: Column, pfx: String) =
+      (1 to 4).map(i => when(v < col(s"$pfx$i"), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+    uu.crossJoin(broadcast(th))
+      .withColumn("r_score", down(col("r_days"), "r"))
+      .withColumn("f_score", up(col("f"), "f"))
+      .withColumn("m_score", up(col("m_cents"), "m"))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+      .orderBy("user_id")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, attributionFirstTouch, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
-    activityProfile, conversionLatency, anomalySeasonal)
+    activityProfile, conversionLatency, anomalySeasonal, eventRfm)
 }

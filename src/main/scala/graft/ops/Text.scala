@@ -225,6 +225,63 @@ object Text {
   }
 
   // --------------------------------------------------------------------
+  // text_readability — Flesch reading ease + Flesch–Kincaid grade per
+  // doc, the classic curation signal for audience-level bucketing (and
+  // the standard "is this machine-generated sludge" heuristic next to
+  // quality_score's ratios). Counts are exact integers (words = split
+  // tokens, sentences = [.!?]+ runs clamped to ≥1, syllables ≈ vowel-group
+  // runs — the standard regex proxy); the two formulas are then fixed
+  // scalar IEEE trees over those exact ints with double literal
+  // constants, so both engines agree bit-for-bit. NULL-text docs carry no
+  // counts and are excluded (declared, as in curriculum_order).
+  //
+  // Scale shape: pure scan-stage regexp counting + arithmetic — zero
+  // shuffles beyond the contract ORDER BY.
+  // --------------------------------------------------------------------
+  private val textReadability = Op("text_readability",
+    """SELECT doc_id, n_words, n_sents, n_syll,
+      |  CAST(206.835 AS DOUBLE)
+      |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+      |    - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words) AS ease,
+      |  CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+      |    + CAST(11.8 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words)
+      |    - CAST(15.59 AS DOUBLE) AS fk_grade,
+      |  CASE WHEN CAST(206.835 AS DOUBLE)
+      |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+      |    - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words)
+      |      >= CAST(60 AS DOUBLE) THEN 'easy'
+      |       WHEN CAST(206.835 AS DOUBLE)
+      |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+      |    - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words)
+      |      >= CAST(30 AS DOUBLE) THEN 'standard'
+      |       ELSE 'hard' END AS band
+      |FROM (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+      |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syll
+      |  FROM documents WHERE text IS NOT NULL)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val counted = t(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(words(col("text"))).as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).as("n_sents"),
+        size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0)))
+          .as("n_syll"))
+    val wps = col("n_words").cast("double") / col("n_sents")
+    val spw = col("n_syll").cast("double") / col("n_words")
+    val ease = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+    counted.select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        ease.as("ease"),
+        (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"),
+        when(ease >= 60d, "easy").when(ease >= 30d, "standard")
+          .otherwise("hard").as("band"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
   // doc_fingerprint — winnowing (Schleimer/Wilkerson/Aiken): hash every
   // 3-word shingle, slide a window of 4 hashes, keep each window's min,
   // emit the distinct fingerprint set.
@@ -990,5 +1047,5 @@ object Text {
   val ops: Seq[Op] = Seq(tokenCount, langId, langIdEval, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
     oovRate, corpusGini, featureHash, heavyHitters, bpePairCounts, ngramNovelty,
-    tokenizeIds, tokenizerFertility)
+    tokenizeIds, tokenizerFertility, textReadability)
 }

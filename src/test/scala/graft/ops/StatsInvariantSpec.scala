@@ -371,6 +371,70 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("text_readability: counts and both formulas recompute from first-principles regex counting") {
+    val docs = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("text_readability")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6)))).toMap
+    got.keySet shouldBe docs.keySet
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1).length
+      val sents = math.max("[.!?]+".r.findAllIn(text).length, 1)
+      val syll = "[aeiouyAEIOUY]+".r.findAllIn(text).length
+      val ease = 206.835 - 1.015 * (w.toDouble / sents) - 84.6 * (syll.toDouble / w)
+      val fk = 0.39 * (w.toDouble / sents) + 11.8 * (syll.toDouble / w) - 15.59
+      val band = if (ease >= 60) "easy" else if (ease >= 30) "standard" else "hard"
+      withClue(s"doc $id: ") {
+        got(id) shouldBe ((w, sents, syll, ease, fk, band))
+      }
+    }
+  }
+
+  test("event_rfm: metrics, quintile scores and segment recompute from first principles") {
+    val events = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, Option(r.get(2))
+        .map(v => BigDecimal(v.asInstanceOf[Double])
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+        .getOrElse(0L)))
+    val asof = events.map(_._2).max
+    val users = events.groupBy(_._1).map { case (u, rows) =>
+      u -> ((java.time.temporal.ChronoUnit.DAYS.between(
+        rows.map(_._2).max, asof), rows.length.toLong, rows.map(_._3).sum))
+    }
+    def pct(sorted: Array[Double], p: Double): Double = {
+      val rank = (sorted.length - 1) * p
+      val lo = rank.toInt
+      if (lo == rank) sorted(lo)
+      else sorted(lo) + (rank - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    def quints(vs: Iterable[Long]): Seq[Double] = {
+      val sorted = vs.map(_.toDouble).toArray.sorted
+      Seq(0.2, 0.4, 0.6, 0.8).map(pct(sorted, _))
+    }
+    val (rq, fq, mq) = (quints(users.values.map(_._1)),
+      quints(users.values.map(_._2)), quints(users.values.map(_._3)))
+    val got = SparkEntry.queries("event_rfm")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    got.keySet shouldBe users.keySet
+    users.foreach { case (u, (r, f, m)) =>
+      val rs = 1 + rq.count(r < _)
+      val fs = 1 + fq.count(f > _)
+      val ms = 1 + mq.count(m > _)
+      withClue(s"user $u: ") {
+        got(u) shouldBe ((r, f, m, rs, fs, ms, s"$rs$fs$ms"))
+      }
+    }
+    // quintile scoring is non-degenerate on the fixture: all 5 f-scores occur
+    got.values.map(_._5).toSet shouldBe Set(1, 2, 3, 4, 5)
+  }
+
   test("curriculum_order: bands and positions recompute from the quality table plus first-principles quartiles") {
     def h60s(x: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
