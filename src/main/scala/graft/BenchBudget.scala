@@ -138,6 +138,8 @@ object BenchBudget {
     "curriculum_order" -> 3.02, // 3 x 1.01 s idle sf0.1
     "text_readability" -> 1.6, // 3 x 0.53 s idle sf0.1
     "event_rfm" -> 3.13, // 3 x 1.04 s idle sf0.1
+    "session_stats" -> 2.39, // 3 x 0.80 s idle sf0.1
+    "assoc_rules" -> 2.22, // 3 x 0.74 s idle sf0.1
     "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,

@@ -601,9 +601,17 @@ object Events {
       |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |FROM e ORDER BY event_id""".stripMargin) { (s, d) =>
+    sessionStage(t(s, d, "events")).orderBy("event_id")
+  }
+
+  /** The 30-minute-gap session assignment — one row per event with its
+    * (user, session_id). Shared verbatim by sessionize (the per-event
+    * table) and session_stats (the per-session rollup), so the rollup
+    * aggregates exactly the sessions the assignment op reports. */
+  private[graft] def sessionStage(events: DataFrame): DataFrame = {
     val ord = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, d, "events")
+    events
       .select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("prev", lag("ts", 1).over(ord))
       .withColumn("is_new",
@@ -613,7 +621,54 @@ object Events {
           .otherwise(0))
       .select(col("event_id"), col("user_id"), col("ts"),
         sum("is_new").over(cum).as("session_id"))
-      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------------------
+  // session_stats — the per-session rollup over sessionize's assignment
+  // (bounce rate, depth, dwell time: the session-quality table behind
+  // every engagement dashboard). Stage shared verbatim with sessionize
+  // (sessionStage), so the rollup aggregates exactly the sessions the
+  // assignment op reports; duration is exact BIGINT microseconds
+  // (epoch-µs difference of the agreed timestamps — no interval-type
+  // cross-engine fork); sessions holding only NULL-ts events surface
+  // with NULL start/end/duration (each NULL-ts event opens its own
+  // session under the NULLS FIRST pinned order — inherited, not
+  // re-decided here).
+  //
+  // Scale shape: sessionize's one keyed window (partial sort per user,
+  // no global order) + ONE map-side-combinable rollup to the session
+  // grid.
+  // --------------------------------------------------------------------
+  private val sessionStats = Op("session_stats",
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |      OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+      |         >= INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |sess AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM e)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS start_ts, max(ts) AS end_ts,
+      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+      |  count(*) = 1 AS bounce
+      |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    sessionStage(t(s, d, "events"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("start_ts"), max("ts").as("end_ts"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_ts"), col("end_ts"),
+        (unix_micros(col("end_ts").cast("timestamp"))
+          - unix_micros(col("start_ts").cast("timestamp"))).as("dur_us"),
+        (col("n_events") === 1).as("bounce"))
+      .orderBy("user_id", "session_id")
   }
 
   // --------------------------------------------------------------------
@@ -1543,6 +1598,73 @@ object Events {
   }
 
   // --------------------------------------------------------------------
+  // assoc_rules — market-basket association rules over per-user event-
+  // type sets: for every directed type pair A→B, the users holding both,
+  // support and confidence in integer basis points, and lift as a fixed
+  // IEEE tree over the four exact counts — the co-occurrence table behind
+  // "users who did A also did B". NULL users aren't a basket and NULL
+  // types aren't an item (excluded, declared). Only co-occurring pairs
+  // appear (inner join; a zero-support rule is no rule).
+  //
+  // Scale shape: ONE fact pass into the distinct (user, type) presence
+  // grid (map-side-combined distinct); the pair self-join expands each
+  // user's basket by at most |types|² — the item vocabulary is a CATALOG,
+  // not data (the contamination_matrix argument) — then ONE
+  // map-side-combinable count to the ≤|types|² rule grid; per-item totals
+  // and the basket count are grid-sized broadcasts. At a 100 TB event log
+  // nothing but the presence-grid distinct ever shuffles fact-scale.
+  // --------------------------------------------------------------------
+  private val assocRules = Op("assoc_rules",
+    """WITH u AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM u),
+      |it AS (SELECT event_type, count(*) AS n FROM u GROUP BY event_type),
+      |p AS (
+      |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+      |    count(*) AS n_both
+      |  FROM u a JOIN u b
+      |    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.antecedent, p.consequent, p.n_both,
+      |  ia.n AS n_ante, ic.n AS n_cons, nu.n_users,
+      |  p.n_both * 10000 // nu.n_users AS support_bp,
+      |  p.n_both * 10000 // ia.n AS confidence_bp,
+      |  (CAST(p.n_both AS DOUBLE) * CAST(nu.n_users AS DOUBLE))
+      |    / (CAST(ia.n AS DOUBLE) * CAST(ic.n AS DOUBLE)) AS lift
+      |FROM p
+      |JOIN it ia ON ia.event_type = p.antecedent
+      |JOIN it ic ON ic.event_type = p.consequent
+      |CROSS JOIN nu
+      |ORDER BY antecedent, consequent""".stripMargin) { (s, d) =>
+    val u = t(s, d, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select("user_id", "event_type").distinct()
+    val nUsers = u.agg(countDistinct("user_id").as("n_users"))
+    val items = u.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = u.select(col("user_id"), col("event_type").as("antecedent"))
+      .join(u.select(col("user_id"), col("event_type").as("consequent")),
+        Seq("user_id"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(items.select(col("event_type").as("antecedent"),
+        col("n").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(items.select(col("event_type").as("consequent"),
+        col("n").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ante"), col("n_cons"), col("n_users"),
+        expr("n_both * 10000 div n_users").as("support_bp"),
+        expr("n_both * 10000 div n_ante").as("confidence_bp"),
+        ((col("n_both").cast("double") * col("n_users").cast("double"))
+          / (col("n_ante").cast("double") * col("n_cons").cast("double")))
+          .as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  // --------------------------------------------------------------------
   // event_rfm — recency / frequency / monetary segmentation, the
   // standard customer-value table behind every lifecycle campaign: per
   // user, days since last event (vs the corpus max-day anchor — an
@@ -1643,5 +1765,6 @@ object Events {
     attribution, attributionFirstTouch, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
-    activityProfile, conversionLatency, anomalySeasonal, eventRfm)
+    activityProfile, conversionLatency, anomalySeasonal, eventRfm,
+    sessionStats, assocRules)
 }

@@ -304,6 +304,7 @@ class PlanAuditSpec extends SparkSpec {
       "anomaly_mad" -> "1-row median/MAD scalar broadcast back over the scan",
       "curriculum_order" -> "1-row quartile-threshold scalar broadcast back over the scored scan (the anomaly_mad pattern)",
       "event_rfm" -> "1-row anchor + 1-row quintile-threshold scalar broadcasts back over the user grid (the anomaly_mad pattern)",
+      "assoc_rules" -> "1-row basket-count scalar broadcast over the <=|types|^2 rule grid (the anomaly_mad pattern)",
       "knn_classify" -> "5-row probe-seed broadcast against the corpus scan (classifier seeds are bounded by construction)",
       "tf_idf" -> "1-row corpus-size scalar broadcast over the tf/df join",
       "skew_report" -> "1-row corpus-total scalar broadcast over the 25-row top-k",

@@ -371,6 +371,85 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("session_stats: every rollup recomputes from a first-principles session rebuild") {
+    val events = Tables(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val expected = events.groupBy(_._2).flatMap { case (u, rows) =>
+      // the op's order: ts ASC NULLS FIRST, event_id ASC
+      val sorted = rows.sortBy { case (eid, _, tus) =>
+        (tus.isDefined, tus.getOrElse(0L), eid)
+      }
+      var sid = 0L; var prev: Option[Long] = None
+      val tagged = sorted.map { case (eid, _, tus) =>
+        val isNew = prev.isEmpty || tus.isEmpty ||
+          tus.get - prev.get >= 30L * 60 * 1000000
+        if (isNew) sid += 1
+        prev = tus
+        (sid, eid, tus)
+      }
+      tagged.groupBy(_._1).map { case (s, evs) =>
+        val ts = evs.flatMap(_._3)
+        (u, s) -> ((evs.length.toLong,
+          if (ts.isEmpty) None else Some(ts.min),
+          if (ts.isEmpty) None else Some(ts.max),
+          if (ts.isEmpty) None else Some(ts.max - ts.min),
+          evs.length == 1))
+      }
+    }
+    val got = SparkEntry.queries("session_stats")(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("start_ts").cast("timestamp")).as("s"),
+        unix_micros(col("end_ts").cast("timestamp")).as("e"),
+        col("dur_us"), col("bounce"))
+      .collect()
+      .map { r =>
+        def optL(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), optL(3), optL(4), optL(5), r.getBoolean(6)))
+      }.toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (k, v) =>
+      withClue(s"session $k: ") { got(k) shouldBe v }
+    }
+    // non-vacuous both ways: multi-event sessions and bounces both exist
+    got.values.count(_._5) should be > 0
+    got.values.count(!_._5) should be > 0
+  }
+
+  test("assoc_rules: every rule recomputes from first-principles basket sets") {
+    val pairs: Set[(Long, String)] = Tables(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val baskets: Map[Long, Set[String]] =
+      pairs.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2) }
+    val nUsers = baskets.size.toLong
+    val itemN = baskets.values.toSeq.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val types = itemN.keys.toSeq
+    val expected = (for {
+      a <- types; b <- types if a != b
+      both = baskets.values.count(s => s(a) && s(b)).toLong if both > 0
+    } yield (a, b) -> ((both, itemN(a), itemN(b), nUsers,
+      both * 10000 / nUsers, both * 10000 / itemN(a),
+      (both.toDouble * nUsers.toDouble) / (itemN(a).toDouble * itemN(b).toDouble)
+    ))).toMap
+    val got = SparkEntry.queries("assoc_rules")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (k, v) =>
+      withClue(s"rule $k: ") { got(k) shouldBe v }
+    }
+    got should not be empty
+  }
+
   test("text_readability: counts and both formulas recompute from first-principles regex counting") {
     val docs = Tables(spark, dir, "documents")
       .filter(col("text").isNotNull)
