@@ -1637,9 +1637,23 @@ object Events {
       |JOIN it ic ON ic.event_type = p.consequent
       |CROSS JOIN nu
       |ORDER BY antecedent, consequent""".stripMargin) { (s, d) =>
-    val u = t(s, d, "events")
+    assocView(assocGrid(t(s, d, "events")))
+  }
+
+  /** The distinct (user, type) basket presence grid — assoc_rules' only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.assocSink]]): a presence set is
+    * IDEMPOTENT under union+distinct, so the fold absorbs redelivery
+    * outright (the rolling_active_users argument) and [[assocView]]
+    * reproduces the batch rule table at any batch cut. */
+  private[graft] def assocGrid(events: DataFrame): DataFrame =
+    events
       .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .select("user_id", "event_type").distinct()
+
+  /** Rule counts + support/confidence/lift over a completed basket
+    * grid. */
+  private[graft] def assocView(u: DataFrame): DataFrame = {
     val nUsers = u.agg(countDistinct("user_id").as("n_users"))
     val items = u.groupBy("event_type").agg(count(lit(1)).as("n"))
     val pairs = u.select(col("user_id"), col("event_type").as("antecedent"))
@@ -1724,15 +1738,30 @@ object Events {
        |    || CAST(m_score AS VARCHAR) AS segment
        |FROM sc ORDER BY user_id""".stripMargin
   }) { (s, d) =>
-    val e = t(s, d, "events")
+    rfmView(rfmGrid(t(s, d, "events")))
+  }
+
+  /** The per-user (last_day, count, cents-sum) grid — event_rfm's only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.rfmSink]]): all three cells are ALGEBRAIC
+    * (max / count / exact sum), so a stream folds per-batch partials in
+    * with a keyed (max, sum, sum) merge and [[rfmView]] — anchor,
+    * quintiles and scores — reproduces the batch segmentation at any
+    * batch cut: live RFM, which is exactly how campaign audiences are
+    * refreshed. */
+  private[graft] def rfmGrid(events: DataFrame): DataFrame =
+    events
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), col("ts"),
         when(col("value").isNull, 0L)
           .otherwise((col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
           .as("cents"))
-    val u = e.groupBy("user_id")
+      .groupBy("user_id")
       .agg(max(col("ts").cast("date")).as("last_day"),
         count(lit(1)).as("f"), sum("cents").as("m_cents"))
+
+  /** Anchor + quintile scoring over a completed user grid. */
+  private[graft] def rfmView(u: DataFrame): DataFrame = {
     val anchor = u.agg(max("last_day").as("asof"))
     val uu = u.crossJoin(broadcast(anchor))
       .withColumn("r_days", datediff(col("asof"), col("last_day")).cast("long"))

@@ -999,4 +999,47 @@ object Streams {
   /** Read side of [[contaminationSink]] — LITERALLY the batch op's view. */
   def contaminationView(state: DataFrame): DataFrame =
     graft.ops.Audit.contaminationView(state)
+
+  /** Merge per-user (last_day, count, cents-sum) partials (twin state of
+    * the batch event_rfm op) — keyed (max, sum, sum) merge: all three
+    * RFM cells are algebraic. */
+  def rfmMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("user_id")
+      .agg(max(col("last_day")).as("last_day"),
+        sum(col("f")).as("f"), sum(col("m_cents")).as("m_cents"))
+
+  /** foreachBatch fold for the RFM segmentation (twin of the batch
+    * event_rfm op): anchor, quintiles and scores recompute from the
+    * completed fold at any cut — live RFM, which is exactly how campaign
+    * audiences are refreshed. */
+  def rfmSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(rfmMerge(readState(), graft.ops.Events.rfmGrid(batch)))
+    }
+
+  /** Read side of [[rfmSink]] — LITERALLY the batch op's view. */
+  def rfmView(state: DataFrame): DataFrame =
+    graft.ops.Events.rfmView(state)
+
+  /** Merge distinct (user, type) basket presence partials (twin state of
+    * the batch assoc_rules op) — union + distinct, IDEMPOTENT: replays
+    * are absorbed outright (the rolling_active_users argument). */
+  def assocMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).distinct()
+
+  /** foreachBatch fold for the association-rule table (twin of the batch
+    * assoc_rules op): the "users who did A also did B" table recomputed
+    * as events arrive. */
+  def assocSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(assocMerge(readState(), graft.ops.Events.assocGrid(batch)))
+    }
+
+  /** Read side of [[assocSink]] — LITERALLY the batch op's view. */
+  def assocView(state: DataFrame): DataFrame =
+    graft.ops.Events.assocView(state)
 }

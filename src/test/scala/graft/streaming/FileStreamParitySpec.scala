@@ -1266,6 +1266,40 @@ class FileStreamParitySpec extends SparkSpec {
     canon(graft.streaming.Streams.contaminationView(refolded).collect()) shouldBe streamed
   }
 
+  test("file-source RFM sink: (max, sum, sum) user-grid fold over time-split event batches equals the batch event_rfm") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // time-split: the recency ANCHOR (corpus max day) advances with every
+    // batch, re-scoring every user — only the view-over-completed-fold
+    // shape can track it; a per-batch score would be stale by definition
+    val state = runGridFold("events_rfm_stream", ev, timeSplitChunks(ev),
+      "user_id BIGINT, last_day DATE, f BIGINT, m_cents BIGINT",
+      (s, r, w) => graft.streaming.Streams.rfmSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.rfmView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("event_rfm")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source assoc sink: basket presence-grid fold over hash-split event batches equals the batch assoc_rules") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split: a user's A and B events land in DIFFERENT batches — the
+    // rule only materializes in the folded basket set
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_assoc_stream", ev, chunks,
+      "user_id BIGINT, event_type STRING",
+      (s, r, w) => graft.streaming.Streams.assocSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.assocView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("assoc_rules")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // redelivery honesty: presence is idempotent — refolding is a no-op
+    val refolded = graft.streaming.Streams.assocMerge(state,
+      graft.ops.Events.assocGrid(chunks.head))
+    canon(graft.streaming.Streams.assocView(refolded).collect()) shouldBe streamed
+  }
+
   test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
     val dir01 = "/root/testdata/sf0.01"
     val emb = graft.Tables(spark, dir01, "embeddings").cache()
