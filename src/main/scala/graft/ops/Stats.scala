@@ -314,5 +314,205 @@ object Stats {
     cusumView(cusumDaily(t(s, d, "events")))
   }
 
-  val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum)
+  // --------------------------------------------------------------------
+  // The rank-statistics family — eval_auc / ab_ranksum / ab_ks_test.
+  //
+  // ab_ttest compares MEANS; these are its distribution-free siblings, the
+  // three standard nonparametric reads of the same two-cohort question:
+  //   eval_auc    — how well does `value` SEPARATE the purchase arm from
+  //                 the click arm? (exact tie-corrected ROC AUC — the
+  //                 Mann-Whitney U rescaled; the metric behind every
+  //                 ranking/quality-score gate in a curation pipeline)
+  //   ab_ranksum  — is the location shift significant? (Wilcoxon rank-sum
+  //                 z with the EXACT tie-corrected variance)
+  //   ab_ks_test  — do the full DISTRIBUTIONS differ anywhere? (two-sample
+  //                 Kolmogorov-Smirnov D, exact via integer cross-products)
+  //
+  // All three share ONE fact-scale pass: the per-(day, cents) tie-group
+  // grid below. Ranks, U, the tie-corrected variance, and the KS supremum
+  // are all recoverable from tie-group counts alone — so the fact table is
+  // read once per op and everything downstream is grid-sized (distinct
+  // values per day, not events per day). The grid is ALGEBRAIC (two
+  // conditional counts per key), so the streaming twin folds per-batch
+  // partials into it with a keyed SUM merge and the views below reproduce
+  // the batch ops exactly at any batch cut.
+  //
+  // Exactness: `value` is quantized to integer CENTS (the house
+  // DECIMAL(18,2) quantization — identical on both engines), so tie
+  // structure is engine-identical; every rank/count statistic is then
+  // exact BIGINT arithmetic (2×avg-rank = 2·startpos + tiesize − 1 keeps
+  // half-ranks integral), and only the FINAL statistic is a fixed scalar
+  // IEEE tree (÷, √ — correctly rounded everywhere) over exactly-agreed
+  // integers. int64 headroom: rank sums stay ≤ 2n² and KS cross-products
+  // ≤ n² per day (safe through ~2e9 events/day); the rank-sum variance
+  // term n1·n0·(n³-scale) is the one that overflows first, so it is
+  // computed in DECIMAL(38,0) (exact on both engines through n/day ~ 2e6;
+  // at true 100 TB per-day volumes the cube factors would widen the same
+  // way — documented, not silently wrong: DuckDB hard-errors and Spark
+  // nulls on decimal overflow rather than wrapping).
+  // --------------------------------------------------------------------
+
+  /** The per-(day, cents) tie-group count grid — the rank family's only
+    * fact-scale pass, shared with the streaming twin (rankSink,
+    * streaming/Streams.scala). */
+  private[graft] def rankGrid(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isInCollection(Seq(ArmA, ArmB)))
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .agg(count(when(col("event_type") === ArmA, 1)).as("c_a"),
+        count(when(col("event_type") === ArmB, 1)).as("c_b"))
+
+  /** Per-day rank sufficient statistics over a completed grid: n per arm,
+    * Σ(2×avg-rank) over the positive (purchase) arm, the tie-correction
+    * sum Σ(t³−t), and the KS supremum numerator. Grid-sized windows: one
+    * sort per day partition, three frames over it. */
+  private[graft] def rankStats(grid: DataFrame): DataFrame = {
+    val byDay = Window.partitionBy("day")
+    val ord = byDay.orderBy("cents")
+    val excl = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val incl = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = grid
+      .withColumn("t", col("c_a") + col("c_b"))
+      // 1-based start position of this tie group in the day's sort
+      .withColumn("p", coalesce(sum("t").over(excl), lit(0L)) + lit(1L))
+      .withColumn("r2", lit(2L) * col("p") + col("t") - lit(1L))
+      .withColumn("cum_a", sum("c_a").over(incl))
+      .withColumn("cum_b", sum("c_b").over(incl))
+      .withColumn("tot_a", sum("c_a").over(byDay))
+      .withColumn("tot_b", sum("c_b").over(byDay))
+    g.groupBy("day").agg(
+      max("tot_a").as("n_neg"), max("tot_b").as("n_pos"),
+      sum(col("c_b") * col("r2")).as("sr2_pos"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("sum_t3"),
+      max(abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+        .as("d_num"))
+  }
+
+  /** The same grid + per-day rank statistics in DuckDB SQL (no final
+    * ORDER BY; DuckDB SUMs of BIGINT come back HUGEINT, so every carried
+    * column is cast back to BIGINT at the stats stage). */
+  private val rankStatsSql: String =
+    s"""(WITH g AS (
+       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    count(*) FILTER (WHERE event_type = '$ArmA') AS c_a,
+       |    count(*) FILTER (WHERE event_type = '$ArmB') AS c_b
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND value IS NOT NULL
+       |    AND event_type IN ('$ArmA', '$ArmB')
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT day, c_a, c_b, c_a + c_b AS t,
+       |    COALESCE(SUM(c_a + c_b) OVER (PARTITION BY day ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS p,
+       |    SUM(c_a) OVER (PARTITION BY day ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+       |    SUM(c_b) OVER (PARTITION BY day ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+       |    SUM(c_a) OVER (PARTITION BY day) AS tot_a,
+       |    SUM(c_b) OVER (PARTITION BY day) AS tot_b
+       |  FROM g)
+       |SELECT day,
+       |  CAST(max(tot_a) AS BIGINT) AS n_neg,
+       |  CAST(max(tot_b) AS BIGINT) AS n_pos,
+       |  CAST(SUM(c_b * (2 * p + t - 1)) AS BIGINT) AS sr2_pos,
+       |  CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t3,
+       |  CAST(MAX(abs(cum_a * tot_b - cum_b * tot_a)) AS BIGINT) AS d_num
+       |FROM r GROUP BY day)""".stripMargin
+
+  /** eval_auc view: exact tie-corrected ROC AUC from the rank stats.
+    * 2U = Σ(2×avg-rank over positives) − n1(n1+1); AUC = U/(n1·n0). */
+  private[graft] def aucView(stats: DataFrame): DataFrame =
+    stats.filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("day"), col("n_neg"), col("n_pos"),
+        (col("sr2_pos") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+      .withColumn("auc", col("u2").cast("double")
+        / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+      .orderBy("day")
+
+  private val evalAuc = Op("eval_auc",
+    s"""SELECT day, n_neg, n_pos,
+       |  sr2_pos - n_pos * (n_pos + 1) AS u2,
+       |  CAST(sr2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+       |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+       |FROM $rankStatsSql
+       |WHERE n_pos > 0 AND n_neg > 0
+       |ORDER BY day""".stripMargin) { (s, d) =>
+    aucView(rankStats(rankGrid(t(s, d, "events"))))
+  }
+
+  /** ab_ranksum view: Wilcoxon/Mann-Whitney z with the exact
+    * tie-corrected variance σ² = n1·n0·((n+1)n(n−1) − Σ(t³−t)) / (12n(n−1));
+    * z = (2U − n1·n0) / (2√σ²). The variance numerator is the one term
+    * that exceeds int64 (n³ scale), so it is exact DECIMAL(38,0). */
+  private[graft] def ranksumView(stats: DataFrame): DataFrame = {
+    val n = col("n_neg") + col("n_pos")
+    val u2 = col("sr2_pos") - col("n_pos") * (col("n_pos") + 1)
+    val bNum = (col("n_neg") * col("n_pos")).cast(DecimalType(19, 0)) *
+      ((n + 1) * n * (n - 1) - col("sum_t3")).cast(DecimalType(19, 0))
+    stats.filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("day"), col("n_neg"), col("n_pos"), u2.as("u2"),
+        bNum.as("b_num"), (lit(12L) * n * (n - 1)).as("b_den"))
+      .filter(col("b_num") > 0)
+      .withColumn("z", (col("u2") - col("n_pos") * col("n_neg")).cast("double")
+        / (lit(2.0) * sqrt(col("b_num").cast("double")
+          / col("b_den").cast("double"))))
+      .select(col("day"), col("n_neg"), col("n_pos"), col("u2"),
+        col("z"), (abs(col("z")) > lit(1.96)).as("significant"))
+      .orderBy("day")
+  }
+
+  private val abRanksum = Op("ab_ranksum",
+    s"""WITH st AS (
+       |  SELECT day, n_neg, n_pos,
+       |    sr2_pos - n_pos * (n_pos + 1) AS u2,
+       |    CAST(n_neg * n_pos AS DECIMAL(19,0))
+       |      * CAST((n_neg + n_pos + 1) * (n_neg + n_pos)
+       |             * (n_neg + n_pos - 1) - sum_t3 AS DECIMAL(19,0)) AS b_num,
+       |    12 * (n_neg + n_pos) * (n_neg + n_pos - 1) AS b_den
+       |  FROM $rankStatsSql
+       |  WHERE n_pos > 0 AND n_neg > 0)
+       |SELECT day, n_neg, n_pos, u2,
+       |  CAST(u2 - n_pos * n_neg AS DOUBLE)
+       |    / (CAST(2 AS DOUBLE) * sqrt(CAST(CAST(b_num AS VARCHAR) AS DOUBLE)
+       |        / CAST(b_den AS DOUBLE))) AS z,
+       |  abs(CAST(u2 - n_pos * n_neg AS DOUBLE)
+       |    / (CAST(2 AS DOUBLE) * sqrt(CAST(CAST(b_num AS VARCHAR) AS DOUBLE)
+       |        / CAST(b_den AS DOUBLE)))) > CAST(1.96 AS DOUBLE) AS significant
+       |FROM st WHERE b_num > 0
+       |ORDER BY day""".stripMargin) { (s, d) =>
+    ranksumView(rankStats(rankGrid(t(s, d, "events"))))
+  }
+
+  /** ab_ks_test view: two-sample KS. D = max_v |F_a(v) − F_b(v)| computed
+    * as the exact integer supremum max|cum_a·n1 − cum_b·n0| over n0·n1;
+    * significance vs the asymptotic 5% threshold 1.358·√((n0+n1)/(n0·n1)). */
+  private[graft] def ksView(stats: DataFrame): DataFrame =
+    stats.filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("d_stat", col("d_num").cast("double")
+        / (col("n_neg") * col("n_pos")).cast("double"))
+      .withColumn("crit", lit(1.358) *
+        sqrt((col("n_neg") + col("n_pos")).cast("double")
+          / (col("n_neg") * col("n_pos")).cast("double")))
+      .select(col("day"), col("n_neg"), col("n_pos"), col("d_num"),
+        col("d_stat"), col("crit"), (col("d_stat") > col("crit")).as("significant"))
+      .orderBy("day")
+
+  private val abKsTest = Op("ab_ks_test",
+    s"""SELECT day, n_neg, n_pos, d_num,
+       |  CAST(d_num AS DOUBLE) / CAST(n_neg * n_pos AS DOUBLE) AS d_stat,
+       |  CAST(1.358 AS DOUBLE) * sqrt(CAST(n_neg + n_pos AS DOUBLE)
+       |    / CAST(n_neg * n_pos AS DOUBLE)) AS crit,
+       |  CAST(d_num AS DOUBLE) / CAST(n_neg * n_pos AS DOUBLE)
+       |    > CAST(1.358 AS DOUBLE) * sqrt(CAST(n_neg + n_pos AS DOUBLE)
+       |      / CAST(n_neg * n_pos AS DOUBLE)) AS significant
+       |FROM $rankStatsSql
+       |WHERE n_pos > 0 AND n_neg > 0
+       |ORDER BY day""".stripMargin) { (s, d) =>
+    ksView(rankStats(rankGrid(t(s, d, "events"))))
+  }
+
+  val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum,
+    evalAuc, abRanksum, abKsTest)
 }

@@ -789,4 +789,22 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "Window"
     plan should not include "Expand" // flags, not count-distinct
   }
+
+  // The rank family (eval_auc / ab_ranksum / ab_ks_test) shares ONE
+  // pipeline: fact → (day, cents) tie-group grid → per-day windows over
+  // the grid → day-keyed stats. The scale property: the window's sort is
+  // over DISTINCT CENTS per day (grid-sized), never over raw events, and
+  // the final day aggregate reuses the window's day partitioning — so the
+  // whole family costs one fact-scale shuffle plus one grid-scale one.
+  for (op <- Seq("eval_auc", "ab_ranksum", "ab_ks_test"))
+    test(s"$op: one fact pass to the tie-group grid; day windows reuse one grid shuffle") {
+      val plan = planOf(op)
+      "events.parquet".r.findAllIn(plan).size shouldBe 1
+      plan should include("PushedFilters: [IsNotNull(ts), IsNotNull(value)")
+      // fact→grid (day, cents) + grid→day window; the day agg reuses the
+      // window's partitioning, so exactly two hash exchanges
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+      plan should not include "SinglePartition"
+      plan should not include "CartesianProduct"
+    }
 }

@@ -52,6 +52,89 @@ class StatsInvariantSpec extends SparkSpec {
     rows.foreach(_.getDouble(1) should be > 0.0)
   }
 
+  // --- the rank family: brute-force recomputations on sf0.001 ----------
+
+  /** Raw (day, arm, cents) triples for the click/purchase cohorts — the
+    * rank family's input, recomputed driver-side with BigDecimal cents. */
+  private def rankRaw(d: String) = Tables(spark, d, "events")
+    .filter(col("ts").isNotNull && col("value").isNotNull
+      && col("event_type").isin("click", "purchase"))
+    .select(date_trunc("day", col("ts")).cast("timestamp").as("day"),
+      col("event_type"), col("value"))
+    .collect()
+    .map(r => (r.getTimestamp(0), r.getString(1),
+      (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        * 100).toLongExact))
+    .groupBy(_._1)
+
+  test("eval_auc: AUC equals the brute-force pair-counting probability") {
+    val small = "/root/testdata/sf0.001"
+    val byDay = rankRaw(small)
+    val rows = SparkEntry.queries("eval_auc")(spark, small).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val g = byDay(r.getTimestamp(r.fieldIndex("day")))
+      val neg = g.filter(_._2 == "click").map(_._3)
+      val pos = g.filter(_._2 == "purchase").map(_._3)
+      r.getLong(r.fieldIndex("n_neg")) shouldBe neg.size.toLong
+      r.getLong(r.fieldIndex("n_pos")) shouldBe pos.size.toLong
+      // AUC = P(pos > neg) + ½P(pos == neg), counted over every pair
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      r.getLong(r.fieldIndex("u2")) shouldBe wins // 2U = 2·wins/2 pairs
+      r.getDouble(r.fieldIndex("auc")) shouldBe
+        (wins.toDouble / (2L * pos.size * neg.size).toDouble)
+    }
+  }
+
+  test("ab_ks_test: D equals the brute-force ecdf supremum") {
+    val small = "/root/testdata/sf0.001"
+    val byDay = rankRaw(small)
+    val rows = SparkEntry.queries("ab_ks_test")(spark, small).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val g = byDay(r.getTimestamp(r.fieldIndex("day")))
+      val neg = g.filter(_._2 == "click").map(_._3).sorted
+      val pos = g.filter(_._2 == "purchase").map(_._3).sorted
+      val cuts = (neg ++ pos).distinct
+      val dNum = cuts.map { v =>
+        (BigInt(neg.count(_ <= v)) * pos.size - BigInt(pos.count(_ <= v)) * neg.size).abs
+      }.max
+      r.getLong(r.fieldIndex("d_num")) shouldBe dNum.toLong
+      r.getDouble(r.fieldIndex("d_stat")) shouldBe
+        (dNum.toDouble / (neg.size.toLong * pos.size).toDouble)
+    }
+  }
+
+  test("ab_ranksum: z recomputes from driver-side average ranks and tie sizes") {
+    val small = "/root/testdata/sf0.001"
+    val byDay = rankRaw(small)
+    val rows = SparkEntry.queries("ab_ranksum")(spark, small).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val g = byDay(r.getTimestamp(r.fieldIndex("day")))
+      val neg = g.filter(_._2 == "click").map(_._3)
+      val pos = g.filter(_._2 == "purchase").map(_._3)
+      val all = (neg ++ pos).sorted
+      // 2×average-rank per value (ties share the mean of their positions)
+      val r2ByValue = all.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+        v -> (xs.map(_._2 + 1).map(_.toLong).sum * 2L / xs.size) // integral: sum of an arithmetic run
+      }
+      val sr2Pos = pos.map(r2ByValue).sum
+      val u2 = sr2Pos - pos.size.toLong * (pos.size + 1)
+      r.getLong(r.fieldIndex("u2")) shouldBe u2
+      val n = all.size.toLong
+      val sumT3 = all.groupBy(identity).values
+        .map(ts => ts.size.toLong).map(t => t * t * t - t).sum
+      val bNum = BigInt(neg.size.toLong * pos.size) *
+        BigInt((n + 1) * n * (n - 1) - sumT3)
+      val z = (u2 - pos.size.toLong * neg.size).toDouble /
+        (2.0 * math.sqrt(bNum.toDouble / (12L * n * (n - 1)).toDouble))
+      r.getDouble(r.fieldIndex("z")) shouldBe z
+      r.getBoolean(r.fieldIndex("significant")) shouldBe (math.abs(z) > 1.96)
+    }
+  }
+
   test("ab_ttest: the Welch statistic recomputes driver-side from the raw fixture") {
     val ev = Tables(spark, dir, "events")
       .filter(col("ts").isNotNull && col("value").isNotNull
