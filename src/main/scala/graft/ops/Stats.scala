@@ -353,8 +353,8 @@ object Stats {
   // --------------------------------------------------------------------
 
   /** The per-(day, cents) tie-group count grid — the rank family's only
-    * fact-scale pass, shared with the streaming twin (rankSink,
-    * streaming/Streams.scala). */
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.rankSink]]). */
   private[graft] def rankGrid(events: DataFrame): DataFrame =
     events.filter(col("ts").isNotNull && col("value").isNotNull
         && col("event_type").isInCollection(Seq(ArmA, ArmB)))

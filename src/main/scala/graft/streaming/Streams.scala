@@ -1042,4 +1042,34 @@ object Streams {
   /** Read side of [[assocSink]] — LITERALLY the batch op's view. */
   def assocView(state: DataFrame): DataFrame =
     graft.ops.Events.assocView(state)
+
+  /** Merge per-(day, cents) tie-group count partials (twin state of the
+    * rank family: eval_auc / ab_ranksum / ab_ks_test) — keyed SUM merge:
+    * the tie-group grid is algebraic, and ranks, U, the tie-corrected
+    * variance and the KS supremum are all functions of tie-group counts
+    * alone. */
+  def rankMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("day", "cents")
+      .agg(sum(col("c_a")).as("c_a"), sum(col("c_b")).as("c_b"))
+
+  /** foreachBatch fold for the rank-statistics family (twin of the batch
+    * eval_auc / ab_ranksum / ab_ks_test ops): ONE fold keeps all three
+    * nonparametric experiment monitors current as events arrive — live
+    * AUC / rank-sum / KS over the running cohorts, which is exactly how
+    * an experiment dashboard is refreshed. */
+  def rankSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(rankMerge(readState(), graft.ops.Stats.rankGrid(batch)))
+    }
+
+  /** Read sides of [[rankSink]] — LITERALLY the batch ops' views over
+    * the shared per-day rank sufficient statistics. */
+  def rankAucView(state: DataFrame): DataFrame =
+    graft.ops.Stats.aucView(graft.ops.Stats.rankStats(state))
+  def rankRanksumView(state: DataFrame): DataFrame =
+    graft.ops.Stats.ranksumView(graft.ops.Stats.rankStats(state))
+  def rankKsView(state: DataFrame): DataFrame =
+    graft.ops.Stats.ksView(graft.ops.Stats.rankStats(state))
 }

@@ -1300,6 +1300,27 @@ class FileStreamParitySpec extends SparkSpec {
     canon(graft.streaming.Streams.assocView(refolded).collect()) shouldBe streamed
   }
 
+  test("file-source rank sink: tie-group grid fold over hash-split event batches equals the batch rank family") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split: a day's click and purchase events land in DIFFERENT
+    // batches, so per-batch ranks would be wrong by construction — the
+    // tie structure (and hence U, the variance, and the KS supremum)
+    // only exists in the completed fold
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_rank_stream", ev, chunks,
+      "day TIMESTAMP, cents BIGINT, c_a BIGINT, c_b BIGINT",
+      (s, r, w) => graft.streaming.Streams.rankSink(s)(r)(w))
+    // ONE fold, all three monitors read from it
+    canon(graft.streaming.Streams.rankAucView(state).collect()) shouldBe
+      canon(graft.SparkEntry.queries("eval_auc")(spark, dir01).collect())
+    canon(graft.streaming.Streams.rankRanksumView(state).collect()) shouldBe
+      canon(graft.SparkEntry.queries("ab_ranksum")(spark, dir01).collect())
+    val ks = canon(graft.streaming.Streams.rankKsView(state).collect())
+    ks shouldBe canon(graft.SparkEntry.queries("ab_ks_test")(spark, dir01).collect())
+    ks should not be empty
+  }
+
   test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
     val dir01 = "/root/testdata/sf0.01"
     val emb = graft.Tables(spark, dir01, "embeddings").cache()
