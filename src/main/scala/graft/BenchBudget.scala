@@ -61,7 +61,9 @@ object BenchBudget {
     "doc_fingerprint" -> 3.45,
     "dq_check" -> 2.3, "drift_report" -> 1.48, // 3 x 0.49 s idle sf0.1 (r10)
     "embed_normalize" -> 1.41, "etl_pipeline" -> 0.79,
-    "event_attribution" -> 1.18, "event_funnel" -> 1.66, "event_markov" -> 1.33,
+    "event_attribution" -> 1.18, "event_funnel" -> 1.66,
+    "event_interarrival" -> 6.9, // 3 x 2.3 s worst-of-three idle sf0.1 (r11)
+    "event_markov" -> 1.33,
     "event_pattern" -> 3.11,
     "event_sequences" -> 1.07, "event_streak" -> 1.41, "feature_scale" -> 1.09,
     "filter_pred" -> 0.75, "fn_array" -> 1.15, "fn_bitwise" -> 0.87,

@@ -1789,11 +1789,95 @@ object Events {
       .orderBy("user_id")
   }
 
+  // --------------------------------------------------------------------
+  // event_interarrival — the inter-event gap distribution per type (the
+  // cadence table behind rate limiting, bot detection, and capacity
+  // planning: "how often does a user click vs purchase?"). A gap is the
+  // µs between a user's CONSECUTIVE events of the same type (cross-user
+  // or cross-type deltas are meaningless), bucketed on the operational
+  // decades (<1s, <1m, <1h, <1d, ≥1d). Everything is exact int64: gaps
+  // are epoch-µs differences under the pinned (ts, event_id) total
+  // order, bucket edges are integer constants, avg is floor division,
+  // and the share is integer bp against the per-type total. NULL ts
+  // (no position in time) and NULL user/type (no identity) rows are
+  // excluded — declared, matching the rank/assoc family contract.
+  //
+  // Scale shape: ONE keyed window partitioned by (user, type) — partial
+  // sort per key, parallelism scales with users — then a map-side-
+  // combined aggregate to the ≤|types|×5 bucket grid; the per-type
+  // total is a grid-sized window. Nothing downstream of the window
+  // scales with data.
+  // --------------------------------------------------------------------
+  private val interarrival = Op("event_interarrival",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |b AS (
+      |  SELECT event_type,
+      |    CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
+      |         WHEN gap_us < 60000000 THEN '1_lt_1m'
+      |         WHEN gap_us < 3600000000 THEN '2_lt_1h'
+      |         WHEN gap_us < 86400000000 THEN '3_lt_1d'
+      |         ELSE '4_ge_1d' END AS bucket,
+      |    gap_us
+      |  FROM g WHERE gap_us IS NOT NULL),
+      |agg AS (
+      |  SELECT event_type, bucket, count(*) AS n_gaps,
+      |    min(gap_us) AS min_us, max(gap_us) AS max_us,
+      |    SUM(gap_us) AS sum_us
+      |  FROM b GROUP BY 1, 2)
+      |SELECT event_type, bucket, n_gaps, min_us, max_us,
+      |  CAST(sum_us AS BIGINT) // n_gaps AS avg_us,
+      |  CAST(n_gaps * 10000
+      |    // SUM(n_gaps) OVER (PARTITION BY event_type) AS BIGINT) AS share_bp
+      |FROM agg ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+    val byType = Window.partitionBy("event_type")
+    interarrivalGrid(t(s, d, "events"))
+      .withColumn("avg_us", expr("sum_us div n_gaps"))
+      .withColumn("tot", sum("n_gaps").over(byType))
+      .withColumn("share_bp", expr("n_gaps * 10000 div tot"))
+      .select(col("event_type"), col("bucket"), col("n_gaps"),
+        col("min_us"), col("max_us"), col("avg_us"), col("share_bp"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** The (event_type, bucket) gap-count grid — event_interarrival's only
+    * fact-scale pass (one keyed window + one map-combined aggregate),
+    * shared with the streaming twin (interarrivalSink,
+    * streaming/Streams.scala: gaps are order-dependent, so the twin is
+    * an ordered fold over time-split batches with per-key last-ts
+    * carryover). */
+  private[graft] def interarrivalGrid(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us", unix_micros(col("ts").cast("timestamp"))
+        - unix_micros(lag("ts", 1).over(ord).cast("timestamp")))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("bucket",
+        when(col("gap_us") < 1000000L, "0_lt_1s")
+          .when(col("gap_us") < 60000000L, "1_lt_1m")
+          .when(col("gap_us") < 3600000000L, "2_lt_1h")
+          .when(col("gap_us") < 86400000000L, "3_lt_1d")
+          .otherwise("4_ge_1d"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_gaps"), min("gap_us").as("min_us"),
+        max("gap_us").as("max_us"), sum("gap_us").as("sum_us"))
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, attributionFirstTouch, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
     activityProfile, conversionLatency, anomalySeasonal, eventRfm,
-    sessionStats, assocRules)
+    sessionStats, assocRules, interarrival)
 }

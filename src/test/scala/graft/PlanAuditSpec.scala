@@ -790,6 +790,17 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "Expand" // flags, not count-distinct
   }
 
+  test("event_interarrival: one keyed window pass; everything downstream is grid-sized") {
+    val plan = planOf("event_interarrival")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should include(
+      "PushedFilters: [IsNotNull(ts), IsNotNull(user_id), IsNotNull(event_type)]")
+    // (user,type) window + fact→bucket-grid agg + grid share window
+    "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 3
+    plan should not include "SinglePartition"
+    plan should not include "CartesianProduct"
+  }
+
   // The rank family (eval_auc / ab_ranksum / ab_ks_test) shares ONE
   // pipeline: fact → (day, cents) tie-group grid → per-day windows over
   // the grid → day-keyed stats. The scale property: the window's sort is

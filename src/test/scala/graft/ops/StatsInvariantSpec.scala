@@ -135,6 +135,44 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("event_interarrival: every bucket row recomputes from a first-principles gap walk") {
+    val raw = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .select("user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), epochUs(r.get(2)), r.getLong(3)))
+    // consecutive same-(user, type) gaps under the (ts, event_id) order
+    val gaps = raw.groupBy(t => (t._1, t._2)).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._3, e._4))
+      o.zip(o.tail).map { case (a, b) => (a._2, b._3 - a._3) }
+    }
+    def bucketOf(g: Long): String =
+      if (g < 1000000L) "0_lt_1s" else if (g < 60000000L) "1_lt_1m"
+      else if (g < 3600000000L) "2_lt_1h" else if (g < 86400000000L) "3_lt_1d"
+      else "4_ge_1d"
+    val expect = gaps.groupBy(g => (g._1, bucketOf(g._2))).map { case (k, gs) =>
+      k -> (gs.size.toLong, gs.map(_._2).min, gs.map(_._2).max, gs.map(_._2).sum)
+    }
+    val totals = gaps.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rows = SparkEntry.queries("event_interarrival")(spark, dir).collect()
+    rows should not be empty
+    rows.length shouldBe expect.size
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (n, mn, mx, sm) = expect(key)
+      withClue(s"$key: ") {
+        r.getLong(r.fieldIndex("n_gaps")) shouldBe n
+        r.getLong(r.fieldIndex("min_us")) shouldBe mn
+        r.getLong(r.fieldIndex("max_us")) shouldBe mx
+        r.getLong(r.fieldIndex("avg_us")) shouldBe sm / n
+        r.getLong(r.fieldIndex("share_bp")) shouldBe n * 10000 / totals(key._1)
+      }
+    }
+    // non-vacuous: more than one bucket per type is actually populated
+    rows.map(_.getString(1)).distinct.length should be > 1
+  }
+
   test("ab_ttest: the Welch statistic recomputes driver-side from the raw fixture") {
     val ev = Tables(spark, dir, "events")
       .filter(col("ts").isNotNull && col("value").isNotNull
