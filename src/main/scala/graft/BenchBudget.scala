@@ -165,6 +165,7 @@ object BenchBudget {
     "stream_interval_join" -> 0.99, "stream_interval_join_left" -> 1.05, "stream_session" -> 2.07,
     "stream_sliding" -> 1.18, "stream_throttle" -> 2.04, "stream_topk" -> 1.05,
     "stream_tumbling" -> 0.83,
+    "survival_hazard" -> 5.47, // 3 x 1.82 s worst-of-three idle sf0.1 (r11)
     "subquery_exists" -> 1.61,
     "subquery_in_null" -> 0.75, "subquery_scalar" -> 1.12, "text_cooccur" -> 1.83, "text_diversity" -> 2.25,
     "text_filter" -> 1.34, "text_ngram_freq" -> 4.92, "text_normalize" -> 1.49,

@@ -513,6 +513,103 @@ object Stats {
     ksView(rankStats(rankGrid(t(s, d, "events"))))
   }
 
+  // --------------------------------------------------------------------
+  // survival_hazard — the Kaplan-Meier hazard table for time-to-event
+  // analysis with RIGHT CENSORING (the read behind every conversion /
+  // activation / churn model): event = a user's first HIGH-VALUE
+  // purchase (cents ≥ ConvCents — the big-ticket conversion), time = days
+  // from the user's first-ever event; users who never convert are
+  // censored at the in-data anchor day (their time-to-convert is only
+  // known to be AT LEAST that long — counting them as "never converts"
+  // is the classic bias a survival analysis exists to avoid). Per
+  // day-offset t: n_risk (users still unconverted and under observation
+  // at t), n_event (conversions at exactly t), n_censored (observation
+  // windows ending at t), and the discrete hazard n_event/n_risk in
+  // integer bp. The contract is the hazard TABLE, all exact int64 (day
+  // arithmetic, counts, floor-div bp) — the survival curve Π(1−h) is a
+  // trivial driver-side fold over it and would be the one float-product
+  // divergence hazard (declared out).
+  //
+  // Scale shape: ONE fact pass to the per-user (first_day, conv_day,
+  // last_day) grid — all three cells ALGEBRAIC (min / conditional min /
+  // max; min skips NULLs on both engines and in the fold merge), so the
+  // streaming twin folds per-batch partials with a keyed (min, min, max)
+  // merge; the anchor is a 1-row broadcast back over the grid (the
+  // event_rfm pattern); the offset grid is calendar-bounded, so its
+  // reverse-cumulative n_risk window is a bounded unpartitioned window
+  // (the tokenize-vocab / win_rolling_median argument).
+  // --------------------------------------------------------------------
+  private val ConvCents = 20000L // $200+: the big-ticket conversion
+
+  /** The per-user (first_day, conv_day, last_day) grid — survival_hazard's
+    * only fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.survivalSink]]). */
+  private[graft] def survivalGrid(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("first_day"),
+        min(when(col("event_type") === ArmB
+            && (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+               >= ConvCents,
+          col("ts").cast("date"))).as("conv_day"),
+        max(col("ts").cast("date")).as("last_day"))
+
+  /** Anchor, censoring, and the hazard table over a completed grid. */
+  private[graft] def survivalView(u: DataFrame): DataFrame = {
+    val anchor = u.agg(max("last_day").as("anchor_day"))
+    val obs = u.crossJoin(broadcast(anchor))
+      .withColumn("censored", col("conv_day").isNull)
+      .withColumn("t_days",
+        when(col("censored"), datediff(col("anchor_day"), col("first_day")))
+          .otherwise(datediff(col("conv_day"), col("first_day"))).cast("long"))
+    val ord = Window.orderBy(col("t_days").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs.groupBy("t_days")
+      .agg(count(when(!col("censored"), 1)).as("n_event"),
+        count(when(col("censored"), 1)).as("n_censored"))
+      .withColumn("n_risk", sum(col("n_event") + col("n_censored")).over(ord))
+      .withColumn("hazard_bp", expr("n_event * 10000 div n_risk"))
+      .select(col("t_days"), col("n_risk"), col("n_event"),
+        col("n_censored"), col("hazard_bp"))
+      .orderBy("t_days")
+  }
+
+  private val survivalHazard = Op("survival_hazard",
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+       |    event_type = '$ArmB'
+       |      AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |          >= $ConvCents AS conv
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |u AS (
+       |  SELECT user_id, min(d) AS first_day,
+       |    min(CASE WHEN conv THEN d END) AS conv_day,
+       |    max(d) AS last_day
+       |  FROM e GROUP BY 1),
+       |a AS (SELECT max(last_day) AS anchor_day FROM u),
+       |o AS (
+       |  SELECT conv_day IS NULL AS censored,
+       |    CASE WHEN conv_day IS NULL
+       |         THEN datediff('day', first_day, anchor_day)
+       |         ELSE datediff('day', first_day, conv_day) END AS t_days
+       |  FROM u, a),
+       |g AS (
+       |  SELECT t_days,
+       |    count(*) FILTER (WHERE NOT censored) AS n_event,
+       |    count(*) FILTER (WHERE censored) AS n_censored
+       |  FROM o GROUP BY 1),
+       |r AS (
+       |  SELECT t_days, n_event, n_censored,
+       |    CAST(SUM(n_event + n_censored) OVER (ORDER BY t_days
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_risk
+       |  FROM g)
+       |SELECT CAST(t_days AS BIGINT) AS t_days, n_risk, n_event, n_censored,
+       |  n_event * 10000 // n_risk AS hazard_bp
+       |FROM r ORDER BY t_days""".stripMargin) { (s, d) =>
+    survivalView(survivalGrid(t(s, d, "events")))
+  }
+
   val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum,
-    evalAuc, abRanksum, abKsTest)
+    evalAuc, abRanksum, abKsTest, survivalHazard)
 }

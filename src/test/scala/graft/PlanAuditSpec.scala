@@ -304,6 +304,7 @@ class PlanAuditSpec extends SparkSpec {
       "anomaly_mad" -> "1-row median/MAD scalar broadcast back over the scan",
       "curriculum_order" -> "1-row quartile-threshold scalar broadcast back over the scored scan (the anomaly_mad pattern)",
       "event_rfm" -> "1-row anchor + 1-row quintile-threshold scalar broadcasts back over the user grid (the anomaly_mad pattern)",
+      "survival_hazard" -> "1-row anchor-day scalar broadcast back over the user lifetime grid (the event_rfm anchor pattern)",
       "assoc_rules" -> "1-row basket-count scalar broadcast over the <=|types|^2 rule grid (the anomaly_mad pattern)",
       "knn_classify" -> "5-row probe-seed broadcast against the corpus scan (classifier seeds are bounded by construction)",
       "tf_idf" -> "1-row corpus-size scalar broadcast over the tf/df join",
@@ -788,6 +789,23 @@ class PlanAuditSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(plan).size should be >= 3
     plan should not include "Window"
     plan should not include "Expand" // flags, not count-distinct
+  }
+
+  test("survival_hazard: one fact pass to the user grid; the anchor broadcasts back") {
+    val plan = planOf("survival_hazard")
+    // the static plan prints the fact scan once per branch (anchor + obs,
+    // both over the IDENTICAL canonical user-grid exchange); AQE's runtime
+    // stage cache dedups them to one physical scan — so pin the branch
+    // count, not 1 (the event_rfm/anomaly_mad anchor shape)
+    "events.parquet".r.findAllIn(plan).size shouldBe 2
+    plan should include("PushedFilters: [IsNotNull(ts), IsNotNull(user_id)]")
+    // three static hash exchanges: the fact→user-grid one printed in each
+    // branch (same canonical plan, deduped at runtime) + the grid-sized
+    // t_days one; the n_risk window runs on the calendar-bounded offset
+    // grid (declared SinglePartition)
+    "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 3
+    plan should include("BroadcastNestedLoopJoin") // the 1-row anchor
+    plan should not include "CartesianProduct"
   }
 
   test("event_interarrival: one keyed window pass; everything downstream is grid-sized") {

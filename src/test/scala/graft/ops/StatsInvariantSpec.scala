@@ -173,6 +173,47 @@ class StatsInvariantSpec extends SparkSpec {
     rows.map(_.getString(1)).distinct.length should be > 1
   }
 
+  test("survival_hazard: the KM table recomputes from a first-principles time-to-event walk") {
+    val raw = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getString(2), if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+    val byUser = raw.groupBy(_._1)
+    val anchor = raw.map(_._2.toEpochDay).max
+    // per user: (t_days, converted?)
+    val obs = byUser.values.map { es =>
+      val first = es.map(_._2.toEpochDay).min
+      val conv = es.filter(e => e._3 == "purchase" && e._4 >= 20000L)
+        .map(_._2.toEpochDay).sorted.headOption
+      conv match {
+        case Some(c) => (c - first, true)
+        case None => (anchor - first, false)
+      }
+    }.toSeq
+    val rows = SparkEntry.queries("survival_hazard")(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val t = r.getLong(r.fieldIndex("t_days"))
+      withClue(s"t=$t: ") {
+        r.getLong(r.fieldIndex("n_risk")) shouldBe obs.count(_._1 >= t).toLong
+        r.getLong(r.fieldIndex("n_event")) shouldBe
+          obs.count(o => o._1 == t && o._2).toLong
+        r.getLong(r.fieldIndex("n_censored")) shouldBe
+          obs.count(o => o._1 == t && !o._2).toLong
+        r.getLong(r.fieldIndex("hazard_bp")) shouldBe
+          obs.count(o => o._1 == t && o._2).toLong * 10000 / obs.count(_._1 >= t)
+      }
+    }
+    // the table covers every observed t and both arms are non-vacuous
+    rows.length shouldBe obs.map(_._1).distinct.size
+    obs.count(_._2) should be > 0
+    obs.count(!_._2) should be > 0
+  }
+
   test("ab_ttest: the Welch statistic recomputes driver-side from the raw fixture") {
     val ev = Tables(spark, dir, "events")
       .filter(col("ts").isNotNull && col("value").isNotNull
