@@ -22,6 +22,13 @@ object BenchBudget {
     "ab_ks_test" -> 9.6, // 3 x 3.2 s worst-of-three idle sf0.1 (r11)
     "ab_ranksum" -> 6.3, // 3 x 2.1 s worst-of-three idle sf0.1 (r11)
     "eval_auc" -> 6.0, // 3 x 2.0 s worst-of-three idle sf0.1 (r11)
+    "ab_srm" -> 1.96, // 3 x 0.65 s worst-of-three idle sf0.1 (r11)
+    "ab_cuped" -> 3.75, // 3 x 1.25 s worst-of-three idle sf0.1 (r11)
+    "calibration_table" -> 1.49, // 3 x 0.50 s worst-of-three idle sf0.1 (r11)
+    "gains_table" -> 1.38, // 3 x 0.46 s worst-of-three idle sf0.1 (r11)
+    // the B+1-fold generator expansion IS the contract (33x the fact rows
+    // through the scan stage, absorbed map-side); one md5 per event
+    "bootstrap_ci" -> 12.35, // 3 x 4.11 s worst-of-three idle sf0.1 (r11)
     "ab_ttest" -> 1.87, // 3 x 0.62 s idle sf0.1 (r10)
     "agg_approx_distinct" -> 3.15, "agg_bitmap_distinct" -> 1.28, "agg_collect" -> 0.77,
     "agg_cube" -> 3.83, "agg_custom_udaf" -> 0.9, "agg_distinct" -> 2.03,

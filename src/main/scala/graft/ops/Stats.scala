@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ops.Text.{h60, h60Sql}
+
 /** Statistical monitoring operators — the two checks every production
   * training-data pipeline runs between ingestion and training: feature
   * DRIFT detection (has the incoming distribution shifted vs the reference
@@ -610,6 +612,466 @@ object Stats {
     survivalView(survivalGrid(t(s, d, "events")))
   }
 
+  // --------------------------------------------------------------------
+  // ab_srm — the sample-ratio-mismatch / daily-mix screen: is each DAY's
+  // click-vs-purchase mix consistent with the GLOBAL mix? SRM is the
+  // first thing an experimentation platform checks — a significant mix
+  // shift means the assignment (or the logging) broke, and every other
+  // statistic on that day is suspect. Per day: observed arm counts, the
+  // exact integer imbalance d = o_a·g_b − o_b·g_a (zero iff the day's
+  // mix equals the global mix), the χ²₁ homogeneity statistic
+  // d²/(n·g_a·g_b), and the 5% flag (3.84).
+  //
+  // Engine-identical: counts are exact BIGINT; d is exact BIGINT
+  // (headroom: |d| ≤ events/day × global events — widen to DECIMAL at
+  // ~1e15·1e3, same documented path as the ranksum variance); χ² is a
+  // fixed scalar IEEE tree (two multiplies, one divide — correctly
+  // rounded everywhere) over exactly-agreed integers, the ab_ttest rule.
+  //
+  // Scale shape: ONE fact pass to the per-day count grid (map-side
+  // combine, |days| rows); the global counts are a grid aggregate
+  // broadcast back as a 1-row BNLJ (the anomaly_mad pattern); χ² is
+  // scan-stage arithmetic on the grid.
+  // --------------------------------------------------------------------
+
+  /** The per-day arm-count grid — ab_srm's only fact-scale pass, shared
+    * with the streaming twin ([[graft.streaming.Streams.srmSink]]):
+    * two conditional counts per key, keyed SUM fold. */
+  private[graft] def srmGrid(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull
+        && col("event_type").isInCollection(Seq(ArmA, ArmB)))
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp").as("day"))
+      .agg(count(when(col("event_type") === ArmA, 1)).as("n_a"),
+        count(when(col("event_type") === ArmB, 1)).as("n_b"))
+
+  /** χ² homogeneity over a completed day grid (grid-sized input). */
+  private[graft] def srmView(grid: DataFrame): DataFrame = {
+    val g = grid.agg(sum("n_a").as("g_a"), sum("n_b").as("g_b"))
+    val q = grid.crossJoin(broadcast(g))
+      .withColumn("d_stat", col("n_a") * col("g_b") - col("n_b") * col("g_a"))
+      .withColumn("chi2",
+        col("d_stat").cast("double") * col("d_stat").cast("double")
+          / ((col("n_a") + col("n_b")).cast("double")
+            * col("g_a").cast("double") * col("g_b").cast("double")))
+    q.select(col("day"), col("n_a"), col("n_b"), col("d_stat"), col("chi2"),
+        (col("chi2") > lit(3.84)).as("srm"))
+      .orderBy("day")
+  }
+
+  private val abSrm = Op("ab_srm",
+    s"""WITH grid AS (
+       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |    count(*) FILTER (WHERE event_type = '$ArmA') AS n_a,
+       |    count(*) FILTER (WHERE event_type = '$ArmB') AS n_b
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND event_type IN ('$ArmA', '$ArmB')
+       |  GROUP BY 1),
+       |g AS (SELECT CAST(SUM(n_a) AS BIGINT) AS g_a,
+       |             CAST(SUM(n_b) AS BIGINT) AS g_b FROM grid),
+       |q AS (
+       |  SELECT day, n_a, n_b, n_a * g_b - n_b * g_a AS d_stat,
+       |    CAST(n_a * g_b - n_b * g_a AS DOUBLE)
+       |      * CAST(n_a * g_b - n_b * g_a AS DOUBLE)
+       |      / (CAST(n_a + n_b AS DOUBLE)
+       |         * CAST(g_a AS DOUBLE) * CAST(g_b AS DOUBLE)) AS chi2
+       |  FROM grid, g)
+       |SELECT day, n_a, n_b, d_stat, chi2,
+       |  chi2 > CAST(3.84 AS DOUBLE) AS srm
+       |FROM q ORDER BY day""".stripMargin) { (s, d) =>
+    srmView(srmGrid(t(s, d, "events")))
+  }
+
+  // --------------------------------------------------------------------
+  // ab_cuped — CUPED variance reduction (Deng et al., WSDM 2013), the
+  // standard trick every experimentation platform applies before the
+  // t-test: regress the experiment-period metric Y on a PRE-period
+  // covariate X (same user, before the split date), and compare the
+  // adjusted means Ŷ_arm = Ȳ_arm − θ·(X̄_arm − X̄_pooled) instead of the
+  // raw means — the pre-period signal explains away between-user
+  // variance that has nothing to do with the treatment. Unit = user;
+  // assignment = deterministic salted-hash coin (h60 parity — the
+  // dataset_split convention: reproducible across engines, reruns, and
+  // partition counts); X/Y = the user's exact cents totals before/after
+  // the split date. θ = cov(X,Y)/var(X) pooled over both arms.
+  //
+  // Engine-identical: per-arm sufficient stats are exact (counts BIGINT;
+  // Σx, Σy BIGINT cents; Σx², Σxy exact DECIMAL(38,0) — the ranksum
+  // widening rule: overflow errors, never wraps); θ, the means, and the
+  // adjusted means are a fixed scalar IEEE tree over exactly-agreed
+  // values, with every decimal→double on the oracle side routed through
+  // VARCHAR (the house conversion convention past 2^53).
+  //
+  // Scale shape: ONE fact pass to the per-user (x, y) grid (map-side
+  // combine, |users| rows), a 2-row arm aggregate over it, the pooled
+  // row broadcast back as a 1-row BNLJ. Nothing downstream of the first
+  // aggregate scales with events.
+  // --------------------------------------------------------------------
+
+  /** The per-user pre/post cents grid — ab_cuped's only fact-scale pass,
+    * shared with the streaming twin
+    * ([[graft.streaming.Streams.cupedSink]]): two conditional sums per
+    * user, keyed SUM fold. Users with no pre (or post) events carry 0,
+    * not NULL — a missing covariate is a zero covariate by contract. */
+  private[graft] def cupedUserGrid(events: DataFrame): DataFrame = {
+    val split = lit(DriftSplit).cast("timestamp")
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("ts") < split, cents)), lit(0L)).as("x"),
+        coalesce(sum(when(col("ts") >= split, cents)), lit(0L)).as("y"))
+  }
+
+  /** Arm assignment + pooled θ + adjusted means over a completed user
+    * grid (grid-sized input: |users| rows → 2 output rows). */
+  private[graft] def cupedView(users: DataFrame): DataFrame = {
+    val dec = DecimalType(19, 0)
+    val armed = users.withColumn("arm",
+      pmod(h60(concat(lit("cuped:"), col("user_id").cast("string"))), lit(2L)))
+    val st = armed.groupBy("arm").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x").cast(dec) * col("x").cast(dec))
+        .cast(DecimalType(38, 0)).as("sxx"),
+      sum(col("x").cast(dec) * col("y").cast(dec))
+        .cast(DecimalType(38, 0)).as("sxy"))
+    val pooled = st.agg(sum("n").as("pn"), sum("sx").as("psx"),
+      sum("sy").as("psy"),
+      sum("sxx").cast(DecimalType(38, 0)).as("psxx"),
+      sum("sxy").cast(DecimalType(38, 0)).as("psxy"))
+    val theta = (col("pn").cast("double") * col("psxy").cast("double")
+      - col("psx").cast("double") * col("psy").cast("double")) /
+      (col("pn").cast("double") * col("psxx").cast("double")
+        - col("psx").cast("double") * col("psx").cast("double"))
+    st.crossJoin(broadcast(pooled))
+      .withColumn("theta", theta)
+      .withColumn("mean_x", col("sx").cast("double") / col("n") / lit(100.0))
+      .withColumn("mean_y", col("sy").cast("double") / col("n") / lit(100.0))
+      .withColumn("mean_x_pooled",
+        col("psx").cast("double") / col("pn") / lit(100.0))
+      .withColumn("mean_y_adj", col("mean_y")
+        - col("theta") * (col("mean_x") - col("mean_x_pooled")))
+      .select(col("arm"), col("n"), col("mean_x"), col("mean_y"),
+        col("theta"), col("mean_y_adj"))
+      .orderBy("arm")
+  }
+
+  private val abCuped = Op("ab_cuped", {
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    COALESCE(SUM(CASE WHEN ts < TIMESTAMP '$DriftSplit'
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS x,
+       |    COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '$DriftSplit'
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS y
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY 1),
+       |armed AS (
+       |  SELECT ${h60Sql("concat('cuped:', CAST(user_id AS VARCHAR))")} % 2 AS arm,
+       |    x, y FROM u),
+       |st AS (
+       |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sxx,
+       |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sxy
+       |  FROM armed GROUP BY 1),
+       |pooled AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS pn, CAST(SUM(sx) AS BIGINT) AS psx,
+       |    CAST(SUM(sy) AS BIGINT) AS psy,
+       |    CAST(SUM(sxx) AS DECIMAL(38,0)) AS psxx,
+       |    CAST(SUM(sxy) AS DECIMAL(38,0)) AS psxy
+       |  FROM st),
+       |q AS (
+       |  SELECT arm, n,
+       |    (CAST(pn AS DOUBLE) * ${d("psxy")} - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+       |      / (CAST(pn AS DOUBLE) * ${d("psxx")} - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))
+       |      AS theta,
+       |    CAST(sx AS DOUBLE) / n / CAST(100 AS DOUBLE) AS mean_x,
+       |    CAST(sy AS DOUBLE) / n / CAST(100 AS DOUBLE) AS mean_y,
+       |    CAST(psx AS DOUBLE) / pn / CAST(100 AS DOUBLE) AS mean_x_pooled
+       |  FROM st, pooled)
+       |SELECT arm, n, mean_x, mean_y, theta,
+       |  mean_y - theta * (mean_x - mean_x_pooled) AS mean_y_adj
+       |FROM q ORDER BY arm""".stripMargin
+  }) { (s, d) =>
+    cupedView(cupedUserGrid(t(s, d, "events")))
+  }
+
+  // --------------------------------------------------------------------
+  // calibration_table / gains_table — the two standard table reads of
+  // "how good is this score as a predictor", next to eval_auc's single
+  // number (AUC says the score RANKS well; these say WHERE it's reliable
+  // and how much targeting it buys):
+  //   calibration_table — reliability: bucket the score into global
+  //     deciles and compare each bucket's observed positive rate to the
+  //     base rate (a calibrated score's rate rises monotonically).
+  //   gains_table       — targeting yield: order by score DESCENDING,
+  //     and per decile report the cumulative share of all positives
+  //     captured (the gains curve) and the decile's lift over random.
+  // Score = the cents-quantized `value`; positive = the purchase arm
+  // (the eval_auc convention, so AUC / calibration / gains are three
+  // reads of ONE definition).
+  //
+  // Both share ONE fact-scale pass: the global (cents, c_neg, c_pos)
+  // tie-group grid (the rank-family discipline — every statistic here is
+  // a function of tie-group counts alone). Decile assignment is exact
+  // integer arithmetic on 1-based tie-group start positions
+  // ((p−1)·10 div N), so a tie block is INDIVISIBLE — it lands wholly in
+  // one decile and bucket sizes flex around ties (declared; the
+  // alternative, splitting a tie by row order, is partition-order-
+  // dependent and therefore not reproducible). All outputs are exact
+  // int64 (counts, bp floor-div, floor-div average cents) except
+  // gains_table's lift, a fixed scalar IEEE tree over exactly-agreed
+  // integers (the ab_ttest rule). int64 headroom: p·10 ≤ 10N and
+  // cum_pos·10⁴ hold to ~9e14 scored events (documented widening path:
+  // the ranksum DECIMAL rule).
+  //
+  // Scale shape: ONE fact pass to the tie grid (map-side combine, grid
+  // sized by DISTINCT cents values — value-domain-bounded, not
+  // fact-bounded); the position/decile windows run over the GRID
+  // (unpartitioned but grid-sized — the survival n_risk argument); the
+  // decile tables are ≤10 rows.
+  // --------------------------------------------------------------------
+
+  /** The global (cents, c_neg, c_pos) tie-group grid — the only
+    * fact-scale pass of calibration_table and gains_table, shared with
+    * the streaming twin ([[graft.streaming.Streams.scoreSink]]): two
+    * conditional counts per key, keyed SUM fold. */
+  private[graft] def scoreGrid(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isInCollection(Seq(ArmA, ArmB)))
+      .groupBy((col("value").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+      .agg(count(when(col("event_type") === ArmA, 1)).as("c_neg"),
+        count(when(col("event_type") === ArmB, 1)).as("c_pos"))
+
+  /** Tie-group start positions + global totals over a completed grid —
+    * the stage both decile tables bucket from. `asc` picks the decile
+    * direction: ascending for calibration, descending for gains. */
+  private def scorePositions(grid: DataFrame, asc: Boolean): DataFrame = {
+    val ord = Window.orderBy(if (asc) col("cents").asc else col("cents").desc)
+    val excl = ord.rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("t", col("c_neg") + col("c_pos"))
+      .withColumn("p", coalesce(sum("t").over(excl), lit(0L)) + lit(1L))
+      .withColumn("n_tot", sum("t").over(Window.partitionBy()))
+      .withColumn("p_tot", sum("c_pos").over(Window.partitionBy()))
+      .withColumn("bucket", expr("(p - 1) * 10 div n_tot"))
+  }
+
+  /** Reliability table over a completed grid (≤10 output rows). */
+  private[graft] def calibView(grid: DataFrame): DataFrame =
+    scorePositions(grid, asc = true)
+      .groupBy("bucket")
+      .agg(sum("t").as("n"), sum("c_pos").as("n_pos"),
+        sum(col("cents") * col("t")).as("sum_cents"),
+        max("n_tot").as("n_tot"), max("p_tot").as("p_tot"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("n_pos * 10000 div n").as("rate_bp"),
+        expr("sum_cents div n").as("avg_cents"),
+        expr("p_tot * 10000 div n_tot").as("base_bp"))
+      .orderBy("bucket")
+
+  /** Gains/lift table over a completed grid (≤10 output rows, decile 1 =
+    * top scores). */
+  private[graft] def gainsView(grid: DataFrame): DataFrame = {
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scorePositions(grid, asc = false)
+      .withColumn("decile", col("bucket") + 1)
+      .groupBy("decile")
+      .agg(sum("t").as("n"), sum("c_pos").as("n_pos"),
+        max("n_tot").as("n_tot"), max("p_tot").as("p_tot"))
+      .withColumn("cum_pos", sum("n_pos").over(cum))
+      .filter(col("p_tot") > 0)
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        expr("cum_pos * 10000 div p_tot").as("gain_bp"),
+        ((col("n_pos").cast("double") * col("n_tot").cast("double"))
+          / (col("n").cast("double") * col("p_tot").cast("double")))
+          .as("lift"))
+      .orderBy("decile")
+  }
+
+  /** The shared tie grid + positions in DuckDB SQL (`asc` as in
+    * [[scorePositions]]); window SUMs come back HUGEINT, so every carried
+    * column is cast to BIGINT here. */
+  private def scorePositionsSql(asc: Boolean): String = {
+    val dir = if (asc) "ASC" else "DESC"
+    s"""(WITH g AS (
+       |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    count(*) FILTER (WHERE event_type = '$ArmA') AS c_neg,
+       |    count(*) FILTER (WHERE event_type = '$ArmB') AS c_pos
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND value IS NOT NULL
+       |    AND event_type IN ('$ArmA', '$ArmB')
+       |  GROUP BY 1)
+       |SELECT cents, c_pos, c_neg + c_pos AS t,
+       |  CAST(COALESCE(SUM(c_neg + c_pos) OVER (ORDER BY cents $dir
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+       |    AS BIGINT) AS p,
+       |  CAST(SUM(c_neg + c_pos) OVER () AS BIGINT) AS n_tot,
+       |  CAST(SUM(c_pos) OVER () AS BIGINT) AS p_tot
+       |FROM g)""".stripMargin
+  }
+
+  private val calibrationTable = Op("calibration_table",
+    s"""WITH pos AS ${scorePositionsSql(asc = true)},
+       |b AS (
+       |  SELECT (p - 1) * 10 // n_tot AS bucket,
+       |    CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(cents * t) AS BIGINT) AS sum_cents,
+       |    max(n_tot) AS n_tot, max(p_tot) AS p_tot
+       |  FROM pos GROUP BY 1)
+       |SELECT bucket, n, n_pos,
+       |  n_pos * 10000 // n AS rate_bp,
+       |  sum_cents // n AS avg_cents,
+       |  p_tot * 10000 // n_tot AS base_bp
+       |FROM b ORDER BY bucket""".stripMargin) { (s, d) =>
+    calibView(scoreGrid(t(s, d, "events")))
+  }
+
+  private val gainsTable = Op("gains_table",
+    s"""WITH pos AS ${scorePositionsSql(asc = false)},
+       |b AS (
+       |  SELECT (p - 1) * 10 // n_tot + 1 AS decile,
+       |    CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+       |    max(n_tot) AS n_tot, max(p_tot) AS p_tot
+       |  FROM pos GROUP BY 1),
+       |c AS (
+       |  SELECT decile, n, n_pos, n_tot, p_tot,
+       |    CAST(SUM(n_pos) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_pos
+       |  FROM b)
+       |SELECT decile, n, n_pos, cum_pos,
+       |  cum_pos * 10000 // p_tot AS gain_bp,
+       |  (CAST(n_pos AS DOUBLE) * CAST(n_tot AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * CAST(p_tot AS DOUBLE)) AS lift
+       |FROM c WHERE p_tot > 0 ORDER BY decile""".stripMargin) { (s, d) =>
+    gainsView(scoreGrid(t(s, d, "events")))
+  }
+
+  // --------------------------------------------------------------------
+  // bootstrap_ci — a deterministic Poisson-style bootstrap confidence
+  // interval for the per-type mean value: the uncertainty band a metric
+  // dashboard needs next to every point estimate. Classic multinomial
+  // bootstrap resampling needs RNG state shared across engines; at scale
+  // the standard substitute (Chamandy et al., "Estimating Uncertainty
+  // for Massive Data Streams") draws each row's per-replicate weight
+  // independently — here from a SALTED HASH of the row key, so the
+  // resample is a pure function of the data: reproducible across
+  // engines, reruns, retries, and partition counts (the sample_hash
+  // argument). ONE md5 per event supplies ALL replicates: md5's 32 hex
+  // nibbles are the 32 per-replicate draws (replicate b reads nibble b),
+  // so the hash cost does not scale with B. Weights take {0, 1, 2, 3}
+  // with probabilities {6/16, 6/16, 2/16, 2/16} — mean 1, variance 1,
+  // matching Poisson(1)'s first two moments, in exact sixteenths off a
+  // 4-bit nibble. B = 32 replicates; the CI is the 2nd-smallest /
+  // 2nd-largest replicate mean (the ~3–97% band 32 replicates can
+  // support); replicate b = B is the IDENTITY replicate (w = 1), whose
+  // mean is the point estimate — one pass computes both. All arithmetic
+  // exact int64 (floor-div cent means); NULL event_id rows are excluded
+  // (no identity → no reproducible resample; declared).
+  //
+  // Scale shape: ONE fact pass with a B+1-fold generator expansion
+  // absorbed by map-side combine into the |types|×(B+1) grid — the
+  // documented large-scale bootstrap design (weights are generated,
+  // never materialized); order statistics run on the grid.
+  // --------------------------------------------------------------------
+  private val BootReps = 32
+
+  /** The (type, replicate) weighted-sum grid — bootstrap_ci's only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.bootSink]]): two algebraic sums per key,
+    * keyed SUM fold. */
+  private[graft] def bootGrid(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    // replicate b's 4-bit draw = hex nibble b of the event's one md5
+    val nib = conv(substring(col("hex"), col("b") + 1, lit(1)), 16, 10)
+      .cast("long")
+    events.filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"), cents.as("cents"),
+        md5(concat(lit("boot:"), col("event_id").cast("string"))).as("hex"),
+        explode(sequence(lit(0), lit(BootReps))).as("b"))
+      .withColumn("w",
+        when(col("b") === BootReps, lit(1L))
+          .when(nib < 6, lit(0L)).when(nib < 12, lit(1L))
+          .when(nib < 14, lit(2L)).otherwise(lit(3L)))
+      .groupBy("event_type", "b")
+      .agg(sum("w").as("sw"), sum(col("w") * col("cents")).as("swx"))
+  }
+
+  /** Point estimate + order-statistic CI over a completed grid
+    * (grid-sized input: |types|×(B+1) rows). */
+  private[graft] def bootView(grid: DataFrame): DataFrame = {
+    val means = grid.filter(col("sw") > 0)
+      .withColumn("mean_cents", expr("swx div sw"))
+    val point = means.filter(col("b") === BootReps)
+      .select(col("event_type"), col("sw").as("n"), col("mean_cents"))
+    val byType = Window.partitionBy("event_type")
+    val ranked = means.filter(col("b") < BootReps)
+      .withColumn("ra", row_number().over(
+        byType.orderBy(col("mean_cents").asc, col("b").asc)))
+      .withColumn("rd", row_number().over(
+        byType.orderBy(col("mean_cents").desc, col("b").desc)))
+    val ci = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("ra") === 2, col("mean_cents"))).as("ci_lo_cents"),
+        max(when(col("rd") === 2, col("mean_cents"))).as("ci_hi_cents"))
+    point.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean_cents"),
+        col("n_reps"), col("ci_lo_cents"), col("ci_hi_cents"))
+      .orderBy("event_type")
+  }
+
+  private val bootstrapCi = Op("bootstrap_ci", {
+    val nib = "CAST('0x' || substr(hex, CAST(b AS INT) + 1, 1) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    md5(concat('boot:', CAST(event_id AS VARCHAR))) AS hex
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND value IS NOT NULL
+       |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+       |wb AS (
+       |  SELECT event_type, cents, b,
+       |    CASE WHEN b = $BootReps THEN 1
+       |         WHEN $nib < 6 THEN 0
+       |         WHEN $nib < 12 THEN 1
+       |         WHEN $nib < 14 THEN 2 ELSE 3 END AS w
+       |  FROM e CROSS JOIN generate_series(0, $BootReps) AS s(b)),
+       |grid AS (
+       |  SELECT event_type, b, CAST(SUM(w) AS BIGINT) AS sw,
+       |    CAST(SUM(w * cents) AS BIGINT) AS swx
+       |  FROM wb GROUP BY 1, 2),
+       |means AS (
+       |  SELECT event_type, b, sw, swx // sw AS mean_cents
+       |  FROM grid WHERE sw > 0),
+       |point AS (
+       |  SELECT event_type, sw AS n, mean_cents
+       |  FROM means WHERE b = $BootReps),
+       |ranked AS (
+       |  SELECT event_type, mean_cents,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY mean_cents ASC, b ASC) AS ra,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY mean_cents DESC, b DESC) AS rd
+       |  FROM means WHERE b < $BootReps),
+       |ci AS (
+       |  SELECT event_type, count(*) AS n_reps,
+       |    max(CASE WHEN ra = 2 THEN mean_cents END) AS ci_lo_cents,
+       |    max(CASE WHEN rd = 2 THEN mean_cents END) AS ci_hi_cents
+       |  FROM ranked GROUP BY 1)
+       |SELECT p.event_type, p.n, p.mean_cents,
+       |  c.n_reps, c.ci_lo_cents, c.ci_hi_cents
+       |FROM point p JOIN ci c USING (event_type)
+       |ORDER BY p.event_type""".stripMargin
+  }) { (s, d) =>
+    bootView(bootGrid(t(s, d, "events")))
+  }
+
   val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum,
-    evalAuc, abRanksum, abKsTest, survivalHazard)
+    evalAuc, abRanksum, abKsTest, survivalHazard, abSrm, abCuped,
+    calibrationTable, gainsTable, bootstrapCi)
 }

@@ -1087,6 +1087,188 @@ class StatsInvariantSpec extends SparkSpec {
       }
   }
 
+  /** Driver-side cents quantization — the house DECIMAL(18,2)×100 rule. */
+  private def centsOf(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+
+  /** Driver-side twin of the Spark/DuckDB h60 hash. */
+  private def h60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("ab_srm: d and chi2 recompute from first-principles daily counts, and the day mixes sum to the global mix") {
+    val raw = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isin("click", "purchase"))
+      .select(date_trunc("day", col("ts")).cast("timestamp").as("day"),
+        col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val byDay = raw.groupBy(_._1)
+    val gA = raw.count(_._2 == "click").toLong
+    val gB = raw.count(_._2 == "purchase").toLong
+    val rows = SparkEntry.queries("ab_srm")(spark, dir).collect()
+    rows.length shouldBe byDay.size
+    rows.foreach { r =>
+      val g = byDay(r.getTimestamp(r.fieldIndex("day")))
+      val (oA, oB) = (g.count(_._2 == "click").toLong,
+        g.count(_._2 == "purchase").toLong)
+      r.getLong(r.fieldIndex("n_a")) shouldBe oA
+      r.getLong(r.fieldIndex("n_b")) shouldBe oB
+      val d = oA * gB - oB * gA
+      r.getLong(r.fieldIndex("d_stat")) shouldBe d
+      r.getDouble(r.fieldIndex("chi2")) shouldBe
+        d.toDouble * d.toDouble / ((oA + oB).toDouble * gA.toDouble * gB.toDouble)
+    }
+    // the imbalances cancel globally: Σ_day d = Σ o_a·g_b − Σ o_b·g_a = 0
+    rows.map(_.getLong(rows.head.fieldIndex("d_stat"))).sum shouldBe 0L
+  }
+
+  test("ab_cuped: theta and the adjusted means recompute from first-principles user sums, and adjustment preserves the pooled mean") {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val users = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("timestamp"), col("value"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (uid, rs) =>
+        def cents(pre: Boolean) = rs.filter { r =>
+          val isPre = r.getTimestamp(1).before(split)
+          isPre == pre && !r.isNullAt(2)
+        }.map(r => centsOf(r.getDouble(2))).sum
+        (uid, cents(pre = true), cents(pre = false))
+      }.toSeq
+    val byArm = users.groupBy(u => h60Jvm(s"cuped:${u._1}") % 2)
+    // pooled sufficient stats, exact
+    val (pn, psx, psy) = (users.size.toLong, users.map(_._2).sum, users.map(_._3).sum)
+    val psxx = users.map(u => BigInt(u._2) * BigInt(u._2)).sum
+    val psxy = users.map(u => BigInt(u._2) * BigInt(u._3)).sum
+    val theta = (pn.toDouble * psxy.toDouble - psx.toDouble * psy.toDouble) /
+      (pn.toDouble * psxx.toDouble - psx.toDouble * psx.toDouble)
+    val rows = SparkEntry.queries("ab_cuped")(spark, dir).collect()
+    rows.length shouldBe 2 // both arms materialize
+    rows.foreach { r =>
+      val arm = byArm(r.getLong(r.fieldIndex("arm")))
+      val n = arm.size.toLong
+      r.getLong(r.fieldIndex("n")) shouldBe n
+      val meanX = arm.map(_._2).sum.toDouble / n / 100.0
+      val meanY = arm.map(_._3).sum.toDouble / n / 100.0
+      r.getDouble(r.fieldIndex("mean_x")) shouldBe meanX
+      r.getDouble(r.fieldIndex("mean_y")) shouldBe meanY
+      r.getDouble(r.fieldIndex("theta")) shouldBe theta
+      r.getDouble(r.fieldIndex("mean_y_adj")) shouldBe
+        meanY - theta * (meanX - psx.toDouble / pn / 100.0)
+    }
+    // CUPED moves variance, not the estimand: Σ n·adj == Σ n·raw (to fp)
+    val rawMean = rows.map(r =>
+      r.getLong(r.fieldIndex("n")) * r.getDouble(r.fieldIndex("mean_y"))).sum
+    val adjMean = rows.map(r =>
+      r.getLong(r.fieldIndex("n")) * r.getDouble(r.fieldIndex("mean_y_adj"))).sum
+    adjMean shouldBe rawMean +- math.abs(rawMean) * 1e-9
+  }
+
+  /** Driver-side (cents, isPos) score pairs — calibration/gains input. */
+  private def scoreRaw() = Tables(spark, dir, "events")
+    .filter(col("ts").isNotNull && col("value").isNotNull
+      && col("event_type").isin("click", "purchase"))
+    .select(col("event_type"), col("value"))
+    .collect()
+    .map(r => (centsOf(r.getDouble(1)), r.getString(0) == "purchase"))
+
+  test("calibration_table: buckets, rates and averages recompute from a first-principles sorted walk") {
+    val raw = scoreRaw()
+    val n = raw.length.toLong
+    val p = raw.count(_._2).toLong
+    // tie-group start positions under ascending cents
+    val groups = raw.groupBy(_._1).toSeq.sortBy(_._1)
+    var pos = 1L
+    val byBucket = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long)] // n, n_pos, sum_cents
+    groups.foreach { case (c, xs) =>
+      val b = (pos - 1) * 10 / n
+      val (bn, bp, bs) = byBucket.getOrElse(b, (0L, 0L, 0L))
+      byBucket(b) = (bn + xs.length, bp + xs.count(_._2), bs + c * xs.length)
+      pos += xs.length
+    }
+    val rows = SparkEntry.queries("calibration_table")(spark, dir).collect()
+    rows.length shouldBe byBucket.size
+    rows.foreach { r =>
+      val (bn, bp, bs) = byBucket(r.getLong(r.fieldIndex("bucket")))
+      r.getLong(r.fieldIndex("n")) shouldBe bn
+      r.getLong(r.fieldIndex("n_pos")) shouldBe bp
+      r.getLong(r.fieldIndex("rate_bp")) shouldBe bp * 10000 / bn
+      r.getLong(r.fieldIndex("avg_cents")) shouldBe bs / bn
+      r.getLong(r.fieldIndex("base_bp")) shouldBe p * 10000 / n
+    }
+    rows.map(_.getLong(rows.head.fieldIndex("n"))).sum shouldBe n
+  }
+
+  test("gains_table: cumulative capture is monotone, ends at 100%, and every decile recomputes from a first-principles descending walk") {
+    val raw = scoreRaw()
+    val n = raw.length.toLong
+    val p = raw.count(_._2).toLong
+    val groups = raw.groupBy(_._1).toSeq.sortBy(-_._1)
+    var pos = 1L
+    val byDecile = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    groups.foreach { case (_, xs) =>
+      val d = (pos - 1) * 10 / n + 1
+      val (dn, dp) = byDecile.getOrElse(d, (0L, 0L))
+      byDecile(d) = (dn + xs.length, dp + xs.count(_._2))
+      pos += xs.length
+    }
+    val rows = SparkEntry.queries("gains_table")(spark, dir).collect()
+    rows.length shouldBe byDecile.size
+    var cum = 0L
+    var lastGain = -1L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val (dn, dp) = byDecile(r.getLong(r.fieldIndex("decile")))
+      r.getLong(r.fieldIndex("n")) shouldBe dn
+      r.getLong(r.fieldIndex("n_pos")) shouldBe dp
+      cum += dp
+      r.getLong(r.fieldIndex("cum_pos")) shouldBe cum
+      val gain = r.getLong(r.fieldIndex("gain_bp"))
+      gain shouldBe cum * 10000 / p
+      gain should be >= lastGain // capture can only grow
+      lastGain = gain
+      r.getDouble(r.fieldIndex("lift")) shouldBe
+        dp.toDouble * n.toDouble / (dn.toDouble * p.toDouble)
+    }
+    lastGain shouldBe 10000L // the full population captures every positive
+  }
+
+  test("bootstrap_ci: every replicate mean recomputes from first-principles nibble weights and the band brackets the order statistics") {
+    val small = "/root/testdata/sf0.001"
+    val raw = Tables(spark, small, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), centsOf(r.getDouble(2))))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long): String =
+      md.digest(s"boot:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def w(id: Long, b: Int): Long = {
+      val nib = Integer.parseInt(hex(id).substring(b, b + 1), 16)
+      if (nib < 6) 0L else if (nib < 12) 1L else if (nib < 14) 2L else 3L
+    }
+    val byType = raw.groupBy(_._1)
+    val rows = SparkEntry.queries("bootstrap_ci")(spark, small).collect()
+    rows.length shouldBe byType.size
+    rows.foreach { r =>
+      val g = byType(r.getString(r.fieldIndex("event_type")))
+      r.getLong(r.fieldIndex("n")) shouldBe g.length.toLong
+      r.getLong(r.fieldIndex("mean_cents")) shouldBe g.map(_._3).sum / g.length
+      val repMeans = (0 until 32).flatMap { b =>
+        val sw = g.map(e => w(e._2, b)).sum
+        if (sw > 0) Some(g.map(e => w(e._2, b) * e._3).sum / sw) else None
+      }.sorted
+      r.getLong(r.fieldIndex("n_reps")) shouldBe repMeans.size.toLong
+      r.getLong(r.fieldIndex("ci_lo_cents")) shouldBe repMeans(1)
+      r.getLong(r.fieldIndex("ci_hi_cents")) shouldBe repMeans(repMeans.size - 2)
+      r.getLong(r.fieldIndex("ci_lo_cents")) should be <=
+        r.getLong(r.fieldIndex("ci_hi_cents"))
+    }
+  }
+
   test("embed_drift: halves partition each language's vectors and the cosine is Cauchy-Schwarz-bounded") {
     val rows = SparkEntry.queries("embed_drift")(spark, dir).collect()
     rows should not be empty
