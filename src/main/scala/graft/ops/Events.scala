@@ -1836,8 +1836,14 @@ object Events {
       |  CAST(n_gaps * 10000
       |    // SUM(n_gaps) OVER (PARTITION BY event_type) AS BIGINT) AS share_bp
       |FROM agg ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+    interarrivalView(interarrivalGrid(t(s, d, "events")))
+  }
+
+  /** Averages and bp shares over a completed gap grid (grid-sized input:
+    * ≤|types|×5 rows) — shared with the streaming twin's read side. */
+  private[graft] def interarrivalView(grid: DataFrame): DataFrame = {
     val byType = Window.partitionBy("event_type")
-    interarrivalGrid(t(s, d, "events"))
+    grid
       .withColumn("avg_us", expr("sum_us div n_gaps"))
       .withColumn("tot", sum("n_gaps").over(byType))
       .withColumn("share_bp", expr("n_gaps * 10000 div tot"))
@@ -1871,6 +1877,37 @@ object Events {
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n_gaps"), min("gap_us").as("min_us"),
         max("gap_us").as("max_us"), sum("gap_us").as("sum_us"))
+  }
+
+  /** One ordered-fold step for the streaming twin
+    * ([[graft.streaming.Streams.interarrivalSink]]): state is the carried
+    * per-(user, type) LAST event plus the (type, bucket) gap grid. The
+    * carried last rows re-enter the batch's gap computation as
+    * sentinel-id pseudo-rows, so the gap SPANNING the batch cut is
+    * produced by [[interarrivalGrid]] itself — shared verbatim.
+    *
+    * Exactness precondition: per-(user, type) event-time-ordered arrival
+    * (the win_ema ordered-fold class) — then every carried ts ≤ every
+    * batch ts for its key. The sentinel id (MinValue) is exact even at
+    * an equal-ts boundary: within a tie block every ordering yields the
+    * same gap MULTISET (zeros inside the block, identical entry/exit
+    * deltas), and the grid only consumes the multiset. */
+  private[graft] def interarrivalFold(last: DataFrame, grid: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val e = batch
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val carried = last.select(col("user_id"), col("event_type"), col("ts"),
+      lit(Long.MinValue).as("event_id"))
+    val delta = interarrivalGrid(e.unionByName(carried))
+    val mergedGrid = grid.unionByName(delta).groupBy("event_type", "bucket")
+      .agg(sum("n_gaps").as("n_gaps"), min("min_us").as("min_us"),
+        max("max_us").as("max_us"), sum("sum_us").as("sum_us"))
+    val newLast = last
+      .unionByName(e.select(col("user_id"), col("event_type"), col("ts")))
+      .groupBy("user_id", "event_type").agg(max("ts").as("ts"))
+    (newLast, mergedGrid)
   }
 
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,

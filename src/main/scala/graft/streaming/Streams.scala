@@ -1072,4 +1072,143 @@ object Streams {
     graft.ops.Stats.ranksumView(graft.ops.Stats.rankStats(state))
   def rankKsView(state: DataFrame): DataFrame =
     graft.ops.Stats.ksView(graft.ops.Stats.rankStats(state))
+
+  /** Merge per-user (first_day, conv_day, last_day) partials (twin state
+    * of the batch survival_hazard op) — keyed (min, min, max) merge.
+    * min/max skip NULLs, so a batch in which the user never converts
+    * merges as the identity on conv_day — the right-censoring cell stays
+    * NULL until a qualifying conversion actually arrives. */
+  def survivalMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("user_id")
+      .agg(min(col("first_day")).as("first_day"),
+        min(col("conv_day")).as("conv_day"),
+        max(col("last_day")).as("last_day"))
+
+  /** foreachBatch fold for the Kaplan-Meier hazard table (twin of the
+    * batch survival_hazard op): the censoring anchor advances and every
+    * unconverted user is re-censored as events arrive — live
+    * time-to-conversion, recomputed from the completed fold at any cut. */
+  def survivalSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(survivalMerge(readState(),
+        graft.ops.Stats.survivalGrid(batch)))
+    }
+
+  /** Read side of [[survivalSink]] — LITERALLY the batch op's view. */
+  def survivalView(state: DataFrame): DataFrame =
+    graft.ops.Stats.survivalView(state)
+
+  /** foreachBatch fold for the inter-event gap distribution (twin of the
+    * batch event_interarrival op): an ORDERED fold (the win_ema class —
+    * exact under per-(user, type) event-time-ordered arrival) carrying
+    * one last event per key plus the (type, bucket) gap grid; the gap
+    * spanning a batch cut is produced by the batch op's own grid stage
+    * over the carried pseudo-rows ([[graft.ops.Events.interarrivalFold]]). */
+  def interarrivalSink(events: DataFrame)(readLast: () => DataFrame,
+      readGrid: () => DataFrame)(writeLast: DataFrame => Unit,
+      writeGrid: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val (last, grid) = graft.ops.Events.interarrivalFold(
+        readLast(), readGrid(), instantTs(batch))
+      writeGrid(grid)
+      writeLast(last)
+    }
+
+  /** Read side of [[interarrivalSink]] — LITERALLY the batch op's view. */
+  def interarrivalView(grid: DataFrame): DataFrame =
+    graft.ops.Events.interarrivalView(grid)
+
+  /** Merge per-day arm-count partials (twin state of the batch ab_srm
+    * op) — keyed SUM merge. */
+  def srmMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("day")
+      .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
+
+  /** foreachBatch fold for the sample-ratio-mismatch screen (twin of the
+    * batch ab_srm op): the GLOBAL mix recomputes from the completed fold
+    * at every cut, so every day's χ² is re-judged as events arrive —
+    * exactly how an experimentation platform's SRM alarm behaves. */
+  def srmSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(srmMerge(readState(), graft.ops.Stats.srmGrid(batch)))
+    }
+
+  /** Read side of [[srmSink]] — LITERALLY the batch op's view. */
+  def srmView(state: DataFrame): DataFrame =
+    graft.ops.Stats.srmView(state)
+
+  /** Merge per-user pre/post cents partials (twin state of the batch
+    * ab_cuped op) — keyed SUM merge (the conditional sums are algebraic;
+    * the 0-for-missing contract holds at any cut because 0 is SUM's
+    * identity). */
+  def cupedMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("user_id")
+      .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+
+  /** foreachBatch fold for the CUPED-adjusted comparison (twin of the
+    * batch ab_cuped op): θ and the adjusted means recompute from the
+    * completed user grid at every cut — live variance reduction over the
+    * running experiment. */
+  def cupedSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(cupedMerge(readState(), graft.ops.Stats.cupedUserGrid(batch)))
+    }
+
+  /** Read side of [[cupedSink]] — LITERALLY the batch op's view. */
+  def cupedView(state: DataFrame): DataFrame =
+    graft.ops.Stats.cupedView(state)
+
+  /** Merge (cents, c_neg, c_pos) tie-group partials (twin state of
+    * calibration_table AND gains_table) — keyed SUM merge: decile
+    * edges, rates, gains and lifts are all functions of tie-group
+    * counts alone (the rank-family argument). */
+  def scoreMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("cents")
+      .agg(sum(col("c_neg")).as("c_neg"), sum(col("c_pos")).as("c_pos"))
+
+  /** foreachBatch fold for the score-quality tables (twin of the batch
+    * calibration_table / gains_table ops): ONE fold keeps both decile
+    * tables current — the global decile EDGES move with every batch, so
+    * only the view-over-completed-fold shape can track them. */
+  def scoreSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(scoreMerge(readState(), graft.ops.Stats.scoreGrid(batch)))
+    }
+
+  /** Read sides of [[scoreSink]] — LITERALLY the batch ops' views. */
+  def scoreCalibView(state: DataFrame): DataFrame =
+    graft.ops.Stats.calibView(state)
+  def scoreGainsView(state: DataFrame): DataFrame =
+    graft.ops.Stats.gainsView(state)
+
+  /** Merge (type, replicate) weighted-sum partials (twin state of the
+    * batch bootstrap_ci op) — keyed SUM merge: each event's replicate
+    * weights are a pure function of its id, so partials from any batch
+    * split fold to the identical grid. */
+  def bootMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("event_type", "b")
+      .agg(sum(col("sw")).as("sw"), sum(col("swx")).as("swx"))
+
+  /** foreachBatch fold for the bootstrap confidence band (twin of the
+    * batch bootstrap_ci op): all 32 resample means tighten together as
+    * events arrive — a live uncertainty band over the running metric. */
+  def bootSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(bootMerge(readState(), graft.ops.Stats.bootGrid(batch)))
+    }
+
+  /** Read side of [[bootSink]] — LITERALLY the batch op's view. */
+  def bootView(state: DataFrame): DataFrame =
+    graft.ops.Stats.bootView(state)
 }

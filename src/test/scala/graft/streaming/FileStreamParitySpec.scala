@@ -1321,6 +1321,111 @@ class FileStreamParitySpec extends SparkSpec {
     ks should not be empty
   }
 
+  test("file-source survival sink: (min, min, max) user-grid fold over time-split event batches equals the batch survival_hazard") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // time-split: the censoring ANCHOR (corpus max day) advances with
+    // every batch, re-censoring every unconverted user — and a user's
+    // first event and conversion land in DIFFERENT batches, so a
+    // per-batch table would mis-measure time-to-event by construction
+    val state = runGridFold("events_survival_stream", ev, timeSplitChunks(ev),
+      "user_id BIGINT, first_day DATE, conv_day DATE, last_day DATE",
+      (s, r, w) => graft.streaming.Streams.survivalSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.survivalView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("survival_hazard")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // the fold actually carried right-censoring: some users never convert
+    state.filter(col("conv_day").isNull).count() should be > 0L
+  }
+
+  test("file-source interarrival sink: last-event + gap-grid ordered fold over time-split event batches equals the batch event_interarrival") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // ordered fold (per-(user, type) event-time-ordered arrival — the
+    // win_ema class; time-split batches satisfy it): a gap SPANNING a
+    // batch cut only exists through the carried last-event state, so a
+    // stateless per-batch grid would undercount every bucket
+    val (last, grid) = runDualFold("events_gap_stream", ev, timeSplitChunks(ev),
+      "user_id BIGINT, event_type STRING, ts TIMESTAMP",
+      "event_type STRING, bucket STRING, n_gaps BIGINT, " +
+        "min_us BIGINT, max_us BIGINT, sum_us BIGINT",
+      (s, rL, rG, wL, wG) =>
+        graft.streaming.Streams.interarrivalSink(s)(rL, rG)(wL, wG))
+    val streamed = canon(graft.streaming.Streams.interarrivalView(grid).collect())
+    val batch = canon(graft.SparkEntry.queries("event_interarrival")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // the carried state is ONE row per live (user, type) key
+    last.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+  }
+
+  test("file-source SRM sink: day-grid fold over hash-split event batches equals the batch ab_srm") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split: a day's click and purchase events land in DIFFERENT
+    // batches, and the GLOBAL mix every day is judged against moves with
+    // every batch — per-batch χ² would alarm on its own split artifact
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_srm_stream", ev, chunks,
+      "day TIMESTAMP, n_a BIGINT, n_b BIGINT",
+      (s, r, w) => graft.streaming.Streams.srmSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.srmView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("ab_srm")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source CUPED sink: user-grid fold over time-split event batches equals the batch ab_cuped") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // time-split ACROSS the pre/post boundary: a user's covariate X is
+    // complete before their metric Y starts accumulating — θ and both
+    // adjusted means keep moving until the fold completes
+    val state = runGridFold("events_cuped_stream", ev, timeSplitChunks(ev),
+      "user_id BIGINT, x BIGINT, y BIGINT",
+      (s, r, w) => graft.streaming.Streams.cupedSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.cupedView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("ab_cuped")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source score sink: tie-grid fold over hash-split event batches equals the batch calibration_table AND gains_table") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split: the global decile EDGES (tie-group start positions)
+    // shift with every batch — a per-batch bucketing would freeze stale
+    // edges; only the view-over-completed-fold shape tracks them
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_score_stream", ev, chunks,
+      "cents BIGINT, c_neg BIGINT, c_pos BIGINT",
+      (s, r, w) => graft.streaming.Streams.scoreSink(s)(r)(w))
+    // ONE fold, both decile tables read from it
+    canon(graft.streaming.Streams.scoreCalibView(state).collect()) shouldBe
+      canon(graft.SparkEntry.queries("calibration_table")(spark, dir01).collect())
+    val gains = canon(graft.streaming.Streams.scoreGainsView(state).collect())
+    gains shouldBe canon(graft.SparkEntry.queries("gains_table")(spark, dir01).collect())
+    gains should not be empty
+  }
+
+  test("file-source bootstrap sink: replicate-grid fold over hash-split event batches equals the batch bootstrap_ci") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split: replicate weights are pure functions of event ids, so
+    // partials from ANY split fold to the identical grid — and every
+    // resample mean (hence the whole band) tightens batch to batch
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_boot_stream", ev, chunks,
+      "event_type STRING, b INT, sw BIGINT, swx BIGINT",
+      (s, r, w) => graft.streaming.Streams.bootSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.bootView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("bootstrap_ci")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
     val dir01 = "/root/testdata/sf0.01"
     val emb = graft.Tables(spark, dir01, "embeddings").cache()
