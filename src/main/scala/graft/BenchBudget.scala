@@ -29,6 +29,8 @@ object BenchBudget {
     // the B+1-fold generator expansion IS the contract (33x the fact rows
     // through the scan stage, absorbed map-side); one md5 per event
     "bootstrap_ci" -> 12.35, // 3 x 4.11 s worst-of-three idle sf0.1 (r11)
+    "attribution_time_decay" -> 4.08, // 3 x 1.36 s worst-of-three idle sf0.1 (r11)
+    "vocab_growth" -> 4.45, // 3 x 1.48 s worst-of-three idle sf0.1 (r11)
     "ab_ttest" -> 1.87, // 3 x 0.62 s idle sf0.1 (r10)
     "agg_approx_distinct" -> 3.15, "agg_bitmap_distinct" -> 1.28, "agg_collect" -> 0.77,
     "agg_cube" -> 3.83, "agg_custom_udaf" -> 0.9, "agg_distinct" -> 2.03,

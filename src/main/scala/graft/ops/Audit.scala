@@ -934,8 +934,78 @@ object Audit {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------------------------
+  // vocab_growth — the Heaps-law saturation curve over the corpus in
+  // ingestion order: per doc-id decile, how many NEW shingle types enter
+  // the vocabulary vs shingle tokens seen — the "is the crawl still
+  // finding new text or re-crawling what we have" read a corpus-assembly
+  // job checks before paying for the next billion pages (new_types/decile
+  // collapsing toward 0 = saturated; ngram_novelty is the per-DOC view of
+  // the same question, this is the corpus trajectory). Vocabulary unit =
+  // the house 5-word shingle, stage shared VERBATIM with decontaminate /
+  // contamination_matrix (shingleStage), so the curve measures exactly
+  // the currency the leakage gates run on. Deciles are doc-id RANGE
+  // bands ((doc_id − lo)·10 div (hi − lo + 1) — deterministic and
+  // scan-stage, unlike an ntile over the corpus which would funnel every
+  // doc through one partition); a shingle's entry decile = min over its
+  // occurrences. All exact int64; NULL-text docs excluded (declared,
+  // matching the shingle stage).
+  //
+  // Scale shape: anchors are a 2-cell aggregate broadcast back as a
+  // 1-row BNLJ (anomaly_mad pattern); ONE shingle pass feeds (a) a
+  // map-side-combined per-decile token count and (b) a min-decile-per-
+  // hash grid (fixed-width keys, token-scale — the tf_idf family) that
+  // collapses to ≤10 rows; the cumulative window runs over ≤10 rows.
+  // --------------------------------------------------------------------
+  private val vocabGrowth = Op("vocab_growth", {
+    val shingle = s"array_to_string(list_slice(w, i+1, i+$DecontN), ' ')"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+       |           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |a AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM t),
+       |sh AS (SELECT (doc_id - lo) * 10 // (hi - lo + 1) AS decile,
+       |         unnest(list_transform(range(0, greatest(len(w) - ${DecontN - 1}, 1)),
+       |                i -> ${h60Sql(shingle)})) AS h
+       |       FROM t, a),
+       |tok AS (SELECT decile, count(*) AS n_tri FROM sh GROUP BY 1),
+       |fd AS (SELECT h, min(decile) AS entry FROM sh GROUP BY 1),
+       |nt AS (SELECT entry AS decile, count(*) AS new_types FROM fd GROUP BY 1),
+       |docs AS (SELECT (doc_id - lo) * 10 // (hi - lo + 1) AS decile,
+       |           count(*) AS n_docs
+       |         FROM t, a GROUP BY 1)
+       |SELECT d.decile, d.n_docs, tok.n_tri,
+       |  COALESCE(nt.new_types, 0) AS new_types,
+       |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY d.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_types
+       |FROM docs d
+       |JOIN tok ON tok.decile = d.decile
+       |LEFT JOIN nt ON nt.decile = d.decile
+       |ORDER BY d.decile""".stripMargin
+  }) { (s, d) =>
+    val docs = t(s, d, "documents")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+    val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val dec = expr("(doc_id - lo) * 10 div (hi - lo + 1)")
+    val sh = shingleStage(docs).crossJoin(broadcast(bounds))
+      .select(dec.as("decile"), col("h"))
+    val tok = sh.groupBy("decile").agg(count(lit(1)).as("n_tri"))
+    val nt = sh.groupBy("h").agg(min("decile").as("entry"))
+      .groupBy(col("entry").as("decile")).agg(count(lit(1)).as("new_types"))
+    val dGrid = docs.crossJoin(broadcast(bounds))
+      .groupBy(dec.as("decile")).agg(count(lit(1)).as("n_docs"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dGrid.join(tok, Seq("decile"))
+      .join(nt, Seq("decile"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum("new_types").over(cum))
+      .select(col("decile"), col("n_docs"), col("n_tri"),
+        col("new_types"), col("cum_types"))
+      .orderBy("decile")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, contaminationMatrix, packSequences,
     repetitionFilter, profileStats, outlierFilter, gapDetect, anomalyMad,
     snapshotDiff, skewReport, dqCheck, gapFill, datasetCard, splitTemporal,
-    numericSanitize, benfordAudit)
+    numericSanitize, benfordAudit, vocabGrowth)
 }

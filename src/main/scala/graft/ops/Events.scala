@@ -548,6 +548,73 @@ object Events {
   }
 
   // --------------------------------------------------------------------
+  // attribution_time_decay — the THIRD standard attribution model, next
+  // to event_attribution (last-touch) and attribution_first_touch:
+  // multi-touch with time decay. Every purchase's credit is split across
+  // ALL of the user's clicks in the 7-day lookback, weighted by a 1-day
+  // half-life — w = 2^(7 − age_days), an exact INTEGER power of two
+  // (the win_ema dyadic-decay discipline: 2^x is the one exponential
+  // both engines compute exactly; a e^(−λt) weight would be a libm
+  // fork). Credit share = w·10⁴ div Σw in integer bp — fully exact, no
+  // floats anywhere. Purchases with no click in the window are absent
+  // (the per-touch table; event_attribution already reports the
+  // unattributed ones — declared).
+  //
+  // Scale shape: an equi-join on user_id with a range predicate — ONE
+  // shuffle per side, per-key expansion bounded by clicks-per-user-per-
+  // 7-days (the join_interval_overlap argument); Σw is a window keyed by
+  // purchase_id over the PAIR table (per-key rows = that purchase's
+  // touches). NULL ts/user rows never enter (no position in time / no
+  // identity — the interarrival contract).
+  // --------------------------------------------------------------------
+  private val attributionTimeDecay = Op("attribution_time_decay",
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events
+      |  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL),
+      |pair AS (
+      |  SELECT p.purchase_id, p.user_id, c.click_id,
+      |    CAST((epoch_us(p.pts) - epoch_us(c.cts)) // 86400000000 AS BIGINT)
+      |      AS age_days
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY),
+      |wt AS (
+      |  SELECT purchase_id, user_id, click_id, age_days,
+      |    CAST(1 << (7 - age_days) AS BIGINT) AS w
+      |  FROM pair)
+      |SELECT purchase_id, user_id, click_id, age_days, w,
+      |  w * 10000 // CAST(SUM(w) OVER (PARTITION BY purchase_id) AS BIGINT)
+      |    AS credit_bp
+      |FROM wt ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("cts"))
+    val byPurchase = Window.partitionBy("purchase_id")
+    p.join(c, col("user_id") === col("c_uid")
+        && col("cts") <= col("pts")
+        && col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+      .withColumn("age_days", expr(
+        "(unix_micros(cast(pts as timestamp)) " +
+          "- unix_micros(cast(cts as timestamp))) div 86400000000"))
+      .withColumn("w", expr("shiftleft(1L, cast(7 - age_days as int))"))
+      .withColumn("sum_w", sum("w").over(byPurchase))
+      .withColumn("credit_bp", expr("w * 10000 div sum_w"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("age_days"), col("w"), col("credit_bp"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  // --------------------------------------------------------------------
   // trend_detect — period-over-period movers: per-user weekly activity,
   // delta vs the user's previous week, top 20 by absolute change (the
   // "biggest movers" report behind engagement/anomaly dashboards). One
@@ -1916,5 +1983,5 @@ object Events {
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
     activityProfile, conversionLatency, anomalySeasonal, eventRfm,
-    sessionStats, assocRules, interarrival)
+    sessionStats, assocRules, interarrival, attributionTimeDecay)
 }

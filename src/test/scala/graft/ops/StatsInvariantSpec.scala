@@ -1269,6 +1269,81 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("attribution_time_decay: every pair recomputes from a first-principles click walk and credits nearly sum to 10000 per purchase") {
+    val small = "/root/testdata/sf0.001"
+    val ev = Tables(spark, small, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        col("ts").cast("timestamp"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime * 1000 + r.getTimestamp(3).getNanos / 1000 % 1000))
+    val clicksByUser = ev.filter(_._1 == "click").groupBy(_._3)
+    val rows = SparkEntry.queries("attribution_time_decay")(spark, small).collect()
+    rows should not be empty
+    val byPurchase = rows.groupBy(_.getLong(0))
+    ev.filter(_._1 == "purchase").foreach { case (_, pid, uid, pus) =>
+      val expected = clicksByUser.getOrElse(uid, Array.empty)
+        .filter(c => c._4 <= pus && c._4 >= pus - 7L * 86400000000L)
+        .map { c =>
+          val age = (pus - c._4) / 86400000000L
+          (c._2, age, 1L << (7 - age))
+        }.sortBy(_._1)
+      val got = byPurchase.getOrElse(pid, Array.empty)
+        .map(r => (r.getLong(r.fieldIndex("click_id")),
+          r.getLong(r.fieldIndex("age_days")), r.getLong(r.fieldIndex("w"))))
+        .sortBy(_._1)
+      withClue(s"purchase $pid: ") { got.toSeq shouldBe expected.toSeq }
+      if (expected.nonEmpty) {
+        val sw = expected.map(_._3).sum
+        val credits = byPurchase(pid).map(r => r.getLong(r.fieldIndex("credit_bp")))
+        credits.zip(got.map(_._3)).foreach { case (c, w) =>
+          c shouldBe w * 10000 / sw
+        }
+        // floor division loses < 1 bp per touch, never gains
+        credits.sum should be <= 10000L
+        credits.sum should be > 10000L - credits.length.toLong
+      }
+    }
+  }
+
+  test("vocab_growth: the curve recomputes from a first-principles shingle walk and saturates toward the full vocabulary") {
+    val raw = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val lo = raw.map(_._1).min
+    val hi = raw.map(_._1).max
+    def shingles(text: String): Seq[String] = {
+      val w = text.split(" ", -1).toSeq
+      (0 until math.max(w.length - 4, 1)).map(i => w.slice(i, i + 5).mkString(" "))
+    }
+    val shingled = raw.map { case (id, text) =>
+      ((id - lo) * 10 / (hi - lo + 1), shingles(text))
+    }
+    val entry = scala.collection.mutable.Map.empty[String, Long]
+    shingled.sortBy(_._1).foreach { case (d, sh) =>
+      sh.foreach(s => if (!entry.contains(s)) entry(s) = d
+        else if (entry(s) > d) entry(s) = d)
+    }
+    val rows = SparkEntry.queries("vocab_growth")(spark, dir).collect()
+    rows should not be empty
+    var cum = 0L
+    rows.foreach { r =>
+      val d = r.getLong(r.fieldIndex("decile"))
+      r.getLong(r.fieldIndex("n_docs")) shouldBe shingled.count(_._1 == d).toLong
+      r.getLong(r.fieldIndex("n_tri")) shouldBe
+        shingled.filter(_._1 == d).map(_._2.size.toLong).sum
+      r.getLong(r.fieldIndex("new_types")) shouldBe entry.values.count(_ == d).toLong
+      cum += r.getLong(r.fieldIndex("new_types"))
+      r.getLong(r.fieldIndex("cum_types")) shouldBe cum
+    }
+    cum shouldBe entry.size.toLong // the curve ends at the full vocabulary
+    // word-soup corpus: later deciles still discover, but less than decile 0
+    rows.last.getLong(rows.last.fieldIndex("new_types")) should be <
+      rows.head.getLong(rows.head.fieldIndex("new_types"))
+  }
+
   test("embed_drift: halves partition each language's vectors and the cosine is Cauchy-Schwarz-bounded") {
     val rows = SparkEntry.queries("embed_drift")(spark, dir).collect()
     rows should not be empty
