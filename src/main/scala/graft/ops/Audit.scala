@@ -966,8 +966,9 @@ object Audit {
        |         unnest(list_transform(range(0, greatest(len(w) - ${DecontN - 1}, 1)),
        |                i -> ${h60Sql(shingle)})) AS h
        |       FROM t, a),
-       |tok AS (SELECT decile, count(*) AS n_tri FROM sh GROUP BY 1),
-       |fd AS (SELECT h, min(decile) AS entry FROM sh GROUP BY 1),
+       |g AS (SELECT decile, h, count(*) AS cnt FROM sh GROUP BY 1, 2),
+       |tok AS (SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_tri FROM g GROUP BY 1),
+       |fd AS (SELECT h, min(decile) AS entry FROM g GROUP BY 1),
        |nt AS (SELECT entry AS decile, count(*) AS new_types FROM fd GROUP BY 1),
        |docs AS (SELECT (doc_id - lo) * 10 // (hi - lo + 1) AS decile,
        |           count(*) AS n_docs
@@ -986,10 +987,17 @@ object Audit {
       .filter(col("text").isNotNull && col("doc_id").isNotNull)
     val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
     val dec = expr("(doc_id - lo) * 10 div (hi - lo + 1)")
-    val sh = shingleStage(docs).crossJoin(broadcast(bounds))
+    // ONE shingle pass collapses to the (decile, h, cnt) grid, then a
+    // localCheckpoint cuts the token-scale lineage: the two downstream
+    // aggregates would otherwise each re-run the whole hashing pass (the
+    // bootstrap_ci double-generator lesson). The grid is bounded by
+    // 10×|vocab| fixed-width rows — the tf_idf-family token grid.
+    val g = shingleStage(docs).crossJoin(broadcast(bounds))
       .select(dec.as("decile"), col("h"))
-    val tok = sh.groupBy("decile").agg(count(lit(1)).as("n_tri"))
-    val nt = sh.groupBy("h").agg(min("decile").as("entry"))
+      .groupBy("decile", "h").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tok = g.groupBy("decile").agg(sum("cnt").as("n_tri"))
+    val nt = g.groupBy("h").agg(min("decile").as("entry"))
       .groupBy(col("entry").as("decile")).agg(count(lit(1)).as("new_types"))
     val dGrid = docs.crossJoin(broadcast(bounds))
       .groupBy(dec.as("decile")).agg(count(lit(1)).as("n_docs"))

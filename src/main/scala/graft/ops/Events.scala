@@ -599,7 +599,12 @@ object Events {
     val c = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
         col("ts").as("cts"))
-    val byPurchase = Window.partitionBy("purchase_id")
+    // (user_id, purchase_id) rather than purchase_id alone: purchase_id
+    // implies user_id, and HashPartitioning(user) SATISFIES clustering on
+    // (user, purchase) — so at scale, where the range join plans as a
+    // sort-merge on user_id, the Σw window rides the join's exchange
+    // instead of re-shuffling the pair table on purchase_id
+    val byPurchase = Window.partitionBy("user_id", "purchase_id")
     p.join(c, col("user_id") === col("c_uid")
         && col("cts") <= col("pts")
         && col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))

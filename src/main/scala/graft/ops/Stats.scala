@@ -644,10 +644,14 @@ object Stats {
       .agg(count(when(col("event_type") === ArmA, 1)).as("n_a"),
         count(when(col("event_type") === ArmB, 1)).as("n_b"))
 
-  /** χ² homogeneity over a completed day grid (grid-sized input). */
+  /** χ² homogeneity over a completed day grid (grid-sized input). An arm
+    * with ZERO global presence makes χ² undefined (0 denominator — ANSI
+    * double division throws), so the contract requires both arms to
+    * exist globally — the drift_report t_ref/t_cur>0 discipline. */
   private[graft] def srmView(grid: DataFrame): DataFrame = {
     val g = grid.agg(sum("n_a").as("g_a"), sum("n_b").as("g_b"))
     val q = grid.crossJoin(broadcast(g))
+      .filter(col("g_a") > 0 && col("g_b") > 0)
       .withColumn("d_stat", col("n_a") * col("g_b") - col("n_b") * col("g_a"))
       .withColumn("chi2",
         col("d_stat").cast("double") * col("d_stat").cast("double")
@@ -674,7 +678,7 @@ object Stats {
        |      * CAST(n_a * g_b - n_b * g_a AS DOUBLE)
        |      / (CAST(n_a + n_b AS DOUBLE)
        |         * CAST(g_a AS DOUBLE) * CAST(g_b AS DOUBLE)) AS chi2
-       |  FROM grid, g)
+       |  FROM grid, g WHERE g_a > 0 AND g_b > 0)
        |SELECT day, n_a, n_b, d_stat, chi2,
        |  chi2 > CAST(3.84 AS DOUBLE) AS srm
        |FROM q ORDER BY day""".stripMargin) { (s, d) =>
@@ -737,11 +741,15 @@ object Stats {
       sum("sy").as("psy"),
       sum("sxx").cast(DecimalType(38, 0)).as("psxx"),
       sum("sxy").cast(DecimalType(38, 0)).as("psxy"))
+    // the exact double the division sees: filtering on it (≠ 0) guards
+    // the ANSI divide-by-zero throw when the covariate has no variance
+    // (all-equal X — θ is undefined and adjustment meaningless there)
+    val varXden = col("pn").cast("double") * col("psxx").cast("double") -
+      col("psx").cast("double") * col("psx").cast("double")
     val theta = (col("pn").cast("double") * col("psxy").cast("double")
-      - col("psx").cast("double") * col("psy").cast("double")) /
-      (col("pn").cast("double") * col("psxx").cast("double")
-        - col("psx").cast("double") * col("psx").cast("double"))
+      - col("psx").cast("double") * col("psy").cast("double")) / varXden
     st.crossJoin(broadcast(pooled))
+      .filter(varXden =!= 0.0)
       .withColumn("theta", theta)
       .withColumn("mean_x", col("sx").cast("double") / col("n") / lit(100.0))
       .withColumn("mean_y", col("sy").cast("double") / col("n") / lit(100.0))
@@ -789,7 +797,9 @@ object Stats {
        |    CAST(sx AS DOUBLE) / n / CAST(100 AS DOUBLE) AS mean_x,
        |    CAST(sy AS DOUBLE) / n / CAST(100 AS DOUBLE) AS mean_y,
        |    CAST(psx AS DOUBLE) / pn / CAST(100 AS DOUBLE) AS mean_x_pooled
-       |  FROM st, pooled)
+       |  FROM st, pooled
+       |  WHERE CAST(pn AS DOUBLE) * ${d("psxx")}
+       |      - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) <> CAST(0 AS DOUBLE))
        |SELECT arm, n, mean_x, mean_y, theta,
        |  mean_y - theta * (mean_x - mean_x_pooled) AS mean_y_adj
        |FROM q ORDER BY arm""".stripMargin
@@ -1003,23 +1013,29 @@ object Stats {
   }
 
   /** Point estimate + order-statistic CI over a completed grid
-    * (grid-sized input: |types|×(B+1) rows). */
+    * (grid-sized input: |types|×(B+1) rows). One window + one aggregate —
+    * NOT a point-leg/CI-leg join: a join would plan TWO subtrees over the
+    * grid's lineage and re-run the B+1-fold generator pass per leg (the
+    * measured cost was 2×). The identity row rides the rank windows
+    * UNRANKED (sorted last via the isRep key), so a single aggregate
+    * reads both legs. */
   private[graft] def bootView(grid: DataFrame): DataFrame = {
     val means = grid.filter(col("sw") > 0)
       .withColumn("mean_cents", expr("swx div sw"))
-    val point = means.filter(col("b") === BootReps)
-      .select(col("event_type"), col("sw").as("n"), col("mean_cents"))
     val byType = Window.partitionBy("event_type")
-    val ranked = means.filter(col("b") < BootReps)
-      .withColumn("ra", row_number().over(
-        byType.orderBy(col("mean_cents").asc, col("b").asc)))
-      .withColumn("rd", row_number().over(
-        byType.orderBy(col("mean_cents").desc, col("b").desc)))
-    val ci = ranked.groupBy("event_type")
-      .agg(count(lit(1)).as("n_reps"),
-        max(when(col("ra") === 2, col("mean_cents"))).as("ci_lo_cents"),
-        max(when(col("rd") === 2, col("mean_cents"))).as("ci_hi_cents"))
-    point.join(ci, Seq("event_type"))
+    val isRep = col("b") < BootReps
+    val ranked = means
+      .withColumn("ra", row_number().over(byType.orderBy(
+        isRep.desc, col("mean_cents").asc, col("b").asc)))
+      .withColumn("rd", row_number().over(byType.orderBy(
+        isRep.desc, col("mean_cents").desc, col("b").desc)))
+    ranked.groupBy("event_type")
+      .agg(max(when(col("b") === BootReps, col("sw"))).as("n"),
+        max(when(col("b") === BootReps, col("mean_cents"))).as("mean_cents"),
+        count(when(isRep, 1)).as("n_reps"),
+        max(when(isRep && col("ra") === 2, col("mean_cents"))).as("ci_lo_cents"),
+        max(when(isRep && col("rd") === 2, col("mean_cents"))).as("ci_hi_cents"))
+      .filter(col("n").isNotNull && col("n_reps") > 0)
       .select(col("event_type"), col("n"), col("mean_cents"),
         col("n_reps"), col("ci_lo_cents"), col("ci_hi_cents"))
       .orderBy("event_type")
@@ -1048,30 +1064,117 @@ object Stats {
        |means AS (
        |  SELECT event_type, b, sw, swx // sw AS mean_cents
        |  FROM grid WHERE sw > 0),
-       |point AS (
-       |  SELECT event_type, sw AS n, mean_cents
-       |  FROM means WHERE b = $BootReps),
        |ranked AS (
-       |  SELECT event_type, mean_cents,
+       |  SELECT event_type, b, sw, mean_cents,
        |    row_number() OVER (PARTITION BY event_type
-       |      ORDER BY mean_cents ASC, b ASC) AS ra,
+       |      ORDER BY (b < $BootReps) DESC, mean_cents ASC, b ASC) AS ra,
        |    row_number() OVER (PARTITION BY event_type
-       |      ORDER BY mean_cents DESC, b DESC) AS rd
-       |  FROM means WHERE b < $BootReps),
-       |ci AS (
-       |  SELECT event_type, count(*) AS n_reps,
-       |    max(CASE WHEN ra = 2 THEN mean_cents END) AS ci_lo_cents,
-       |    max(CASE WHEN rd = 2 THEN mean_cents END) AS ci_hi_cents
-       |  FROM ranked GROUP BY 1)
-       |SELECT p.event_type, p.n, p.mean_cents,
-       |  c.n_reps, c.ci_lo_cents, c.ci_hi_cents
-       |FROM point p JOIN ci c USING (event_type)
-       |ORDER BY p.event_type""".stripMargin
+       |      ORDER BY (b < $BootReps) DESC, mean_cents DESC, b DESC) AS rd
+       |  FROM means)
+       |SELECT event_type,
+       |  max(CASE WHEN b = $BootReps THEN sw END) AS n,
+       |  max(CASE WHEN b = $BootReps THEN mean_cents END) AS mean_cents,
+       |  count(*) FILTER (WHERE b < $BootReps) AS n_reps,
+       |  max(CASE WHEN b < $BootReps AND ra = 2 THEN mean_cents END) AS ci_lo_cents,
+       |  max(CASE WHEN b < $BootReps AND rd = 2 THEN mean_cents END) AS ci_hi_cents
+       |FROM ranked GROUP BY 1
+       |HAVING max(CASE WHEN b = $BootReps THEN sw END) IS NOT NULL
+       |   AND count(*) FILTER (WHERE b < $BootReps) > 0
+       |ORDER BY event_type""".stripMargin
   }) { (s, d) =>
     bootView(bootGrid(t(s, d, "events")))
   }
 
+  // --------------------------------------------------------------------
+  // ab_power — experiment sizing, the question asked BEFORE ab_ttest is
+  // ever run: how many observations per arm does a two-sided 5% test
+  // need for 80% power to detect a 5% relative lift of this metric?
+  // n = 2σ²(z_α/2 + z_β)²/δ² with δ = 5% of the mean — the standard
+  // two-sample normal-approximation formula; z constants (1.96, 0.8416)
+  // are hardcoded literals on both engines (quantiles of N(0,1) — baking
+  // them in avoids the incomplete-gamma special function, the ab_ttest
+  // p-value argument). Per event type: n, mean, variance, the MDE in
+  // cents, and the required per-arm n (ceil). Variance from exact
+  // sufficient moments (n BIGINT, Σx cents BIGINT, Σx² DECIMAL(38,0) —
+  // the ranksum widening rule); the statistic is a fixed scalar IEEE
+  // tree, oracle decimals through the house VARCHAR route.
+  //
+  // Scale shape: ONE fact pass, map-side-combined to |types| rows;
+  // everything downstream is scalar arithmetic on the grid.
+  // --------------------------------------------------------------------
+
+  /** Per-type sufficient moments — ab_power's only fact-scale pass,
+    * shared with the streaming twin
+    * ([[graft.streaming.Streams.powerSink]]): keyed SUM fold. */
+  private[graft] def powerGrid(events: DataFrame): DataFrame = {
+    val dec = DecimalType(19, 0)
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    events.filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"), cents.as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("cents").cast(dec) * col("cents").cast(dec))
+          .cast(DecimalType(38, 0)).as("sxx"))
+  }
+
+  /** Sizing formula over completed moments (grid-sized input). */
+  private[graft] def powerView(grid: DataFrame): DataFrame = {
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val mean = sxD / nD
+    val variance = (col("sxx").cast("double") - sxD * sxD / nD) / (nD - 1)
+    val z2 = (lit(1.96) + lit(0.8416)) * (lit(1.96) + lit(0.8416))
+    grid.filter(col("n") > 1)
+      .withColumn("mean_cents", mean)
+      .withColumn("var_cents2", variance)
+      .filter(col("var_cents2") > 0 && col("mean_cents") =!= 0.0)
+      .withColumn("mde_cents", lit(0.05) * col("mean_cents"))
+      .withColumn("n_required",
+        ceil(lit(2.0) * col("var_cents2") * z2
+          / (col("mde_cents") * col("mde_cents"))).cast("long"))
+      .select(col("event_type"), col("n"), col("mean_cents"),
+        col("var_cents2"), col("mde_cents"), col("n_required"))
+      .orderBy("event_type")
+  }
+
+  private val abPower = Op("ab_power", {
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |               AS DECIMAL(19,0))
+       |             * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |               AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sxx
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1),
+       |q AS (
+       |  SELECT event_type, n,
+       |    CAST(sx AS DOUBLE) / n AS mean_cents,
+       |    (${d("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+       |      / (n - 1) AS var_cents2
+       |  FROM g WHERE n > 1),
+       |p AS (
+       |  SELECT event_type, n, mean_cents, var_cents2,
+       |    CAST(0.05 AS DOUBLE) * mean_cents AS mde_cents
+       |  FROM q
+       |  WHERE var_cents2 > CAST(0 AS DOUBLE)
+       |    AND mean_cents <> CAST(0 AS DOUBLE))
+       |SELECT event_type, n, mean_cents, var_cents2, mde_cents,
+       |  CAST(ceil(CAST(2 AS DOUBLE) * var_cents2
+       |      * ((CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+       |         * (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)))
+       |      / (mde_cents * mde_cents)) AS BIGINT) AS n_required
+       |FROM p ORDER BY event_type""".stripMargin
+  }) { (s, d) =>
+    powerView(powerGrid(t(s, d, "events")))
+  }
+
   val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum,
     evalAuc, abRanksum, abKsTest, survivalHazard, abSrm, abCuped,
-    calibrationTable, gainsTable, bootstrapCi)
+    calibrationTable, gainsTable, bootstrapCi, abPower)
 }

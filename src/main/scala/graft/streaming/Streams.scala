@@ -1211,4 +1211,27 @@ object Streams {
   /** Read side of [[bootSink]] — LITERALLY the batch op's view. */
   def bootView(state: DataFrame): DataFrame =
     graft.ops.Stats.bootView(state)
+
+  /** Merge per-type sufficient-moment partials (twin state of the batch
+    * ab_power op) — keyed SUM merge over exact decimal moments. */
+  def powerMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("event_type")
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sxx")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("sxx"))
+
+  /** foreachBatch fold for the experiment-sizing table (twin of the
+    * batch ab_power op): required sample sizes tighten as the variance
+    * estimate converges — the live read a platform shows while an
+    * experiment is being designed against current traffic. */
+  def powerSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(powerMerge(readState(), graft.ops.Stats.powerGrid(batch)))
+    }
+
+  /** Read side of [[powerSink]] — LITERALLY the batch op's view. */
+  def powerView(state: DataFrame): DataFrame =
+    graft.ops.Stats.powerView(state)
 }

@@ -313,7 +313,10 @@ class PlanAuditSpec extends SparkSpec {
       "rare_collapse" -> "1-row corpus-total scalar broadcast over the category grid",
       "ann_recall" -> "20-row probe-set + 8-row centroid broadcasts against the corpus scan (the audit's probe sample is bounded by construction)",
       "ann_recall_bucketed" -> "20-row probe-set broadcast against the corpus scan (the sketch-gated audit's probe sample is bounded by construction)",
-      "fuzzy_eval" -> "200x200 sample-pair grid, both sides LIMIT-bounded by construction (the blocking-recall audit's exact leg)")
+      "fuzzy_eval" -> "200x200 sample-pair grid, both sides LIMIT-bounded by construction (the blocking-recall audit's exact leg)",
+      "ab_srm" -> "1-row global-mix scalar broadcast back over the day grid (the anomaly_mad pattern)",
+      "ab_cuped" -> "1-row pooled-moments scalar broadcast over the 2-row arm grid (the anomaly_mad pattern)",
+      "vocab_growth" -> "2-cell doc-id-anchor scalar broadcast back over the doc scan and shingle stage (the anomaly_mad pattern)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
@@ -836,4 +839,65 @@ class PlanAuditSpec extends SparkSpec {
       plan should not include "SinglePartition"
       plan should not include "CartesianProduct"
     }
+
+  test("ab_srm: map-combined day grids on both legs; the global mix is a broadcast, never a shuffle of the grid") {
+    val plan = planOf("ab_srm")
+    plan should include("PushedFilters: [IsNotNull(ts)")
+    // grid leg + global leg each aggregate partial+final off the scan
+    "HashAggregate".r.findAllIn(plan).size should be >= 4
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Window" // chi2 is scan-stage arithmetic
+    plan should not include "SortMergeJoin"
+  }
+
+  test("ab_cuped: user grids combine map-side; arm stats and the pooled row are grid-scale aggregates") {
+    val plan = planOf("ab_cuped")
+    plan should include("PushedFilters: [IsNotNull(ts), IsNotNull(user_id)")
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
+
+  // calibration_table / gains_table share the rank family's shape one
+  // level up: fact → global (cents) tie-group grid → grid-sized position
+  // windows → a <=10-row decile table.
+  for (op <- Seq("calibration_table", "gains_table"))
+    test(s"$op: one fact pass to the global tie grid; position windows are grid-sized") {
+      val plan = planOf(op)
+      "events.parquet".r.findAllIn(plan).size shouldBe 1
+      plan should include("PushedFilters: [IsNotNull(ts), IsNotNull(value)")
+      // fact→cents grid is the only fact-scale exchange; the unpartitioned
+      // position windows run on the grid (the survival n_risk argument)
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+
+  test("bootstrap_ci: ONE generator pass — point and CI legs read one aggregate, no self-join of the grid lineage") {
+    val plan = planOf("bootstrap_ci")
+    // the B+1-fold expansion must run once: one scan, one Generate
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    "Generate".r.findAllIn(plan).size shouldBe 1
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin" // single-aggregate form needs no join
+  }
+
+  test("attribution_time_decay: pair formation is an equi-join on user; the weight window can ride the join's user key") {
+    val plan = planOf("attribution_time_decay")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the window is keyed (user_id, purchase_id) so HashPartitioning(user)
+    // satisfies it at SMJ scale
+    plan should include("windowspecdefinition(user_id")
+  }
+
+  test("vocab_growth: the shingle pass runs once into the checkpointed (decile, h) grid") {
+    val plan = planOf("vocab_growth")
+    // downstream aggregates read the checkpoint, not the hashing lineage:
+    // the only parquet scans left are the doc-grid leg and the anchor legs
+    // (narrow doc_id projections — no re-shingling anywhere)
+    plan should not include "md5" // hashing happened before the checkpoint
+    plan should include("Scan ExistingRDD") // the checkpointed grid
+    plan should not include "CartesianProduct"
+  }
 }

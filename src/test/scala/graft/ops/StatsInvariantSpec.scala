@@ -1269,6 +1269,35 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("ab_power: the sizing recomputes from first-principles moments and scales inversely with the squared effect") {
+    val raw = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), centsOf(r.getDouble(1))))
+      .groupBy(_._1)
+    val rows = SparkEntry.queries("ab_power")(spark, dir).collect()
+    rows.length shouldBe raw.size
+    rows.foreach { r =>
+      val xs = raw(r.getString(r.fieldIndex("event_type"))).map(_._2)
+      val n = xs.length.toLong
+      r.getLong(r.fieldIndex("n")) shouldBe n
+      val mean = xs.sum.toDouble / n
+      val varc = (xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+        - xs.sum.toDouble * xs.sum.toDouble / n) / (n - 1)
+      r.getDouble(r.fieldIndex("mean_cents")) shouldBe mean
+      r.getDouble(r.fieldIndex("var_cents2")) shouldBe varc
+      val z = 1.96 + 0.8416
+      val mde = 0.05 * mean
+      r.getLong(r.fieldIndex("n_required")) shouldBe
+        math.ceil(2.0 * varc * (z * z) / (mde * mde)).toLong
+      // sanity of the formula's direction: the required n detects a 5%
+      // lift, so it must exceed what a 10% lift would need (4x smaller)
+      r.getLong(r.fieldIndex("n_required")).toDouble should be >=
+        2.0 * varc * z * z / (4 * mde * mde)
+    }
+  }
+
   test("attribution_time_decay: every pair recomputes from a first-principles click walk and credits nearly sum to 10000 per purchase") {
     val small = "/root/testdata/sf0.001"
     val ev = Tables(spark, small, "events")

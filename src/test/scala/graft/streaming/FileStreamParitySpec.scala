@@ -1426,6 +1426,21 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source power sink: moment-grid fold over hash-split event batches equals the batch ab_power") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // hash-split: the variance estimate (hence every required-n) keeps
+    // converging as partial moments fold in
+    val chunks = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val state = runGridFold("events_power_stream", ev, chunks,
+      "event_type STRING, n BIGINT, sx BIGINT, sxx DECIMAL(38,0)",
+      (s, r, w) => graft.streaming.Streams.powerSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.powerView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("ab_power")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
     val dir01 = "/root/testdata/sf0.01"
     val emb = graft.Tables(spark, dir01, "embeddings").cache()
