@@ -361,7 +361,7 @@ object Events {
   // --------------------------------------------------------------------
   private val intervalJoin = Op("stream_interval_join",
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
-      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS delay_ms
+      |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS delay_ms
       |FROM events p JOIN events c ON p.user_id = c.user_id
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
@@ -375,7 +375,12 @@ object Events {
       .filter(col("cts") <= col("pts")
         && col("cts") > col("pts") - expr("INTERVAL 10 MINUTES"))
       .select(col("purchase_id"), col("click_id"), col("user_id"),
-        (unix_millis(col("pts").cast("timestamp")) - unix_millis(col("cts").cast("timestamp"))).as("delay_ms"))
+        // µs difference first, ONE division after: the delay is
+        // non-negative so floor == truncate — per-timestamp ms
+        // conversion diverges pre-epoch (Spark floors µs→ms, DuckDB
+        // truncates; the extreme-timestamp fixture's find)
+        expr("(unix_micros(cast(pts as timestamp)) "
+          + "- unix_micros(cast(cts as timestamp))) div 1000").as("delay_ms"))
       .orderBy("purchase_id", "click_id")
   }
 
@@ -386,7 +391,7 @@ object Events {
   // still arrive.
   private val intervalJoinLeft = Op("stream_interval_join_left",
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
-      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS delay_ms
+      |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS delay_ms
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id
@@ -401,8 +406,9 @@ object Events {
         && col("cts") <= col("pts")
         && col("cts") > col("pts") - expr("INTERVAL 10 MINUTES"), "left")
       .select(col("purchase_id"), col("click_id"), col("user_id"),
-        (unix_millis(col("pts").cast("timestamp"))
-          - unix_millis(col("cts").cast("timestamp"))).as("delay_ms"))
+        // µs-difference-then-div, as in stream_interval_join above
+        expr("(unix_micros(cast(pts as timestamp)) "
+          + "- unix_micros(cast(cts as timestamp))) div 1000").as("delay_ms"))
       .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_first)
   }
 
@@ -560,15 +566,25 @@ object Events {
   // (the per-touch table; event_attribution already reports the
   // unattributed ones — declared).
   //
+  // Per purchase, only the MostRecentTouches most recent clicks are
+  // credited (rank by recency, exact (cts, click_id) total order): the
+  // standard industry touch cap, and the SCALE guard — without it the
+  // pair table grows quadratically in per-user density (measured: 100×
+  // density → ~10⁴× pairs → 142 s at the 100× probe; with the cap the
+  // output is ≤ 64 rows per purchase). A touch older than the 64 most
+  // recent would carry ~2⁻⁶⁴-scale credit anyway — the cap changes
+  // nothing the bp quantization could see.
+  //
   // Scale shape: an equi-join on user_id with a range predicate — ONE
-  // shuffle per side, per-key expansion bounded by clicks-per-user-per-
-  // 7-days (the join_interval_overlap argument); Σw is a window keyed by
-  // purchase_id over the PAIR table (per-key rows = that purchase's
-  // touches). NULL ts/user rows never enter (no position in time / no
-  // identity — the interarrival contract).
+  // shuffle per side; the recency cap plans as a WindowGroupLimit
+  // (per-key top-64 heap) on the same (user, purchase) key as the Σw
+  // window, so both ride one exchange. NULL ts/user rows never enter
+  // (no position in time / no identity — the interarrival contract).
   // --------------------------------------------------------------------
+  private val MostRecentTouches = 64
+
   private val attributionTimeDecay = Op("attribution_time_decay",
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT event_id AS purchase_id, user_id,
       |    CAST(ts AS TIMESTAMP) AS pts
       |  FROM events
@@ -580,13 +596,15 @@ object Events {
       |pair AS (
       |  SELECT p.purchase_id, p.user_id, c.click_id,
       |    CAST((epoch_us(p.pts) - epoch_us(c.cts)) // 86400000000 AS BIGINT)
-      |      AS age_days
+      |      AS age_days,
+      |    row_number() OVER (PARTITION BY p.purchase_id
+      |                       ORDER BY c.cts DESC, c.click_id DESC) AS rc
       |  FROM p JOIN c ON p.user_id = c.user_id
       |    AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY),
       |wt AS (
       |  SELECT purchase_id, user_id, click_id, age_days,
       |    CAST(1 << (7 - age_days) AS BIGINT) AS w
-      |  FROM pair)
+      |  FROM pair WHERE rc <= $MostRecentTouches)
       |SELECT purchase_id, user_id, click_id, age_days, w,
       |  w * 10000 // CAST(SUM(w) OVER (PARTITION BY purchase_id) AS BIGINT)
       |    AS credit_bp
@@ -599,15 +617,25 @@ object Events {
     val c = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
         col("ts").as("cts"))
-    // (user_id, purchase_id) rather than purchase_id alone: purchase_id
-    // implies user_id, and HashPartitioning(user) SATISFIES clustering on
-    // (user, purchase) — so at scale, where the range join plans as a
-    // sort-merge on user_id, the Σw window rides the join's exchange
-    // instead of re-shuffling the pair table on purchase_id
+    creditPairs(p, c).orderBy("purchase_id", "click_id")
+  }
+
+  /** purchases × click-candidates → the credited pair table: the join,
+    * recency cap, dyadic weights, and bp shares — factored so the batch
+    * op and the streaming fold share it verbatim. Windows are keyed
+    * (user_id, purchase_id) rather than purchase_id alone: purchase_id
+    * implies user_id, and HashPartitioning(user) SATISFIES clustering on
+    * (user, purchase) — so at scale, where the range join plans as a
+    * sort-merge on user_id, both windows ride the join's exchange
+    * instead of re-shuffling the pair table. */
+  private[graft] def creditPairs(p: DataFrame, c: DataFrame): DataFrame = {
     val byPurchase = Window.partitionBy("user_id", "purchase_id")
     p.join(c, col("user_id") === col("c_uid")
         && col("cts") <= col("pts")
         && col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+      .withColumn("rc", row_number().over(
+        byPurchase.orderBy(col("cts").desc, col("click_id").desc)))
+      .filter(col("rc") <= MostRecentTouches)
       .withColumn("age_days", expr(
         "(unix_micros(cast(pts as timestamp)) " +
           "- unix_micros(cast(cts as timestamp))) div 86400000000"))
@@ -616,7 +644,39 @@ object Events {
       .withColumn("credit_bp", expr("w * 10000 div sum_w"))
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         col("age_days"), col("w"), col("credit_bp"))
-      .orderBy("purchase_id", "click_id")
+  }
+
+  /** One time-decay-attribution fold step for the streaming twin
+    * ([[graft.streaming.Streams.attrSink]]): union the carried ≤64-click
+    * recency ring per user with the batch's clicks, credit the batch's
+    * purchases through [[creditPairs]] (shared verbatim), and carry the
+    * new ring — the 64 most recent clicks per user, exactly the
+    * candidate state the touch cap admits.
+    *
+    * Exact under per-user event-time-ordered arrival: the ring can only
+    * evict a click once ≥64 LATER clicks precede any future purchase, in
+    * which case the evicted click is outside that purchase's top-64 by
+    * construction. THIS is the dense-path production shape — per-batch
+    * cost is purchases × (ring + batch clicks) per user, where the batch
+    * op's one-shot join must generate the full pair table (quadratic in
+    * per-user density; measured in the §2 row). */
+  private[graft] def attrFold(ring: DataFrame, batch: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val ev = batch.filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+    val cAll = ring.select(col("click_id"), col("c_uid"), col("cts"))
+      .unionByName(ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_uid"), col("ts").as("cts")))
+    val out = creditPairs(p, cAll)
+    val wLast = Window.partitionBy("c_uid")
+      .orderBy(col("cts").desc, col("click_id").desc)
+    val newRing = cAll.withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") <= MostRecentTouches)
+      .select(col("click_id"), col("c_uid"), col("cts"))
+    (out, newRing)
   }
 
   // --------------------------------------------------------------------
@@ -1368,7 +1428,12 @@ object Events {
       |  FROM d WHERE dur IS NOT NULL GROUP BY user_id)
       |SELECT user_id, n_intervals, total_dur_us,
       |  CASE WHEN total_dur_us = 0 THEN NULL
-      |       ELSE CAST(wsum AS DOUBLE) / CAST(total_dur_us AS DOUBLE) / 100 END AS twa
+      |       -- decimal→double via VARCHAR: wsum passes 2^53 once durations
+      |       -- span decades (the extreme-timestamp fixture), and DuckDB's
+      |       -- direct decimal cast double-rounds there (the numeric-edge
+      |       -- fixture's house conversion rule)
+      |       ELSE CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
+      |            / CAST(total_dur_us AS DOUBLE) / 100 END AS twa
       |FROM g ORDER BY user_id""".stripMargin) { (s, d) =>
     val (_, acc) = twaFold(emptyTwaLast(s, "timestamp_ntz"), emptyTwaAcc(s),
       t(s, d, "events"))

@@ -152,7 +152,9 @@ object Streams {
         && col("cts") <= col("pts")
         && col("cts") > col("pts") - expr(s"INTERVAL $window"), joinType)
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
-        (unix_millis(col("pts").cast("timestamp")) - unix_millis(col("cts").cast("timestamp"))).as("delay_ms"))
+        // µs-difference-then-div: bit-identical to the batch twin
+        expr("(unix_micros(cast(pts as timestamp)) "
+          + "- unix_micros(cast(cts as timestamp))) div 1000").as("delay_ms"))
   }
 
   /** Stream→table upsert: apply the engine's keyed last-writer-wins merge
@@ -1234,4 +1236,21 @@ object Streams {
   /** Read side of [[powerSink]] — LITERALLY the batch op's view. */
   def powerView(state: DataFrame): DataFrame =
     graft.ops.Stats.powerView(state)
+
+  /** foreachBatch fold for time-decay attribution (twin of the batch
+    * attribution_time_decay op): an ordered fold (the win_ema ring
+    * class) carrying the ≤64-click recency ring per user; the batch's
+    * purchases are credited through the batch op's own pair stage over
+    * ring + batch clicks, so the emitted pair log equals the one-shot
+    * join bit-for-bit — with BOUNDED state and per-batch cost, which is
+    * the production path at extreme per-user density. */
+  def attrSink(events: DataFrame)(readRing: () => DataFrame,
+      readOut: () => DataFrame)(writeRing: DataFrame => Unit,
+      writeOut: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val (out, ring) = graft.ops.Events.attrFold(readRing(), instantTs(batch))
+      writeOut(readOut().unionByName(out))
+      writeRing(ring)
+    }
 }

@@ -1314,6 +1314,7 @@ class StatsInvariantSpec extends SparkSpec {
     ev.filter(_._1 == "purchase").foreach { case (_, pid, uid, pus) =>
       val expected = clicksByUser.getOrElse(uid, Array.empty)
         .filter(c => c._4 <= pus && c._4 >= pus - 7L * 86400000000L)
+        .sortBy(c => (-c._4, -c._2)).take(64) // the recency touch cap
         .map { c =>
           val age = (pus - c._4) / 86400000000L
           (c._2, age, 1L << (7 - age))

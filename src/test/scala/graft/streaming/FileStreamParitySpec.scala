@@ -1426,6 +1426,24 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source attribution sink: 64-click recency-ring fold over time-split batches equals the batch attribution_time_decay") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // a batch-2 purchase's 7-day lookback reaches into batch 1 — the
+    // carried ring must reproduce those cross-cut touches bit-for-bit
+    val (ring, out) = runDualFold("events_attr_stream", ev, timeSplitChunks(ev),
+      "click_id BIGINT, c_uid BIGINT, cts TIMESTAMP",
+      "purchase_id BIGINT, user_id BIGINT, click_id BIGINT, " +
+        "age_days BIGINT, w BIGINT, credit_bp BIGINT",
+      (s, rR, rO, wR, wO) => graft.streaming.Streams.attrSink(s)(rR, rO)(wR, wO))
+    val streamed = canon(out.collect())
+    val batch = canon(graft.SparkEntry.queries("attribution_time_decay")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // the carried state is genuinely bounded: ≤64 clicks per user
+    ring.groupBy("c_uid").count().filter(col("count") > 64).count() shouldBe 0L
+  }
+
   test("file-source power sink: moment-grid fold over hash-split event batches equals the batch ab_power") {
     val dir01 = "/root/testdata/sf0.01"
     val ev = graft.Tables(spark, dir01, "events").cache()

@@ -1,9 +1,11 @@
 #!/usr/bin/env bash
-# Full four-fixture correctness sweep (the per-round gate, one command):
+# Full six-fixture correctness sweep (the per-round gate, one command):
 #   1. driver fixture  (sf0.01)         — the contract compare
 #   2. NULL-heavy      (make_null_fixture.py)  — three-valued logic
 #   3. empty-string    (make_empty_fixture.py) — degenerate string edges
 #   4. unicode         (make_unicode_fixture.py) — multibyte char-vs-byte
+#   5. numeric-edge    (make_numeric_fixture.py) — rounding/overflow/sign
+#   6. extreme-ts      (make_tsedge_fixture.py) — pre-epoch/far-future time
 # Each = graft.Verify dump + DuckDB hash compare. Exits nonzero on any red.
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -31,3 +33,7 @@ run /tmp/graft_unifix /tmp/graft_sweep_uni
 echo "== numeric-edge fixture =="
 python3 tools/make_numeric_fixture.py /root/testdata/sf0.01 /tmp/graft_numfix >/dev/null
 run /tmp/graft_numfix /tmp/graft_sweep_num
+
+echo "== extreme-timestamp fixture =="
+python3 tools/make_tsedge_fixture.py /root/testdata/sf0.01 /tmp/graft_tsfix >/dev/null
+run /tmp/graft_tsfix /tmp/graft_sweep_ts
