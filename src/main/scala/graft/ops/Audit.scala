@@ -1012,6 +1012,45 @@ object Audit {
       .orderBy("decile")
   }
 
+  // ------------------------------------------------------------------
+  // vocab_growth streaming-twin stages. The batch op's (decile, h, cnt)
+  // grid can't be folded (deciles re-band whenever the doc-id anchors
+  // move), so the twin folds two ANCHOR-FREE grids instead:
+  //   entry grid — (h, first_doc): keyed MIN fold, vocab-scale (the
+  //     contamination presence-grid argument);
+  //   doc grid — (doc_id, n_tri): keyed MAX fold (a doc's shingle count
+  //     is deterministic, so max-merge is IDEMPOTENT — replays absorb).
+  // The view re-bands from the completed fold. Equality with the batch
+  // op is PROVABLE, not just tested: decile is monotone in doc_id, so
+  // min(decile over occurrences) == decile(min doc_id) per shingle, and
+  // per-decile token counts are sums of per-doc counts either way — the
+  // parity drive pins it bit-for-bit anyway.
+  // ------------------------------------------------------------------
+  private[graft] def vocabEntryGrid(docs: DataFrame): DataFrame =
+    shingleStage(docs).groupBy("h").agg(min("doc_id").as("first_doc"))
+
+  private[graft] def vocabDocGrid(docs: DataFrame): DataFrame =
+    shingleStage(docs).groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+
+  private[graft] def vocabView(entry: DataFrame, docGrid: DataFrame): DataFrame = {
+    val bounds = docGrid.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val dec = expr("(doc_id - lo) * 10 div (hi - lo + 1)")
+    val dG = docGrid.crossJoin(broadcast(bounds))
+      .groupBy(dec.as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tri").as("n_tri"))
+    val nt = entry.select(col("first_doc").as("doc_id"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(dec.as("decile")).agg(count(lit(1)).as("new_types"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dG.join(nt, Seq("decile"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum("new_types").over(cum))
+      .select(col("decile"), col("n_docs"), col("n_tri"),
+        col("new_types"), col("cum_types"))
+      .orderBy("decile")
+  }
+
   val ops: Seq[Op] = Seq(decontaminate, contaminationMatrix, packSequences,
     repetitionFilter, profileStats, outlierFilter, gapDetect, anomalyMad,
     snapshotDiff, skewReport, dqCheck, gapFill, datasetCard, splitTemporal,

@@ -1237,6 +1237,38 @@ object Streams {
   def powerView(state: DataFrame): DataFrame =
     graft.ops.Stats.powerView(state)
 
+  /** Merge (h, first_doc) vocabulary-entry partials (twin state of the
+    * batch vocab_growth op) — keyed MIN merge. */
+  def vocabEntryMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("h")
+      .agg(min(col("first_doc")).as("first_doc"))
+
+  /** Merge per-doc shingle-count partials — keyed MAX merge: a doc's
+    * count is deterministic, so redelivery is absorbed outright. */
+  def vocabDocMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("doc_id")
+      .agg(max(col("n_tri")).as("n_tri"))
+
+  /** foreachBatch fold for the Heaps-law saturation curve (twin of the
+    * batch vocab_growth op): the doc-id anchors (hence every decile
+    * band) move as the crawl streams in, so only the
+    * view-over-completed-fold shape tracks the live curve — the
+    * "is the crawl saturating" monitor, recomputed at any cut. */
+  def vocabSink(docs: DataFrame)(readEntry: () => DataFrame,
+      readDocs: () => DataFrame)(writeEntry: DataFrame => Unit,
+      writeDocs: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeEntry(vocabEntryMerge(readEntry(),
+        graft.ops.Audit.vocabEntryGrid(batch)))
+      writeDocs(vocabDocMerge(readDocs(),
+        graft.ops.Audit.vocabDocGrid(batch)))
+    }
+
+  /** Read side of [[vocabSink]] — the batch op's re-banding view. */
+  def vocabView(entry: DataFrame, docGrid: DataFrame): DataFrame =
+    graft.ops.Audit.vocabView(entry, docGrid)
+
   /** foreachBatch fold for time-decay attribution (twin of the batch
     * attribution_time_decay op): an ordered fold (the win_ema ring
     * class) carrying the ≤64-click recency ring per user; the batch's

@@ -1459,6 +1459,29 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source vocab sink: entry/doc-grid fold over hash-split document batches equals the batch vocab_growth") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    // hash-split: the doc-id ANCHORS (hence every decile band) move with
+    // each batch, and a shingle's first-entry doc can arrive in a LATER
+    // batch than a higher-id occurrence — only the min-fold tracks it
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val (entry, docGrid) = runDualFold("docs_vocab_stream", docs, chunks,
+      "h BIGINT, first_doc BIGINT",
+      "doc_id BIGINT, n_tri BIGINT",
+      (s, rE, rD, wE, wD) => graft.streaming.Streams.vocabSink(s)(rE, rD)(wE, wD))
+    val streamed = canon(graft.streaming.Streams.vocabView(entry, docGrid).collect())
+    val batch = canon(graft.SparkEntry.queries("vocab_growth")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // redelivery honesty: both folds absorb a replayed chunk outright
+    val reE = graft.streaming.Streams.vocabEntryMerge(entry,
+      graft.ops.Audit.vocabEntryGrid(chunks.head))
+    val reD = graft.streaming.Streams.vocabDocMerge(docGrid,
+      graft.ops.Audit.vocabDocGrid(chunks.head))
+    canon(graft.streaming.Streams.vocabView(reE, reD).collect()) shouldBe streamed
+  }
+
   test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
     val dir01 = "/root/testdata/sf0.01"
     val emb = graft.Tables(spark, dir01, "embeddings").cache()
