@@ -680,6 +680,76 @@ object Events {
   }
 
   // --------------------------------------------------------------------
+  // churn_rate — the week-over-week churn KPI next to
+  // rolling_active_users' DAU/WAU and retention_cohort's triangle: per
+  // week, how many of the week's actives do NOT return the following
+  // week (a user who skips a week and returns later still counts as
+  // churned for that week — the standard period-over-period definition;
+  // the cohort view of the same question is retention_cohort). The final
+  // in-data week is right-censored (no following week exists to retain
+  // into) and excluded — declared, via the anchor broadcast. All exact
+  // int64: presence is a distinct (user, week) grid, retention is an
+  // exact 7-day lead comparison, churn share is integer bp.
+  //
+  // Scale shape: ONE fact pass to the distinct (user, week) presence
+  // grid (map-side combine); the lead window is keyed per user over the
+  // GRID (≤ weeks rows per key); the weekly rollup is grid-scale; the
+  // anchor is a 1-row broadcast (anomaly_mad pattern, declared BNLJ).
+  // --------------------------------------------------------------------
+  private val churnRate = Op("churn_rate",
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |a AS (SELECT max(week) AS last_week FROM uw),
+      |r AS (
+      |  SELECT user_id, week,
+      |    lead(week) OVER (PARTITION BY user_id ORDER BY week)
+      |      = week + INTERVAL 7 DAY AS retained
+      |  FROM uw),
+      |g AS (
+      |  SELECT week, count(*) AS n_active,
+      |    count(*) FILTER (WHERE retained) AS n_retained
+      |  FROM r GROUP BY 1)
+      |SELECT week, n_active, n_retained,
+      |  n_active - n_retained AS n_churned,
+      |  (n_active - n_retained) * 10000 // n_active AS churn_bp
+      |FROM g, a WHERE week < last_week
+      |ORDER BY week""".stripMargin) { (s, d) =>
+    churnView(churnGrid(t(s, d, "events")))
+  }
+
+  /** The distinct (user, week) presence grid — churn_rate's only
+    * fact-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.churnSink]]): a presence set, so the
+    * fold is union+distinct and absorbs replays outright (the
+    * rolling_active_users argument). */
+  private[graft] def churnGrid(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        date_trunc("week", col("ts").cast("timestamp")).cast("timestamp")
+          .as("week"))
+      .distinct()
+
+  /** Retention lead + weekly rollup over a completed presence grid. */
+  private[graft] def churnView(uw: DataFrame): DataFrame = {
+    val anchor = uw.agg(max("week").as("last_week"))
+    val byUser = Window.partitionBy("user_id").orderBy("week")
+    uw.withColumn("retained",
+        lead("week", 1).over(byUser) === col("week") + expr("INTERVAL 7 DAYS"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("retained"), 1)).as("n_retained"))
+      .crossJoin(broadcast(anchor))
+      .filter(col("week") < col("last_week"))
+      .withColumn("n_churned", col("n_active") - col("n_retained"))
+      .withColumn("churn_bp", expr("(n_active - n_retained) * 10000 div n_active"))
+      .select(col("week"), col("n_active"), col("n_retained"),
+        col("n_churned"), col("churn_bp"))
+      .orderBy("week")
+  }
+
+  // --------------------------------------------------------------------
   // trend_detect — period-over-period movers: per-user weekly activity,
   // delta vs the user's previous week, top 20 by absolute change (the
   // "biggest movers" report behind engagement/anomaly dashboards). One
@@ -2053,5 +2123,5 @@ object Events {
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
     activityProfile, conversionLatency, anomalySeasonal, eventRfm,
-    sessionStats, assocRules, interarrival, attributionTimeDecay)
+    sessionStats, assocRules, interarrival, attributionTimeDecay, churnRate)
 }

@@ -1237,6 +1237,27 @@ object Streams {
   def powerView(state: DataFrame): DataFrame =
     graft.ops.Stats.powerView(state)
 
+  /** Merge (user, week) presence partials (twin state of the batch
+    * churn_rate op) — union + distinct, IDEMPOTENT: replays absorb
+    * outright (the rolling_active_users argument). */
+  def churnMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).distinct()
+
+  /** foreachBatch fold for the weekly churn KPI (twin of the batch
+    * churn_rate op): the right-censoring anchor (last in-data week)
+    * advances with every batch, re-admitting the week before it — only
+    * the view-over-completed-fold shape tracks that. */
+  def churnSink(events: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(churnMerge(readState(), graft.ops.Events.churnGrid(batch)))
+    }
+
+  /** Read side of [[churnSink]] — LITERALLY the batch op's view. */
+  def churnView(state: DataFrame): DataFrame =
+    graft.ops.Events.churnView(state)
+
   /** Merge (h, first_doc) vocabulary-entry partials (twin state of the
     * batch vocab_growth op) — keyed MIN merge. */
   def vocabEntryMerge(state: DataFrame, delta: DataFrame): DataFrame =

@@ -316,7 +316,8 @@ class PlanAuditSpec extends SparkSpec {
       "fuzzy_eval" -> "200x200 sample-pair grid, both sides LIMIT-bounded by construction (the blocking-recall audit's exact leg)",
       "ab_srm" -> "1-row global-mix scalar broadcast back over the day grid (the anomaly_mad pattern)",
       "ab_cuped" -> "1-row pooled-moments scalar broadcast over the 2-row arm grid (the anomaly_mad pattern)",
-      "vocab_growth" -> "2-cell doc-id-anchor scalar broadcast back over the doc scan and shingle stage (the anomaly_mad pattern)")
+      "vocab_growth" -> "2-cell doc-id-anchor scalar broadcast back over the doc scan and shingle stage (the anomaly_mad pattern)",
+      "churn_rate" -> "1-row last-week anchor broadcast over the weekly grid (right-censoring exclusion; the anomaly_mad pattern)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)

@@ -1337,6 +1337,29 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("churn_rate: every weekly cell recomputes from first-principles presence sets and the censored week is excluded") {
+    val uw = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        date_trunc("week", col("ts").cast("timestamp")).as("week"))
+      .collect().map(r => (r.getLong(0), epochUs(r.get(1)))).toSet
+    val weeks = uw.map(_._2).toSeq.sorted
+    val lastWeek = weeks.max
+    val rows = SparkEntry.queries("churn_rate")(spark, dir).collect()
+    rows should not be empty
+    rows.map(r => epochUs(r.get(0))).max should be < lastWeek // censored week out
+    rows.foreach { r =>
+      val w = epochUs(r.get(0))
+      val active = uw.filter(_._2 == w).map(_._1)
+      val retained = active.count(u => uw.contains((u, w + 7L * 86400000000L)))
+      r.getLong(r.fieldIndex("n_active")) shouldBe active.size.toLong
+      r.getLong(r.fieldIndex("n_retained")) shouldBe retained.toLong
+      r.getLong(r.fieldIndex("n_churned")) shouldBe (active.size - retained).toLong
+      r.getLong(r.fieldIndex("churn_bp")) shouldBe
+        (active.size - retained).toLong * 10000 / active.size
+    }
+  }
+
   test("vocab_growth: the curve recomputes from a first-principles shingle walk and saturates toward the full vocabulary") {
     val raw = Tables(spark, dir, "documents")
       .filter(col("text").isNotNull && col("doc_id").isNotNull)

@@ -1459,6 +1459,26 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source churn sink: presence-grid fold over time-split event batches equals the batch churn_rate") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // time-split: the right-censoring anchor advances batch to batch,
+    // re-admitting the week before it; a user's week-w and week-w+1
+    // presences land in different batches, so retention only exists in
+    // the completed fold
+    val state = runGridFold("events_churn_stream", ev, timeSplitChunks(ev),
+      "user_id BIGINT, week TIMESTAMP",
+      (s, r, w) => graft.streaming.Streams.churnSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.churnView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("churn_rate")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // redelivery honesty: presence is idempotent — refolding is a no-op
+    val refolded = graft.streaming.Streams.churnMerge(state,
+      graft.ops.Events.churnGrid(timeSplitChunks(ev).head))
+    canon(graft.streaming.Streams.churnView(refolded).collect()) shouldBe streamed
+  }
+
   test("file-source vocab sink: entry/doc-grid fold over hash-split document batches equals the batch vocab_growth") {
     val dir01 = "/root/testdata/sf0.01"
     val docs = graft.Tables(spark, dir01, "documents").cache()
