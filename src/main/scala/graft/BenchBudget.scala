@@ -31,6 +31,8 @@ object BenchBudget {
     "bootstrap_ci" -> 10.77, // 3 x 3.59 s worst-of-three idle sf0.1 (r11, single-Generate form)
     "ab_power" -> 2.17, // 3 x 0.72 s worst-of-three idle sf0.1 (r11)
     "churn_rate" -> 3.14, // 3 x 1.05 s worst-of-three idle sf0.1 (r11)
+    "win_bollinger" -> 2.59, // 3 x 0.86 s worst-of-three idle sf0.1 (r11)
+    "rolling_corr" -> 2.07, // 3 x 0.69 s worst-of-three idle sf0.1 (r11)
     "attribution_time_decay" -> 4.08, // 3 x 1.36 s worst-of-three idle sf0.1 (r11)
     "vocab_growth" -> 4.45, // 3 x 1.48 s worst-of-three idle sf0.1 (r11)
     "ab_ttest" -> 1.87, // 3 x 0.62 s idle sf0.1 (r10)

@@ -680,6 +680,111 @@ object Events {
   }
 
   // --------------------------------------------------------------------
+  // win_bollinger — the rolling mean ± 2σ band per user over the cents
+  // stream (win_ema is the decay-weighted level; this is the VOLATILITY
+  // band — the standard "is this reading abnormal for THIS user lately"
+  // telemetry gate, anomaly_mad's rolling per-entity sibling). Frame =
+  // the 8 trailing readings under the pinned (ts, event_id) total order;
+  // mean/σ from EXACT frame sums (Σcents BIGINT, Σcents² DECIMAL(38,0) —
+  // cents square past int64 at the numeric-edge magnitudes), the band
+  // test a fixed IEEE tree; partial frames (<8 rows) emit NULL stats and
+  // flag (declared — a band needs its window full); σ's variance operand
+  // is clamped at 0 (an all-equal frame's exact-zero variance can round
+  // to −ulp in IEEE, and sqrt(−ulp) is a NaN fork both engines would
+  // share but no contract should carry).
+  //
+  // Scale shape: ONE user-keyed window (partial sort per key, the
+  // win_ema shape) — frame state is 8 rows regardless of history; NULL
+  // ts/user/value rows excluded (declared).
+  // --------------------------------------------------------------------
+  private val winBollinger = Op("win_bollinger", {
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+       |f AS (
+       |  SELECT event_id, user_id, cents,
+       |    CAST(count(*) OVER w AS BIGINT) AS n,
+       |    CAST(SUM(cents) OVER w AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+       |      OVER w AS DECIMAL(38,0)) AS sxx
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+       |SELECT event_id, user_id, cents,
+       |  CASE WHEN n = 8 THEN CAST(sx AS DOUBLE) / 8 END AS mean_cents,
+       |  CASE WHEN n = 8 THEN sqrt(greatest(
+       |    (${d("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 8) / 7,
+       |    CAST(0 AS DOUBLE))) END AS std_cents,
+       |  CASE WHEN n = 8 THEN
+       |    abs(CAST(cents AS DOUBLE) - CAST(sx AS DOUBLE) / 8)
+       |      > CAST(2 AS DOUBLE) * sqrt(greatest(
+       |        (${d("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 8) / 7,
+       |        CAST(0 AS DOUBLE)))
+       |  END AS outlier
+       |FROM f ORDER BY event_id""".stripMargin
+  }) { (s, d) =>
+    val (out, _) = bollFold(emptyBollRing(s, "timestamp_ntz"), t(s, d, "events"))
+    out.orderBy("event_id")
+  }
+
+  /** Empty per-user 7-row band ring (the bollinger fold identity); a
+    * zero-row LocalRelation so PropagateEmptyRelation prunes it from the
+    * batch plan (the fold-identity lesson, §7.3.13). */
+  private[graft] def emptyBollRing(s: SparkSession,
+      tsType: String = "timestamp"): DataFrame =
+    emptyDf(s, s"event_id BIGINT, user_id BIGINT, ts $tsType, cents BIGINT")
+
+  /** One Bollinger fold step: union the carried ≤7-row per-user ring
+    * with the batch, run the SAME exact-sum frame over the pinned
+    * (ts, event_id) order, emit band rows for the batch's events only,
+    * and carry the 7 latest rows per user (exactly the state an 8-row
+    * trailing frame needs — the emaFold ring, with band arithmetic).
+    * The batch op IS this fold applied once over the empty ring; the
+    * streaming twin ([[graft.streaming.Streams.bollSink]]) applies it
+    * per micro-batch — EXACT under per-user event-time-ordered arrival. */
+  private[graft] def bollFold(ring: DataFrame, events: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val dec = DecimalType(19, 0)
+    val b = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        lit(true).as("__new"))
+    val r = ring.select(col("event_id"), col("user_id"), col("ts"),
+      col("cents"), lit(false).as("__new"))
+    val all = r.unionByName(b)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-7, Window.currentRow)
+    val full = col("n") === 8
+    val mean = col("sx").cast("double") / lit(8)
+    val variance = greatest(
+      (col("sxx").cast("double") - col("sx").cast("double")
+        * col("sx").cast("double") / lit(8)) / lit(7), lit(0.0))
+    val out = all
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("cents").over(w))
+      .withColumn("sxx", sum(col("cents").cast(dec) * col("cents").cast(dec))
+        .over(w).cast(DecimalType(38, 0)))
+      .filter(col("__new"))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        when(full, mean).as("mean_cents"),
+        when(full, sqrt(variance)).as("std_cents"),
+        when(full, abs(col("cents").cast("double") - mean)
+          > lit(2.0) * sqrt(variance)).as("outlier"))
+    val wLast = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc_nulls_last, col("event_id").desc)
+    val newRing = all.withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") <= 7)
+      .select("event_id", "user_id", "ts", "cents")
+    (out, newRing)
+  }
+
+  // --------------------------------------------------------------------
   // churn_rate — the week-over-week churn KPI next to
   // rolling_active_users' DAU/WAU and retention_cohort's triangle: per
   // week, how many of the week's actives do NOT return the following
@@ -2123,5 +2228,6 @@ object Events {
     winRunningDistinct, streamThrottle, timeOhlc, watermarkAudit,
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
     activityProfile, conversionLatency, anomalySeasonal, eventRfm,
-    sessionStats, assocRules, interarrival, attributionTimeDecay, churnRate)
+    sessionStats, assocRules, interarrival, attributionTimeDecay, churnRate,
+    winBollinger)
 }

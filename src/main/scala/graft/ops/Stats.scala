@@ -1174,7 +1174,93 @@ object Stats {
     powerView(powerGrid(t(s, d, "events")))
   }
 
+  // --------------------------------------------------------------------
+  // rolling_corr — trailing-7-day Pearson correlation between the two
+  // arms' daily volumes (do clicks and purchases move together? — the
+  // metric-coupling read behind "is this dip demand or logging"). Shares
+  // ab_srm's per-day count grid VERBATIM (srmGrid) — one fold serves the
+  // SRM alarm and the correlation monitor (the rank-family
+  // one-fold-many-views pattern; the streaming twin reads the same
+  // srmSink state). r over the window's exact integer sums (squares /
+  // cross-products in DECIMAL(38,0) — daily counts square past int64 at
+  // scale), final statistic a fixed IEEE tree; windows shorter than 7
+  // days and zero-variance windows emit NULL r (declared — and the
+  // guard is a lazily-evaluated CASE, the ANSI divide-by-zero lesson).
+  //
+  // Scale shape: the fact pass is srmGrid's; every window here runs on
+  // the DAY grid (|days| rows — unpartitioned but grid-sized, the
+  // survival n_risk argument).
+  // --------------------------------------------------------------------
+  /** Correlation view over a completed day grid (grid-sized input). */
+  private[graft] def corrView(grid: DataFrame): DataFrame = {
+    val dec = DecimalType(19, 0)
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    val d38 = DecimalType(38, 0)
+    val g = grid
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("n_a").over(w))
+      .withColumn("sy", sum("n_b").over(w))
+      .withColumn("sxx", sum(col("n_a").cast(dec) * col("n_a").cast(dec))
+        .over(w).cast(d38))
+      .withColumn("syy", sum(col("n_b").cast(dec) * col("n_b").cast(dec))
+        .over(w).cast(d38))
+      .withColumn("sxy", sum(col("n_a").cast(dec) * col("n_b").cast(dec))
+        .over(w).cast(d38))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val deny = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    g.withColumn("r",
+        when(col("n") === 7 && denx > 0 && deny > 0,
+          num / sqrt(denx * deny)))
+      .select(col("day"), col("n_a"), col("n_b"), col("r"))
+      .orderBy("day")
+  }
+
+  private val rollingCorr = Op("rolling_corr", {
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""WITH grid AS (
+       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |    count(*) FILTER (WHERE event_type = '$ArmA') AS n_a,
+       |    count(*) FILTER (WHERE event_type = '$ArmB') AS n_b
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND event_type IN ('$ArmA', '$ArmB')
+       |  GROUP BY 1),
+       |win AS (
+       |  SELECT day, n_a, n_b,
+       |    CAST(count(*) OVER w AS BIGINT) AS n,
+       |    CAST(SUM(n_a) OVER w AS BIGINT) AS sx,
+       |    CAST(SUM(n_b) OVER w AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(n_a AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0)))
+       |      OVER w AS DECIMAL(38,0)) AS sxx,
+       |    CAST(SUM(CAST(n_b AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)))
+       |      OVER w AS DECIMAL(38,0)) AS syy,
+       |    CAST(SUM(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)))
+       |      OVER w AS DECIMAL(38,0)) AS sxy
+       |  FROM grid
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT day, n_a, n_b,
+       |  CASE WHEN n = 7
+       |        AND CAST(n AS DOUBLE) * ${d("sxx")}
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |        AND CAST(n AS DOUBLE) * ${d("syy")}
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       |       THEN (CAST(n AS DOUBLE) * ${d("sxy")}
+       |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |            / sqrt((CAST(n AS DOUBLE) * ${d("sxx")}
+       |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                   * (CAST(n AS DOUBLE) * ${d("syy")}
+       |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END AS r
+       |FROM win ORDER BY day""".stripMargin
+  }) { (s, d) =>
+    corrView(srmGrid(t(s, d, "events")))
+  }
+
   val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum,
     evalAuc, abRanksum, abKsTest, survivalHazard, abSrm, abCuped,
-    calibrationTable, gainsTable, bootstrapCi, abPower)
+    calibrationTable, gainsTable, bootstrapCi, abPower, rollingCorr)
 }

@@ -1144,6 +1144,25 @@ object Streams {
   def srmView(state: DataFrame): DataFrame =
     graft.ops.Stats.srmView(state)
 
+  /** Second read side of [[srmSink]] — the rolling correlation monitor
+    * reads the SAME day-count fold (one fold, two monitors: the
+    * rank-family pattern). */
+  def srmCorrView(state: DataFrame): DataFrame =
+    graft.ops.Stats.corrView(state)
+
+  /** foreachBatch fold for the Bollinger band (twin of the batch
+    * win_bollinger op): per-event output over the carried ≤7-row
+    * per-user ring — the emaFold class, band arithmetic. */
+  def bollSink(events: DataFrame)(readRing: () => DataFrame,
+      readOut: () => DataFrame)(writeRing: DataFrame => Unit,
+      writeOut: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val (out, ring) = graft.ops.Events.bollFold(readRing(), instantTs(batch))
+      writeOut(readOut().unionByName(out))
+      writeRing(ring)
+    }
+
   /** Merge per-user pre/post cents partials (twin state of the batch
     * ab_cuped op) — keyed SUM merge (the conditional sums are algebraic;
     * the 0-for-missing contract holds at any cut because 0 is SUM's

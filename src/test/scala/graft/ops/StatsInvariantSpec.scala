@@ -1337,6 +1337,71 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("rolling_corr: r recomputes from a first-principles trailing walk and is Cauchy-Schwarz-bounded") {
+    val daily = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isin("click", "purchase"))
+      .select(date_trunc("day", col("ts")).cast("timestamp").as("day"),
+        col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1.getTime)
+      .map { case (d, g) =>
+        (d, g.count(_._2 == "click").toLong, g.count(_._2 == "purchase").toLong)
+      }
+    val rows = SparkEntry.queries("rolling_corr")(spark, dir).collect()
+    rows.length shouldBe daily.length
+    rows.zipWithIndex.foreach { case (r, i) =>
+      r.getTimestamp(0) shouldBe daily(i)._1
+      if (i < 6) r.isNullAt(r.fieldIndex("r")) shouldBe true // partial window
+      else {
+        val win = daily.slice(i - 6, i + 1)
+        val (n, sx, sy) = (7L, win.map(_._2).sum, win.map(_._3).sum)
+        val sxx = win.map(w => BigInt(w._2) * BigInt(w._2)).sum
+        val syy = win.map(w => BigInt(w._3) * BigInt(w._3)).sum
+        val sxy = win.map(w => BigInt(w._2) * BigInt(w._3)).sum
+        val denx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val deny = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+        if (denx > 0 && deny > 0) {
+          val exp = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+            math.sqrt(denx * deny)
+          r.getDouble(r.fieldIndex("r")) shouldBe exp
+          math.abs(exp) should be <= 1.0 + 1e-12
+        } else r.isNullAt(r.fieldIndex("r")) shouldBe true
+      }
+    }
+  }
+
+  test("win_bollinger: band stats recompute from a first-principles trailing-8 walk; partial frames stay NULL") {
+    val small = "/root/testdata/sf0.001"
+    val byUser = Tables(spark, small, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), epochUs(r.get(1)), r.getLong(2),
+        centsOf(r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    val rows = SparkEntry.queries("win_bollinger")(spark, small).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val seq = byUser(r.getLong(r.fieldIndex("user_id")))
+      val i = seq.indexWhere(_._3 == r.getLong(r.fieldIndex("event_id")))
+      if (i < 7) {
+        r.isNullAt(r.fieldIndex("mean_cents")) shouldBe true
+        r.isNullAt(r.fieldIndex("outlier")) shouldBe true
+      } else {
+        val frame = seq.slice(i - 7, i + 1).map(_._4)
+        val sx = frame.sum
+        val sxx = frame.map(x => BigInt(x) * BigInt(x)).sum
+        val mean = sx.toDouble / 8
+        val varc = math.max((sxx.toDouble - sx.toDouble * sx.toDouble / 8) / 7, 0.0)
+        r.getDouble(r.fieldIndex("mean_cents")) shouldBe mean
+        r.getDouble(r.fieldIndex("std_cents")) shouldBe math.sqrt(varc)
+        r.getBoolean(r.fieldIndex("outlier")) shouldBe
+          (math.abs(frame.last.toDouble - mean) > 2.0 * math.sqrt(varc))
+      }
+    }
+  }
+
   test("churn_rate: every weekly cell recomputes from first-principles presence sets and the censored week is excluded") {
     val uw = Tables(spark, dir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)

@@ -1375,6 +1375,26 @@ class FileStreamParitySpec extends SparkSpec {
     val batch = canon(graft.SparkEntry.queries("ab_srm")(spark, dir01).collect())
     streamed shouldBe batch
     streamed should not be empty
+    // ONE fold, two monitors: the correlation view reads the same state
+    val corr = canon(graft.streaming.Streams.srmCorrView(state).collect())
+    corr shouldBe canon(graft.SparkEntry.queries("rolling_corr")(spark, dir01).collect())
+    corr should not be empty
+  }
+
+  test("file-source bollinger sink: 7-row band-ring fold over time-split batches equals the batch win_bollinger") {
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    // per-event output: a batch-2 event's 8-row frame reaches back into
+    // batch 1 — the carried ring must reproduce those frames bit-for-bit
+    val (_, out) = runDualFold("events_boll_stream", ev, timeSplitChunks(ev),
+      "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, cents BIGINT",
+      "event_id BIGINT, user_id BIGINT, cents BIGINT, " +
+        "mean_cents DOUBLE, std_cents DOUBLE, outlier BOOLEAN",
+      (s, rR, rO, wR, wO) => graft.streaming.Streams.bollSink(s)(rR, rO)(wR, wO))
+    val streamed = canon(out.collect())
+    val batch = canon(graft.SparkEntry.queries("win_bollinger")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
   }
 
   test("file-source CUPED sink: user-grid fold over time-split event batches equals the batch ab_cuped") {
