@@ -1026,11 +1026,17 @@ object Audit {
   // per-decile token counts are sums of per-doc counts either way — the
   // parity drive pins it bit-for-bit anyway.
   // ------------------------------------------------------------------
+  // doc_id IS NOT NULL mirrors the batch op's input contract (its WITH t
+  // filters BOTH text and doc_id); shingleStage alone only drops NULL
+  // text, and a NULL-doc_id doc would yield a NULL-decile row in
+  // vocabView — breaking the provable batch/twin equality.
   private[graft] def vocabEntryGrid(docs: DataFrame): DataFrame =
-    shingleStage(docs).groupBy("h").agg(min("doc_id").as("first_doc"))
+    shingleStage(docs.filter(col("doc_id").isNotNull))
+      .groupBy("h").agg(min("doc_id").as("first_doc"))
 
   private[graft] def vocabDocGrid(docs: DataFrame): DataFrame =
-    shingleStage(docs).groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    shingleStage(docs.filter(col("doc_id").isNotNull))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
 
   private[graft] def vocabView(entry: DataFrame, docGrid: DataFrame): DataFrame = {
     val bounds = docGrid.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))

@@ -1035,7 +1035,12 @@ object Stats {
         count(when(isRep, 1)).as("n_reps"),
         max(when(isRep && col("ra") === 2, col("mean_cents"))).as("ci_lo_cents"),
         max(when(isRep && col("rd") === 2, col("mean_cents"))).as("ci_hi_cents"))
-      .filter(col("n").isNotNull && col("n_reps") > 0)
+      // n_reps >= 2: with a single surviving replicate the rank legs
+      // never reach 2 and the band would be silently NULL next to a
+      // point estimate — a degenerate type has no CI, so it emits no row
+      // (the se2>0 discipline of ab_ttest, applied to the order
+      // statistics).
+      .filter(col("n").isNotNull && col("n_reps") >= 2)
       .select(col("event_type"), col("n"), col("mean_cents"),
         col("n_reps"), col("ci_lo_cents"), col("ci_hi_cents"))
       .orderBy("event_type")
@@ -1079,7 +1084,7 @@ object Stats {
        |  max(CASE WHEN b < $BootReps AND rd = 2 THEN mean_cents END) AS ci_hi_cents
        |FROM ranked GROUP BY 1
        |HAVING max(CASE WHEN b = $BootReps THEN sw END) IS NOT NULL
-       |   AND count(*) FILTER (WHERE b < $BootReps) > 0
+       |   AND count(*) FILTER (WHERE b < $BootReps) >= 2
        |ORDER BY event_type""".stripMargin
   }) { (s, d) =>
     bootView(bootGrid(t(s, d, "events")))
@@ -1175,9 +1180,12 @@ object Stats {
   }
 
   // --------------------------------------------------------------------
-  // rolling_corr — trailing-7-day Pearson correlation between the two
-  // arms' daily volumes (do clicks and purchases move together? — the
-  // metric-coupling read behind "is this dip demand or logging"). Shares
+  // rolling_corr — Pearson correlation between the two arms' daily
+  // volumes over the LAST 7 OBSERVED DAYS (a ROWS window over the day
+  // grid, not a 7-calendar-day RANGE: with calendar gaps the window
+  // spans the trailing 7 days that have data — declared contract; do
+  // clicks and purchases move together? — the metric-coupling read
+  // behind "is this dip demand or logging"). Shares
   // ab_srm's per-day count grid VERBATIM (srmGrid) — one fold serves the
   // SRM alarm and the correlation monitor (the rank-family
   // one-fold-many-views pattern; the streaming twin reads the same

@@ -5,10 +5,15 @@ The numeric fixture probes value-conversion edges; THIS one probes the
 TIME edges the driver fixture never exercises because its events all
 live in one month of 2024:
 
-  - pre-epoch timestamps (negative epoch-µs: integer div/floor forks —
-    DuckDB `//` floors toward -inf while Spark's `div` truncates toward
-    zero, and only negative operands expose it in epoch arithmetic;
-    also date_trunc/datediff sign handling)
+  - pre-epoch timestamps (negative epoch-µs: PER-TIMESTAMP ms
+    conversion forks — Spark's `unix_millis` FLOORS µs→ms while
+    DuckDB's `epoch_ms` truncates toward zero, so any pre-epoch
+    operand converted individually is off by one ms on one side; the
+    fix is to difference in exact µs first and divide ONCE (a
+    non-negative delta, where floor == truncate). Integer division
+    itself does NOT fork: DuckDB `//` truncates toward zero like
+    Spark `div` (-7 // 2 = -3, verified on DuckDB 1.x). Also
+    date_trunc/datediff sign handling)
   - the epoch boundary itself (1969-12-31 23:59:59.999999 vs
     1970-01-01 00:00:00.000001 — off-by-one-µs bucketing)
   - deep past (1904: pre-epoch week/month truncation, leap-century
