@@ -36,6 +36,9 @@ object BenchBudget {
     "attribution_time_decay" -> 4.08, // 3 x 1.36 s worst-of-three idle sf0.1 (r11)
     "vocab_growth" -> 4.45, // 3 x 1.48 s worst-of-three idle sf0.1 (r11)
     "ab_ttest" -> 1.87, // 3 x 0.62 s idle sf0.1 (r10)
+    "tpch_q1" -> 3.17, // 3 x 1.06 s worst-of-three idle sf0.1 (r12)
+    "code_switch" -> 4.72, // 3 x 1.57 s worst-of-three idle sf0.1 (r12)
+    "experiment_dashboard" -> 4.20, // 3 x 1.40 s worst-of-three idle sf0.1 (r12)
     "agg_approx_distinct" -> 3.15, "agg_bitmap_distinct" -> 1.28, "agg_collect" -> 0.77,
     "agg_cube" -> 3.83, "agg_custom_udaf" -> 0.9, "agg_distinct" -> 2.03,
     "agg_filtered" -> 0.79, "agg_group" -> 2.59, "agg_gsets" -> 2.98,

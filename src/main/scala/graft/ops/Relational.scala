@@ -57,6 +57,45 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // --------------------------------------------------------------------
+  // tpch_q1 — the pricing-summary report in its FAITHFUL SQL-text form,
+  // through the R2 delegated-SQL door (the reference's "enter a SQL
+  // query" path, ETLProcess.java:85-87): ONE query text executes
+  // verbatim on BOTH engines — Spark via spark.sql over the registered
+  // lineitem view, DuckDB as the oracle — so there is zero translation
+  // between what a user types and what either engine checks. Differences
+  // from the DataFrame-API `agg_group` (same report): the date predicate
+  // is the spec's interval arithmetic (DATE '1998-12-01' - 90 days), and
+  // the whole query lives in the SQL dialect surface. Money arithmetic
+  // keeps the house exact-decimal discipline (AVG() is deliberately
+  // spelled SUM/COUNT over DECIMAL: Spark's AVG(DECIMAL(18,2)) returns
+  // DECIMAL(22,6) while DuckDB's returns DOUBLE — the one nonportable
+  // construct in the spec text).
+  //
+  // Scale shape: identical to agg_group — partial+final hash aggregate,
+  // the shuffle carries |groups| × partitions rows; the shipdate
+  // predicate pushes into the parquet scan (both pinned in
+  // PlanAuditSpec).
+  // --------------------------------------------------------------------
+  private val tpchQ1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-12-01' - INTERVAL 90 DAY
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  private val tpchQ1 = Op("tpch_q1", tpchQ1Sql) { (s, d) =>
+    t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(tpchQ1Sql)
+  }
+
+  // --------------------------------------------------------------------
   // Scans. Parquet DataSource v2 does split planning; ReadSchema shows the
   // pruned projection for scan_projected (nothing else is read from disk).
   // --------------------------------------------------------------------
@@ -776,7 +815,7 @@ object Relational {
   }
 
   val ops: Seq[Op] = Seq(
-    Op("agg_group", aggGroupSql)(aggGroup), recursiveCte,
+    Op("agg_group", aggGroupSql)(aggGroup), tpchQ1, recursiveCte,
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     joinCross, joinTheta, joinAsof, joinAsofTolerance, joinAsofNearest,

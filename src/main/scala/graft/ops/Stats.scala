@@ -187,7 +187,9 @@ object Stats {
       .orderBy("day")
   }
 
-  private val abTtest = Op("ab_ttest", {
+  /** The per-day Welch table as a DuckDB subquery (no final ORDER BY) —
+    * shared by ab_ttest's oracle and experiment_dashboard's. */
+  private val ttestTableSql: String = {
     // per-arm exact moments; x is the cents-quantized decimal value
     def m(arm: String, suf: String) =
       // decimal → double goes through VARCHAR: DuckDB's direct decimal
@@ -204,7 +206,7 @@ object Stats {
          |         FILTER (WHERE event_type = '$arm') AS VARCHAR) AS DOUBLE) AS sxx_$suf""".stripMargin
     def vr(suf: String) =
       s"(sxx_$suf - sx_$suf * sx_$suf / n_$suf) / (n_$suf - 1)"
-    s"""WITH mo AS (
+    s"""(WITH mo AS (
        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        |    ${m(ArmA, "a")},
        |    ${m(ArmB, "b")}
@@ -224,8 +226,12 @@ object Stats {
        |  FROM st WHERE se2_a + se2_b > 0)
        |SELECT day, n_a, n_b, mean_a, mean_b, t_stat, df,
        |  abs(t_stat) > CAST(1.96 AS DOUBLE) AS significant
-       |FROM tt ORDER BY day""".stripMargin
-  }) { (s, d) =>
+       |FROM tt)""".stripMargin
+  }
+
+  private val abTtest = Op("ab_ttest",
+    s"""SELECT day, n_a, n_b, mean_a, mean_b, t_stat, df, significant
+       |FROM $ttestTableSql ORDER BY day""".stripMargin) { (s, d) =>
     ttestView(ttestMoments(t(s, d, "events")))
   }
 
@@ -465,8 +471,11 @@ object Stats {
       .orderBy("day")
   }
 
-  private val abRanksum = Op("ab_ranksum",
-    s"""WITH st AS (
+  /** The per-day Wilcoxon/Mann-Whitney table as a DuckDB subquery (no
+    * final ORDER BY) — shared by ab_ranksum's oracle and
+    * experiment_dashboard's. */
+  private val ranksumTableSql: String =
+    s"""(WITH st AS (
        |  SELECT day, n_neg, n_pos,
        |    sr2_pos - n_pos * (n_pos + 1) AS u2,
        |    CAST(n_neg * n_pos AS DECIMAL(19,0))
@@ -482,8 +491,11 @@ object Stats {
        |  abs(CAST(u2 - n_pos * n_neg AS DOUBLE)
        |    / (CAST(2 AS DOUBLE) * sqrt(CAST(CAST(b_num AS VARCHAR) AS DOUBLE)
        |        / CAST(b_den AS DOUBLE)))) > CAST(1.96 AS DOUBLE) AS significant
-       |FROM st WHERE b_num > 0
-       |ORDER BY day""".stripMargin) { (s, d) =>
+       |FROM st WHERE b_num > 0)""".stripMargin
+
+  private val abRanksum = Op("ab_ranksum",
+    s"""SELECT day, n_neg, n_pos, u2, z, significant
+       |FROM $ranksumTableSql ORDER BY day""".stripMargin) { (s, d) =>
     ranksumView(rankStats(rankGrid(t(s, d, "events"))))
   }
 
@@ -662,8 +674,10 @@ object Stats {
       .orderBy("day")
   }
 
-  private val abSrm = Op("ab_srm",
-    s"""WITH grid AS (
+  /** The per-day SRM table as a DuckDB subquery (no final ORDER BY) —
+    * shared by ab_srm's oracle and experiment_dashboard's. */
+  private val srmTableSql: String =
+    s"""(WITH grid AS (
        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        |    count(*) FILTER (WHERE event_type = '$ArmA') AS n_a,
        |    count(*) FILTER (WHERE event_type = '$ArmB') AS n_b
@@ -681,8 +695,78 @@ object Stats {
        |  FROM grid, g WHERE g_a > 0 AND g_b > 0)
        |SELECT day, n_a, n_b, d_stat, chi2,
        |  chi2 > CAST(3.84 AS DOUBLE) AS srm
-       |FROM q ORDER BY day""".stripMargin) { (s, d) =>
+       |FROM q)""".stripMargin
+
+  private val abSrm = Op("ab_srm",
+    s"""SELECT day, n_a, n_b, d_stat, chi2, srm
+       |FROM $srmTableSql ORDER BY day""".stripMargin) { (s, d) =>
     srmView(srmGrid(t(s, d, "events")))
+  }
+
+  // --------------------------------------------------------------------
+  // experiment_dashboard — the composite per-day experiment read-out a
+  // platform actually renders: the assignment-health screen (SRM χ²)
+  // joined with the parametric (Welch t) and distribution-free
+  // (Wilcoxon z) significance tests, plus a categorical DECISION the
+  // three columns imply — 'invalid' when the day's assignment mix is
+  // broken (every other statistic on that day is suspect — SRM is
+  // checked FIRST for a reason), 'effect' when both tests agree the
+  // metric moved, 'review' when they disagree (shape-sensitive — the t
+  // reacts to outliers the rank test ignores), 'no_effect' otherwise.
+  // The SRM day table is the spine (it exists for any day with either
+  // arm); the test tables LEFT-join onto it — a day that lacks the
+  // moments for a test (n<=1, zero variance) shows NULL statistics and
+  // counts as not-significant in the decision (COALESCE false).
+  //
+  // One fold, many views: the three legs are the EXACT grid+view
+  // pipelines of ab_srm / ab_ttest / ab_ranksum (srmGrid, ttestMoments,
+  // rankGrid shared verbatim — the dashboard provably displays what the
+  // individual ops compute, and a streaming deployment serves it from
+  // the same three sinks). Cost: the three fact-scale grid passes the
+  // component ops already pay, then grid-sized joins (≤|days| rows per
+  // leg — broadcast-sized at any event scale).
+  // --------------------------------------------------------------------
+  /** Dashboard view over the three completed per-day tables. */
+  private[graft] def dashboardView(
+      srm: DataFrame, tt: DataFrame, rs: DataFrame): DataFrame = {
+    val sv = srm.select(col("day"), col("n_a"), col("n_b"),
+      col("chi2").as("srm_chi2"), col("srm"))
+    val tv = tt.select(col("day"), col("mean_a"), col("mean_b"),
+      col("t_stat"), col("significant").as("t_sig"))
+    val rv = rs.select(col("day"), col("z"), col("significant").as("z_sig"))
+    val tSig = coalesce(col("t_sig"), lit(false))
+    val zSig = coalesce(col("z_sig"), lit(false))
+    sv.join(tv, Seq("day"), "left").join(rv, Seq("day"), "left")
+      .select(col("day"), col("n_a"), col("n_b"), col("srm_chi2"), col("srm"),
+        col("mean_a"), col("mean_b"), col("t_stat"), col("t_sig"),
+        col("z"), col("z_sig"),
+        when(col("srm"), "invalid")
+          .when(tSig && zSig, "effect")
+          .when(tSig || zSig, "review")
+          .otherwise("no_effect").as("decision"))
+      .orderBy("day")
+  }
+
+  private val experimentDashboard = Op("experiment_dashboard",
+    s"""WITH s AS (SELECT day, n_a, n_b, chi2 AS srm_chi2, srm FROM $srmTableSql),
+       |tt AS (SELECT day, mean_a, mean_b, t_stat,
+       |         significant AS t_sig FROM $ttestTableSql),
+       |rs AS (SELECT day, z, significant AS z_sig FROM $ranksumTableSql)
+       |SELECT s.day, s.n_a, s.n_b, s.srm_chi2, s.srm,
+       |  tt.mean_a, tt.mean_b, tt.t_stat, tt.t_sig, rs.z, rs.z_sig,
+       |  CASE WHEN s.srm THEN 'invalid'
+       |       WHEN COALESCE(tt.t_sig, false) AND COALESCE(rs.z_sig, false)
+       |         THEN 'effect'
+       |       WHEN COALESCE(tt.t_sig, false) OR COALESCE(rs.z_sig, false)
+       |         THEN 'review'
+       |       ELSE 'no_effect' END AS decision
+       |FROM s LEFT JOIN tt ON s.day = tt.day LEFT JOIN rs ON rs.day = s.day
+       |ORDER BY s.day""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    dashboardView(
+      srmView(srmGrid(ev)),
+      ttestView(ttestMoments(ev)),
+      ranksumView(rankStats(rankGrid(ev))))
   }
 
   // --------------------------------------------------------------------
@@ -1270,5 +1354,6 @@ object Stats {
 
   val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum,
     evalAuc, abRanksum, abKsTest, survivalHazard, abSrm, abCuped,
-    calibrationTable, gainsTable, bootstrapCi, abPower, rollingCorr)
+    calibrationTable, gainsTable, bootstrapCi, abPower, rollingCorr,
+    experimentDashboard)
 }

@@ -76,27 +76,37 @@ object Text {
   /** The per-doc (doc_id, lang, pred_lang) prediction frame — shared by
     * lang_id and its evaluation op lang_id_eval, so the classifier the
     * eval measures is provably the classifier the pipeline runs. */
-  private[graft] def langPredView(
+  /** The per-doc language-score stage — one s_<lang> occurrence-count
+    * column per profile, all exact int64 string arithmetic. Shared by
+    * lang_id / lang_id_eval (via [[langPredView]]) and code_switch, so
+    * the mixing screen provably scores with the classifier's own
+    * profiles. */
+  private[graft] def langScores(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def occurrences(g: String): Column =
       (length(col("text")) - length(replace(col("text"), lit(g), lit("")))) / g.length
-    val scored = langProfiles.foldLeft(
+    langProfiles.foldLeft(
         exchange(docs.select("doc_id", "lang", "text"))) {
       case (df, (lang, gs)) =>
         df.withColumn(s"s_$lang",
           gs.map(occurrences).reduce(_ + _).cast("long"))
     }
-    // same fixed-preference CASE chain as the oracle: first lang (in profile
-    // order) whose score is >= every later lang's score
-    val pred = langProfiles.init.zipWithIndex.foldRight(
-        lit(langProfiles.last._1)) { case (((lang, _), i), els) =>
+  }
+
+  /** First language (in profile order) whose score is >= every later
+    * lang's score — the same fixed-preference CASE chain as the oracle. */
+  private def langBestPred: Column =
+    langProfiles.init.zipWithIndex.foldRight(
+        lit(langProfiles.last._1): Column) { case (((lang, _), i), els) =>
       val cond = langProfiles.drop(i + 1)
         .map { case (l2, _) => col(s"s_$lang") >= col(s"s_$l2") }
         .reduce(_ && _)
       when(cond, lang).otherwise(els)
     }
-    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
-  }
+
+  private[graft] def langPredView(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    langScores(docs).select(col("doc_id"), col("lang"), langBestPred.as("pred_lang"))
 
   /** The same prediction frame in DuckDB SQL (no final ORDER BY). */
   private val langPredSql: String = {
@@ -144,6 +154,81 @@ object Text {
        |GROUP BY lang, pred_lang
        |ORDER BY lang, pred_lang""".stripMargin) { (s, d) =>
     langConfusionView(langConfusionGrid(t(s, d, "documents")))
+  }
+
+  // --------------------------------------------------------------------
+  // code_switch — the code-switching / mixed-language screen over the
+  // SHARED lang_id profile stage (langScores): a doc whose second-best
+  // language profile scores close to its best is likely mixed-language
+  // text (code-switching, boilerplate in a second language, embedded
+  // quotes) — the docs a monolingual quality model mis-scores and a
+  // per-language router mis-routes. Per doc: the predicted (best)
+  // language, the runner-up language, both scores, the mix ratio in
+  // integer bp (s_alt/(s_best+s_alt) — 0 for pure, →5000 for an even
+  // mix), and the mixed flag (runner-up within 2× of the best, i.e.
+  // mix_bp >= 3333, and nonzero). All exact int64 arithmetic over the
+  // shared scores, so both engines agree bit-for-bit; runner-up selection
+  // is scalar CASE logic (greatest over the non-predicted scores, ties
+  // to profile order) — NOT a per-doc rank window, so the whole screen
+  // stays scan-stage with zero shuffles at any corpus size. NULL-text
+  // docs are excluded (nothing to screen — declared, the shingleStage
+  // contract).
+  // --------------------------------------------------------------------
+  private val codeSwitch = Op("code_switch", {
+    val langs = langProfiles.map(_._1)
+    val scoreSqls = langProfiles.map { case (lang, gs) =>
+      val terms = gs.map { g =>
+        val lit = g.replace("'", "''")
+        s"(length(text) - length(replace(text, '$lit', ''))) // length('$lit')"
+      }
+      s"${terms.mkString(" + ")} AS s_$lang"
+    }
+    val caseSql = langProfiles.init.zipWithIndex.map { case ((lang, _), i) =>
+      val later = langProfiles.drop(i + 1).map { case (l2, _) => s"s_$lang >= s_$l2" }
+      s"WHEN ${later.mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    val maskedScores = langs.map(l =>
+      s"CASE WHEN pred_lang = '$l' THEN -1 ELSE s_$l END")
+    val altCase = langs.map(l =>
+      s"WHEN pred_lang <> '$l' AND s_$l = s_alt THEN '$l'").mkString(" ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang, ${langs.map(l => s"s_$l").mkString(", ")},
+       |    CASE $caseSql ELSE '${langs.last}' END AS pred_lang
+       |  FROM (SELECT doc_id, lang, ${scoreSqls.mkString(", ")}
+       |        FROM documents WHERE text IS NOT NULL)),
+       |b AS (
+       |  SELECT doc_id, lang, pred_lang,
+       |    greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS s_best,
+       |    greatest(${maskedScores.mkString(", ")}) AS s_alt,
+       |    ${langs.map(l => s"s_$l").mkString(", ")}
+       |  FROM sc)
+       |SELECT doc_id, lang, pred_lang,
+       |  CASE $altCase END AS alt_lang, s_best, s_alt,
+       |  CASE WHEN s_best + s_alt > 0
+       |       THEN s_alt * 10000 // (s_best + s_alt)
+       |       ELSE CAST(0 AS BIGINT) END AS mix_bp,
+       |  s_alt * 2 >= s_best AND s_alt > 0 AS mixed
+       |FROM b ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val langs = langProfiles.map(_._1)
+    val scored = langScores(
+        t(s, d, "documents").filter(col("text").isNotNull))
+      .withColumn("pred_lang", langBestPred)
+    val b = scored
+      .withColumn("s_best", greatest(langs.map(l => col(s"s_$l")): _*))
+      .withColumn("s_alt", greatest(langs.map(l =>
+        when(col("pred_lang") === l, lit(-1L)).otherwise(col(s"s_$l"))): _*))
+    val altLang = langs.foldRight(lit(null).cast("string")) { (l, els) =>
+      when(col("pred_lang") =!= l && col(s"s_$l") === col("s_alt"), l)
+        .otherwise(els)
+    }
+    b.select(col("doc_id"), col("lang"), col("pred_lang"),
+        altLang.as("alt_lang"), col("s_best"), col("s_alt"),
+        when(col("s_best") + col("s_alt") > 0,
+          expr("s_alt * 10000 div (s_best + s_alt)"))
+          .otherwise(lit(0L)).as("mix_bp"),
+        (col("s_alt") * 2 >= col("s_best") && col("s_alt") > 0).as("mixed"))
+      .orderBy("doc_id")
   }
 
   /** The (lang, pred_lang) count grid — lang_id_eval's only doc-scale
@@ -1044,7 +1129,7 @@ object Text {
         expr("n_bytes * 10000 div n_chars").as("bytes_per_char_bp"))
       .orderBy("lang")
 
-  val ops: Seq[Op] = Seq(tokenCount, langId, langIdEval, qualityScore, docFingerprint,
+  val ops: Seq[Op] = Seq(tokenCount, langId, langIdEval, codeSwitch, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
     oovRate, corpusGini, featureHash, heavyHitters, bpePairCounts, ngramNovelty,
     tokenizeIds, tokenizerFertility, textReadability)

@@ -315,6 +315,7 @@ class PlanAuditSpec extends SparkSpec {
       "ann_recall_bucketed" -> "20-row probe-set broadcast against the corpus scan (the sketch-gated audit's probe sample is bounded by construction)",
       "fuzzy_eval" -> "200x200 sample-pair grid, both sides LIMIT-bounded by construction (the blocking-recall audit's exact leg)",
       "ab_srm" -> "1-row global-mix scalar broadcast back over the day grid (the anomaly_mad pattern)",
+      "experiment_dashboard" -> "ab_srm's 1-row global-mix scalar broadcast, carried verbatim by the dashboard's SRM leg",
       "ab_cuped" -> "1-row pooled-moments scalar broadcast over the 2-row arm grid (the anomaly_mad pattern)",
       "vocab_growth" -> "2-cell doc-id-anchor scalar broadcast back over the doc scan and shingle stage (the anomaly_mad pattern)",
       "churn_rate" -> "1-row last-week anchor broadcast over the weekly grid (right-censoring exclusion; the anomaly_mad pattern)")
@@ -890,6 +891,31 @@ class PlanAuditSpec extends SparkSpec {
     // the window is keyed (user_id, purchase_id) so HashPartitioning(user)
     // satisfies it at SMJ scale
     plan should include("windowspecdefinition(user_id")
+  }
+
+  test("tpch_q1: the SQL-text form plans like agg_group — one pushed-filter scan, partial+final hash aggregate") {
+    val plan = planOf("tpch_q1")
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+    plan should include("PushedFilters: [IsNotNull(l_shipdate)")
+    "lineitem.parquet".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("code_switch: the mixing screen is scan-stage — no windows, aggregates, or joins at any corpus size") {
+    val plan = planOf("code_switch")
+    plan should not include "Window"
+    plan should not include "HashAggregate"
+    plan should not include "Join"
+    "documents.parquet".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("experiment_dashboard: exactly the component ops' grid passes — ttest 1 + ranksum 1 + srm 2 events scans") {
+    val plan = planOf("experiment_dashboard")
+    // the SRM leg plans its grid twice (the 1-row global-mix anchor leg +
+    // the grid it broadcasts back over — ab_srm's own declared shape); the
+    // test legs scan once each. More scans than 4 would mean a leg's
+    // grid+view pipeline got duplicated by the dashboard joins.
+    "events.parquet".r.findAllIn(plan).size shouldBe 4
+    plan should not include "CartesianProduct"
   }
 
   test("vocab_growth: the shingle pass runs once into the checkpointed (decile, h) grid") {

@@ -1484,4 +1484,86 @@ class StatsInvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("tpch_q1: the SQL-text form reproduces the DataFrame-API agg_group report bit-for-bit") {
+    val sql = SparkEntry.queries("tpch_q1")(spark, dir).collect().map(_.toSeq)
+    val api = SparkEntry.queries("agg_group")(spark, dir).collect().map(_.toSeq)
+    sql should not be empty
+    sql shouldBe api
+  }
+
+  test("code_switch: prediction matches lang_id, and scores/ratio/flag recompute from raw text") {
+    val langId = SparkEntry.queries("lang_id")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val texts = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val profiles = Seq( // the op's own profile table (Text.langProfiles)
+      "en" -> Seq(" th", "he ", " an", "nd ", " of"),
+      "de" -> Seq("der", "und", "ie ", "ch ", "ein"),
+      "fr" -> Seq(" le", "es ", " de", "ait", "que"),
+      "es" -> Seq(" el", " la", "os ", "ión", "ent"),
+      "zh" -> Seq("的", "是", "在", "了", "我"))
+    def score(text: String, gs: Seq[String]): Long =
+      gs.map(g => ((text.length - text.replace(g, "").length) / g.length).toLong).sum
+    val rows = SparkEntry.queries("code_switch")(spark, dir).collect()
+    rows.length shouldBe texts.size
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val text = texts(id)
+      val scores = profiles.map { case (l, gs) => l -> score(text, gs) }
+      val pred = r.getString(r.fieldIndex("pred_lang"))
+      val sBest = r.getLong(r.fieldIndex("s_best"))
+      val sAlt = r.getLong(r.fieldIndex("s_alt"))
+      withClue(s"doc $id: ") {
+        pred shouldBe langId(id) // the screen scores the classifier it audits
+        sBest shouldBe scores.map(_._2).max
+        sAlt shouldBe scores.filter(_._1 != pred).map(_._2).max
+        // runner-up = first profile-order lang (≠ pred) attaining s_alt
+        r.getString(r.fieldIndex("alt_lang")) shouldBe
+          scores.filter(_._1 != pred).find(_._2 == sAlt).get._1
+        r.getLong(r.fieldIndex("mix_bp")) shouldBe
+          (if (sBest + sAlt > 0) sAlt * 10000 / (sBest + sAlt) else 0L)
+        r.getBoolean(r.fieldIndex("mixed")) shouldBe (sAlt * 2 >= sBest && sAlt > 0)
+      }
+    }
+  }
+
+  test("experiment_dashboard: legs equal the standalone ops and the decision recomputes from the flags") {
+    val dash = SparkEntry.queries("experiment_dashboard")(spark, dir).collect()
+    def byDay(name: String) = SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => epochUs(r.get(r.fieldIndex("day"))) -> r).toMap
+    val srm = byDay("ab_srm"); val tt = byDay("ab_ttest"); val rs = byDay("ab_ranksum")
+    dash.map(r => epochUs(r.get(0))).toSet shouldBe srm.keySet // SRM is the spine
+    dash.foreach { r =>
+      val day = epochUs(r.get(0))
+      withClue(s"day $day: ") {
+        val s = srm(day)
+        r.getLong(r.fieldIndex("n_a")) shouldBe s.getLong(s.fieldIndex("n_a"))
+        r.getDouble(r.fieldIndex("srm_chi2")) shouldBe s.getDouble(s.fieldIndex("chi2"))
+        val srmFlag = r.getBoolean(r.fieldIndex("srm"))
+        srmFlag shouldBe s.getBoolean(s.fieldIndex("srm"))
+        val tRow = tt.get(day)
+        val tSig = tRow.exists(x => x.getBoolean(x.fieldIndex("significant")))
+        tRow match {
+          case Some(x) =>
+            r.getDouble(r.fieldIndex("t_stat")) shouldBe
+              x.getDouble(x.fieldIndex("t_stat"))
+          case None => r.isNullAt(r.fieldIndex("t_stat")) shouldBe true
+        }
+        val rRow = rs.get(day)
+        val zSig = rRow.exists(x => x.getBoolean(x.fieldIndex("significant")))
+        rRow match {
+          case Some(x) =>
+            r.getDouble(r.fieldIndex("z")) shouldBe x.getDouble(x.fieldIndex("z"))
+          case None => r.isNullAt(r.fieldIndex("z")) shouldBe true
+        }
+        r.getString(r.fieldIndex("decision")) shouldBe (
+          if (srmFlag) "invalid"
+          else if (tSig && zSig) "effect"
+          else if (tSig || zSig) "review"
+          else "no_effect")
+      }
+    }
+  }
 }
