@@ -885,13 +885,33 @@ object Dedup {
        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = d.text)
        |ORDER BY doc_id""".stripMargin
   }) { (s, d) =>
-    val hsel = h60(concat(lit("hist:"), col("doc_id").cast("string"))) % 5
     val docs = t(s, d, "documents")
-    // the persisted artifact at scale: distinct digests of everything seen
-    val idx = docs.filter(hsel =!= 0)
-      .select(sha2(col("text"), 256).as("__h")).distinct()
+    dedupIncrView(batchLeg(docs), dedupIndex(histLeg(docs)))
+  }
+
+  /** The deterministic history/new-batch split the op reconstructs on
+    * both engines (~80/20 salted hash over doc_id) — factored so the
+    * streaming drive can stream exactly the history leg. */
+  private def histSel = h60(concat(lit("hist:"), col("doc_id").cast("string"))) % 5
+  private[graft] def histLeg(docs: DataFrame): DataFrame = docs.filter(histSel =!= 0)
+  private[graft] def batchLeg(docs: DataFrame): DataFrame = docs.filter(histSel === 0)
+
+  /** The persisted content-hash index over (a drop of) history —
+    * dedup_incremental's stored artifact, shared with the streaming twin
+    * ([[graft.streaming.Streams.indexSink]]): a distinct digest SET, so
+    * the fold is union + distinct — IDEMPOTENT (replays absorb outright;
+    * the contamination presence-grid argument). At scale this is the
+    * hash-only table a nightly drop checks in against, tiny next to the
+    * text. */
+  private[graft] def dedupIndex(hist: DataFrame): DataFrame =
+    hist.select(sha2(col("text"), 256).as("__h")).distinct()
+
+  /** Dedup a new batch within itself, then against a completed index —
+    * the op's read side, shared verbatim with the twin: both shuffles
+    * key on the fixed-width digest, never the text. */
+  private[graft] def dedupIncrView(batchDocs: DataFrame, idx: DataFrame): DataFrame = {
     val w = Window.partitionBy("__h").orderBy(col("doc_id").asc)
-    docs.filter(hsel === 0)
+    batchDocs
       .withColumn("__h", sha2(col("text"), 256))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .join(idx, Seq("__h"), "left_anti")

@@ -538,11 +538,13 @@ object Stats {
   // is the classic bias a survival analysis exists to avoid). Per
   // day-offset t: n_risk (users still unconverted and under observation
   // at t), n_event (conversions at exactly t), n_censored (observation
-  // windows ending at t), and the discrete hazard n_event/n_risk in
-  // integer bp. The contract is the hazard TABLE, all exact int64 (day
-  // arithmetic, counts, floor-div bp) — the survival curve Π(1−h) is a
-  // trivial driver-side fold over it and would be the one float-product
-  // divergence hazard (declared out).
+  // windows ending at t), the discrete hazard n_event/n_risk in integer
+  // bp, AND the Kaplan-Meier survival curve S_t = Π_{i≤t}(1 − h_i) in
+  // exact 1e-9 fixed point (surv_e9) — a float product would be the one
+  // engine-divergence hazard in the table, so the curve runs as an
+  // integer multiply/floor-div recurrence instead (see survivalView).
+  // Everything exact int64 (day arithmetic, counts, floor-div bp,
+  // fixed-point curve).
   //
   // Scale shape: ONE fact pass to the per-user (first_day, conv_day,
   // last_day) grid — all three cells ALGEBRAIC (min / conditional min /
@@ -568,7 +570,28 @@ object Stats {
           col("ts").cast("date"))).as("conv_day"),
         max(col("ts").cast("date")).as("last_day"))
 
-  /** Anchor, censoring, and the hazard table over a completed grid. */
+  /** Anchor, censoring, the hazard table, and the Kaplan-Meier survival
+    * curve over a completed grid. The curve S_t = Π_{i≤t}(1 − e_i/r_i)
+    * is the one sequential quantity in the table: a float product would
+    * be the engine-divergence hazard the op used to declare out, so it
+    * is computed instead as the FIXED-POINT INTEGER recurrence
+    * s_i = (s_{i−1} · (r_i − e_i)) div r_i in 1e-9 units (the
+    * graph_pagerank discipline: integer multiply + floor-div are
+    * bit-identical on any engine at any partitioning; operands are
+    * non-negative, where DuckDB's truncating `//` equals floor). Int64
+    * headroom: s ≤ 1e9 and the product is s · n_risk — safe to ~9.2e9
+    * users at risk, the same humanity-scale bound as the grid itself.
+    *
+    * Mechanism: the fold is inherently sequential (floor at every step —
+    * non-associative), and the hazard table is ALREADY one grid-sized
+    * partition (its n_risk window is unpartitioned by the calendar-bound
+    * argument), so the recurrence runs as ONE mapPartitions task of
+    * plain integer arithmetic over that partition — the documented
+    * last-resort case where mapPartitions is right: a recursive-CTE
+    * formulation was measured at 6–26 s at sf0.1 (one Spark job per
+    * recursion level over a ~35-row table) vs ~2 s for the single task.
+    * The DuckDB oracle keeps the recursive-CTE spelling (in-process
+    * recursion is free there); both compute identical integers. */
   private[graft] def survivalView(u: DataFrame): DataFrame = {
     val anchor = u.agg(max("last_day").as("anchor_day"))
     val obs = u.crossJoin(broadcast(anchor))
@@ -578,18 +601,32 @@ object Stats {
           .otherwise(datediff(col("conv_day"), col("first_day"))).cast("long"))
     val ord = Window.orderBy(col("t_days").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    obs.groupBy("t_days")
+    val hz = obs.groupBy("t_days")
       .agg(count(when(!col("censored"), 1)).as("n_event"),
         count(when(col("censored"), 1)).as("n_censored"))
       .withColumn("n_risk", sum(col("n_event") + col("n_censored")).over(ord))
       .withColumn("hazard_bp", expr("n_event * 10000 div n_risk"))
       .select(col("t_days"), col("n_risk"), col("n_event"),
         col("n_censored"), col("hazard_bp"))
+    val outSchema = org.apache.spark.sql.types.StructType(hz.schema.fields :+
+      org.apache.spark.sql.types.StructField("surv_e9",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    hz.coalesce(1).sortWithinPartitions("t_days")
+      .mapPartitions { it =>
+        var surv = 1000000000L
+        it.map { r =>
+          val risk = r.getAs[Long]("n_risk")
+          val ev = r.getAs[Long]("n_event")
+          surv = surv * (risk - ev) / risk // non-negative: floor == truncate
+          org.apache.spark.sql.Row(r.getAs[Long]("t_days"), risk, ev,
+            r.getAs[Long]("n_censored"), r.getAs[Long]("hazard_bp"), surv)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       .orderBy("t_days")
   }
 
   private val survivalHazard = Op("survival_hazard",
-    s"""WITH e AS (
+    s"""WITH RECURSIVE e AS (
        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
        |    event_type = '$ArmB'
        |      AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -617,10 +654,22 @@ object Stats {
        |    CAST(SUM(n_event + n_censored) OVER (ORDER BY t_days
        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
        |      AS n_risk
-       |  FROM g)
-       |SELECT CAST(t_days AS BIGINT) AS t_days, n_risk, n_event, n_censored,
-       |  n_event * 10000 // n_risk AS hazard_bp
-       |FROM r ORDER BY t_days""".stripMargin) { (s, d) =>
+       |  FROM g),
+       |hz AS (
+       |  SELECT CAST(t_days AS BIGINT) AS t_days, n_risk, n_event, n_censored,
+       |    n_event * 10000 // n_risk AS hazard_bp,
+       |    row_number() OVER (ORDER BY t_days) AS rn
+       |  FROM r),
+       |surv AS (
+       |  SELECT rn, t_days, n_risk, n_event, n_censored, hazard_bp,
+       |    (CAST(1000000000 AS BIGINT) * (n_risk - n_event)) // n_risk AS surv_e9
+       |  FROM hz WHERE rn = 1
+       |  UNION ALL
+       |  SELECT h.rn, h.t_days, h.n_risk, h.n_event, h.n_censored, h.hazard_bp,
+       |    (s.surv_e9 * (h.n_risk - h.n_event)) // h.n_risk
+       |  FROM surv s JOIN hz h ON h.rn = s.rn + 1)
+       |SELECT t_days, n_risk, n_event, n_censored, hazard_bp, surv_e9
+       |FROM surv ORDER BY t_days""".stripMargin) { (s, d) =>
     survivalView(survivalGrid(t(s, d, "events")))
   }
 

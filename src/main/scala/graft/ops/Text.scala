@@ -525,6 +525,32 @@ object Text {
   // Map-side combine + TakeOrderedAndProject: at 100 TB only |vocab| rows
   // shuffle and only k×partitions rows reach the driver.
   // --------------------------------------------------------------------
+  /** The (w, n, df) vocabulary grid — vocab_topk's only corpus-scale
+    * pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.vtopkSink]]): term frequency is an
+    * ALGEBRAIC count, and df is too BECAUSE each document arrives exactly
+    * once — its 0/1 per-word df contribution is batch-local (the per-row
+    * array_distinct), so a keyed SUM merge folds per-batch partials with
+    * no count(DISTINCT) over history. Vocab-bounded state, not
+    * stream-bounded — the hhCandMerge trade, documented there. */
+  private[graft] def vocabTfGrid(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+    val tf = d.select(explode(words(col("text"))).as("w"), lit(0).as("in_df"))
+    val df = d.select(explode(array_distinct(words(col("text")))).as("w"),
+      lit(1).as("in_df"))
+    tf.unionByName(df)
+      .groupBy("w")
+      .agg(count(when(col("in_df") === 0, 1)).as("n"),
+        count(when(col("in_df") === 1, 1)).as("df"))
+  }
+
+  /** Top-100 ranking over a completed vocabulary grid (vocab-sized
+    * input; TakeOrderedAndProject — only k×partitions rows move). */
+  private[graft] def vocabTopView(
+      grid: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    grid.orderBy(col("n").desc, col("w").asc).limit(100)
+
   private val vocabTopk = Op("vocab_topk",
     """WITH tf AS (
       |  SELECT unnest(string_split(text, ' ')) AS w, 0 AS in_df
@@ -535,16 +561,7 @@ object Text {
       |SELECT w, count(*) FILTER (in_df = 0) AS n, count(*) FILTER (in_df = 1) AS df
       |FROM tf GROUP BY w
       |ORDER BY n DESC, w LIMIT 100""".stripMargin) { (s, d) =>
-    val docs = t(s, d, "documents").filter(col("text").isNotNull)
-    val tf = docs.select(explode(words(col("text"))).as("w"), lit(0).as("in_df"))
-    val df = docs.select(explode(array_distinct(words(col("text")))).as("w"),
-      lit(1).as("in_df"))
-    tf.unionByName(df)
-      .groupBy("w")
-      .agg(count(when(col("in_df") === 0, 1)).as("n"),
-        count(when(col("in_df") === 1, 1)).as("df"))
-      .orderBy(col("n").desc, col("w").asc)
-      .limit(100)
+    vocabTopView(vocabTfGrid(t(s, d, "documents")))
   }
 
   // --------------------------------------------------------------------

@@ -606,6 +606,54 @@ object Streams {
   def hhView(cells: DataFrame, cand: DataFrame): DataFrame =
     graft.ops.Text.hhView(cells, cand)
 
+  /** Merge per-batch (w, n, df) vocabulary partials (twin state of the
+    * batch vocab_topk op) — keyed SUM merge: term frequency is algebraic,
+    * and df is too BECAUSE each document arrives exactly once (its 0/1
+    * per-word df contribution is batch-local), so the fold needs no
+    * count(DISTINCT) over history. Same exactly-once caveat as
+    * [[topkMergeCounts]] — here a replay would also double-count df. */
+  def vtopkMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("w")
+      .agg(sum(col("n")).as("n"), sum(col("df")).as("df"))
+
+  /** foreachBatch fold for the corpus vocabulary table (twin of the
+    * batch vocab_topk op): the tokenizer-vocab / idf table recomputed as
+    * documents stream in — the nightly-drop fold a vocab pipeline
+    * actually runs (re-rank from the folded grid, never rescan). */
+  def vtopkSink(docs: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(vtopkMerge(readState(), graft.ops.Text.vocabTfGrid(batch)))
+    }
+
+  /** Read side of [[vtopkSink]] — LITERALLY the batch op's view. */
+  def vtopkView(state: DataFrame): DataFrame =
+    graft.ops.Text.vocabTopView(state)
+
+  /** Merge a batch's content digests into the stored dedup index (twin
+    * state of the batch dedup_incremental op) — union + distinct,
+    * IDEMPOTENT: replays are absorbed outright (the contamination
+    * presence-grid argument). */
+  def indexMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).distinct()
+
+  /** foreachBatch fold for the persisted content-hash index — the
+    * production dedup shape: history streams in ONCE (digests folded,
+    * text never retained), and every nightly drop then checks in against
+    * the completed index via [[dedupIncrView]]. */
+  def indexSink(docs: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(indexMerge(readState(), graft.ops.Dedup.dedupIndex(batch)))
+    }
+
+  /** Read side of [[indexSink]]: dedup a new drop against the folded
+    * index — LITERALLY the batch op's view. */
+  def dedupIncrView(batchDocs: DataFrame, idx: DataFrame): DataFrame =
+    graft.ops.Dedup.dedupIncrView(batchDocs, idx)
+
   /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
     * windows — each event extends its session by its OWN duration
     * (props.k minutes), so overlapping per-user intervals coalesce

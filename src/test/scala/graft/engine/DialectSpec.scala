@@ -55,4 +55,60 @@ class DialectSpec extends AnyFunSuite with Matchers {
       """ WHEN NOT MATCHED THEN INSERT ("id", "name", "v")""" +
       """ VALUES (s."id", s."name", s."v");"""
   }
+
+  test("MERGE clause roles mirror the reference's generated statements: PKs match, non-PKs update, all columns insert") {
+    // the reference's construirMergeSQLCompleto (ETLProcess.java:469-527)
+    // and its row-at-a-time ancestor construirUpsertSQL (:388-427) agree
+    // on three structural rules the engine's mergeSql must keep:
+    //   1. the match condition is EXACTLY the primary keys (:485-494 /
+    //      the UPDATE's WHERE :406-412),
+    //   2. UPDATE SET touches exactly the non-PK columns (:503-512 /
+    //      :397-403 — updating a PK would re-key the row),
+    //   3. INSERT lists EVERY mapped column (:516-524 / :415-421).
+    val cols = Seq("id", "region", "name", "v")
+    val keys = Seq("id", "region")
+    val sql = Sources.mergeSql("t", "s", cols, keys)
+    val on = sql.split(" WHEN ")(0).split(" ON ")(1)
+    keys.foreach(k => on should include(s"""t."$k" = s."$k""""))
+    cols.filterNot(keys.contains).foreach(c => (on should not).include("\"" + c + "\""))
+    val update = sql.split("UPDATE SET ")(1).split(" WHEN NOT MATCHED")(0)
+    cols.filterNot(keys.contains).foreach(c => update should include(s""""$c" = s."$c""""))
+    keys.foreach(k => (update should not).include(s""""$k" = s."$k""""))
+    val insert = sql.split("THEN INSERT ")(1)
+    insert should startWith(s"(${cols.map("\"" + _ + "\"").mkString(", ")})")
+    insert should endWith(s"VALUES (${cols.map(c => s"""s."$c"""").mkString(", ")})")
+  }
+
+  test("no-PK path: jdbcUpsert refuses (the reference throws when no PK maps, :497-500); the no-PK load is jdbcInsertIfAbsent (:444-466)") {
+    // the reference's MERGE builder throws IllegalArgumentException when
+    // no primary key could be mapped; its no-PK dialog path goes through
+    // construirInsertConVerificacion (whole-row existence probe) instead —
+    // the engine mirrors that split as jdbcUpsert.require vs
+    // jdbcInsertIfAbsent (whole-row anti-join), so pin the refusal here
+    val err = intercept[IllegalArgumentException] {
+      Sources.jdbcUpsert(null, null, "t", Seq.empty, "ts")
+    }
+    err.getMessage should include("keys must be non-empty")
+  }
+
+  test("SQL Server write-type mapping: unicode text, µs timestamps, and the T-SQL type spellings") {
+    import org.apache.spark.sql.types._
+    val d = Sources.SqlServerTypes
+    d.canHandle("jdbc:sqlserver://host:1433;databaseName=dw") shouldBe true
+    d.canHandle("jdbc:derby:memory:db") shouldBe false
+    def ddl(dt: DataType) = d.getJDBCType(dt).map(_.databaseTypeDefinition)
+    ddl(StringType) shouldBe Some("NVARCHAR(MAX)") // unicode-safe (setObject parity, :232-256)
+    ddl(TimestampType) shouldBe Some("DATETIME2(6)") // µs-exact; DATETIME is 1/300 s
+    ddl(TimestampNTZType) shouldBe Some("DATETIME2(6)")
+    ddl(BooleanType) shouldBe Some("BIT")
+    ddl(BinaryType) shouldBe Some("VARBINARY(MAX)")
+    ddl(DoubleType) shouldBe Some("FLOAT") // T-SQL FLOAT(53) = IEEE double
+    ddl(LongType) shouldBe None // Spark's common mapping (BIGINT) is already right
+  }
+
+  test("bracket quoting: the QUOTED_IDENTIFIER-independent escape hatch, ']' doubled") {
+    Sources.bracketQuote("name") shouldBe "[name]"
+    Sources.bracketQuote("odd]name") shouldBe "[odd]]name]"
+    Sources.bracketQuote("""has"quote""") shouldBe """[has"quote]"""
+  }
 }

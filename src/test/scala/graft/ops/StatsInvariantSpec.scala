@@ -212,6 +212,17 @@ class StatsInvariantSpec extends SparkSpec {
     rows.length shouldBe obs.map(_._1).distinct.size
     obs.count(_._2) should be > 0
     obs.count(!_._2) should be > 0
+    // the survival curve is EXACTLY the fixed-point integer fold of the
+    // hazard rows in t order (1e-9 units, floor at every step), it is
+    // non-increasing, and it starts at or below 1
+    var s = 1000000000L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val risk = r.getLong(r.fieldIndex("n_risk"))
+      val ev2 = r.getLong(r.fieldIndex("n_event"))
+      s = s * (risk - ev2) / risk
+      r.getLong(r.fieldIndex("surv_e9")) shouldBe s
+      s should be <= 1000000000L
+    }
   }
 
   test("ab_ttest: the Welch statistic recomputes driver-side from the raw fixture") {

@@ -1522,6 +1522,47 @@ class FileStreamParitySpec extends SparkSpec {
     canon(graft.streaming.Streams.vocabView(reE, reD).collect()) shouldBe streamed
   }
 
+  test("file-source vocab-topk sink: (w, n, df) grid fold over hash-split document batches equals the batch vocab_topk") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    // hash-split: a word's occurrences arrive across ALL batches — tf
+    // partials must SUM, and df stays exact because each doc (hence its
+    // 0/1 df contribution) lives in exactly one batch
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val state = runGridFold("docs_vtopk_stream", docs, chunks,
+      "w STRING, n BIGINT, df BIGINT",
+      (s, r, w) => graft.streaming.Streams.vtopkSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.vtopkView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("vocab_topk")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("file-source dedup-index sink: digest presence fold over hash-split HISTORY batches; the new drop dedups against it like the batch dedup_incremental") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    // stream exactly the op's history leg (the ~80% salted-hash split);
+    // hash-split so duplicate texts land in DIFFERENT batches — a batch
+    // doc's killer digest may arrive in any drop, only the folded SET
+    // sees them all
+    val hist = graft.ops.Dedup.histLeg(docs).cache()
+    val chunks = (0 until 3).map(i => hist.filter(pmod(col("doc_id"), lit(3)) === i))
+    val state = runGridFold("docs_dedupidx_stream", hist, chunks,
+      "__h STRING",
+      (s, r, w) => graft.streaming.Streams.indexSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.dedupIncrView(
+      graft.ops.Dedup.batchLeg(docs), state).collect())
+    val batch = canon(graft.SparkEntry.queries("dedup_incremental")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+    // redelivery honesty: the digest set is idempotent — refolding a
+    // history drop is a no-op (the contamination presence-grid argument)
+    val refolded = graft.streaming.Streams.indexMerge(state,
+      graft.ops.Dedup.dedupIndex(chunks.head))
+    canon(graft.streaming.Streams.dedupIncrView(
+      graft.ops.Dedup.batchLeg(docs), refolded).collect()) shouldBe streamed
+  }
+
   test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
     val dir01 = "/root/testdata/sf0.01"
     val emb = graft.Tables(spark, dir01, "embeddings").cache()
