@@ -1026,6 +1026,87 @@ object Audit {
   // per-decile token counts are sums of per-doc counts either way — the
   // parity drive pins it bit-for-bit anyway.
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // boilerplate_detect — the within-source boilerplate screen every web
+  // curation pipeline runs BEFORE quality scoring: shingles that appear
+  // in ≥20% of a SOURCE's documents are site furniture (headers,
+  // footers, nav, cookie banners — content that repeats across pages,
+  // not within one), and a doc dominated by them carries little signal.
+  // Completes the repetition triad: repetition_filter is WITHIN-doc,
+  // contamination_matrix is CROSS-source, this is cross-doc
+  // WITHIN-source. Per doc: total shingle instances, boilerplate
+  // instances, the ratio in integer bp, and the ≥30% flag — all exact
+  // int64 (the flag is the cross-multiplied form n_bp·10 ≥ n_sh·3, no
+  // division in the predicate). Currency = the SHARED DecontN-word
+  // shingle hash (shingleStage, verbatim), so the screen measures the
+  // same units the decontamination gate operates on.
+  //
+  // Scale shape: the doc-frequency grid is per-doc-DISTINCT → keyed
+  // count (shingle-type-bounded, the contamination discipline — no
+  // count(DISTINCT) Expand); source sizes are a |sources|-row aggregate;
+  // the thresholded boilerplate SET (df·5 ≥ n_docs) is the small
+  // broadcast side of the per-doc probe join, so the token-scale pass
+  // never shuffles to find its matches. Both grids are ALGEBRAIC under
+  // doc-at-most-once delivery (each doc's presence contribution is
+  // batch-local), so the streaming twin folds them with keyed SUMs
+  // ([[graft.streaming.Streams.boilerSink]]) and THIS view re-screens
+  // any drop against the completed corpus statistics.
+  // ------------------------------------------------------------------
+  /** Per-source shingle doc-frequency grid (distinct per doc, then
+    * keyed count — fold partials SUM because each doc arrives once). */
+  private[graft] def boilerDfGrid(docs: DataFrame): DataFrame =
+    shingleStage(docs).select("source", "h", "doc_id").distinct()
+      .groupBy("source", "h").agg(count(lit(1)).as("df"))
+
+  /** Per-source doc counts over the same input contract (text present). */
+  private[graft] def boilerDocsGrid(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+
+  /** The per-doc screen over completed grids: threshold to the
+    * boilerplate set, broadcast it into the shingle-instance probe. */
+  private[graft] def boilerView(docs: DataFrame, dfGrid: DataFrame,
+      docsGrid: DataFrame): DataFrame = {
+    // df >= 2 in addition to the 20% share: furniture must REPEAT — on a
+    // source with ≤5 docs the share test alone degenerates to df ≥ 1 and
+    // would flag every unique shingle
+    val bpSet = dfGrid.join(broadcast(docsGrid), Seq("source"))
+      .filter(col("df") >= 2 && col("df") * 5 >= col("n_docs"))
+      .select(col("source"), col("h"), lit(1).as("is_bp"))
+    shingleStage(docs).join(broadcast(bpSet), Seq("source", "h"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_sh"), count(col("is_bp")).as("n_bp"))
+      .select(col("doc_id"), col("source"), col("n_sh"), col("n_bp"),
+        expr("n_bp * 10000 div n_sh").as("bp_ratio_bp"),
+        (col("n_bp") * 10 >= col("n_sh") * 3).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateDetect = Op("boilerplate_detect", {
+    val shingle = s"array_to_string(list_slice(w, i+1, i+$DecontN), ' ')"
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+       |           FROM documents WHERE text IS NOT NULL),
+       |sh AS (SELECT doc_id, source,
+       |         unnest(list_transform(range(0, greatest(len(w) - ${DecontN - 1}, 1)),
+       |                i -> ${h60Sql(shingle)})) AS h
+       |       FROM t),
+       |dfg AS (SELECT source, h, count(*) AS df
+       |        FROM (SELECT DISTINCT source, h, doc_id FROM sh) GROUP BY 1, 2),
+       |nd AS (SELECT source, count(*) AS n_docs FROM t GROUP BY 1),
+       |bp AS (SELECT dfg.source, dfg.h, 1 AS is_bp FROM dfg
+       |       JOIN nd ON dfg.source = nd.source
+       |       WHERE dfg.df >= 2 AND dfg.df * 5 >= nd.n_docs)
+       |SELECT s.doc_id, s.source, count(*) AS n_sh,
+       |  count(bp.is_bp) AS n_bp,
+       |  count(bp.is_bp) * 10000 // count(*) AS bp_ratio_bp,
+       |  count(bp.is_bp) * 10 >= count(*) * 3 AS flagged
+       |FROM sh s LEFT JOIN bp ON s.source = bp.source AND s.h = bp.h
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val docs = t(s, d, "documents")
+    boilerView(docs, boilerDfGrid(docs), boilerDocsGrid(docs))
+  }
+
   // doc_id IS NOT NULL mirrors the batch op's input contract (its WITH t
   // filters BOTH text and doc_id); shingleStage alone only drops NULL
   // text, and a NULL-doc_id doc would yield a NULL-decile row in
@@ -1060,5 +1141,5 @@ object Audit {
   val ops: Seq[Op] = Seq(decontaminate, contaminationMatrix, packSequences,
     repetitionFilter, profileStats, outlierFilter, gapDetect, anomalyMad,
     snapshotDiff, skewReport, dqCheck, gapFill, datasetCard, splitTemporal,
-    numericSanitize, benfordAudit, vocabGrowth)
+    numericSanitize, benfordAudit, vocabGrowth, boilerplateDetect)
 }

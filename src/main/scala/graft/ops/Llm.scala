@@ -914,41 +914,63 @@ object Llm {
   private val RrfShortlist = 100
   private val QueryTerms = Seq("table", "scan", "join")
 
-  private val searchRrf = Op("search_rrf", {
-    val kwTerms = QueryTerms.map { term =>
-      s"(length(text) - length(replace(text, '$term', ''))) // length('$term')"
-    }.mkString(" + ")
-    s"""WITH base AS (
+  /** The kw-occurrence score SQL fragment (shared by search_rrf and
+    * rrf_eval's full-rank leg). */
+  private val rrfKwTermsSql = QueryTerms.map { term =>
+    s"(length(text) - length(replace(text, '$term', ''))) // length('$term')"
+  }.mkString(" + ")
+
+  /** base/q CTE prefix shared by search_rrf's oracle and rrf_eval's. */
+  private val rrfBaseSql =
+    s"""base AS (
        |  SELECT d.doc_id, d.text, e.embedding
        |  FROM documents d JOIN $embSql e ON e.vec_id = d.doc_id
        |  WHERE d.doc_id <> 0 AND d.text IS NOT NULL),
-       |q AS (SELECT embedding AS qv FROM $embSql WHERE vec_id = 0),
-       |kws AS (
+       |q AS (SELECT embedding AS qv FROM $embSql WHERE vec_id = 0)""".stripMargin
+
+  /** kws/vecs/short CTE bodies (assume base/q in scope) — the shortlist
+    * fusion, shared by both oracles so the eval provably audits the
+    * shipped ranking text. */
+  private val rrfShortSql =
+    s"""kws AS (
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS INTEGER) AS r_kw
-       |  FROM (SELECT doc_id, $kwTerms AS kw_score FROM base)
+       |  FROM (SELECT doc_id, $rrfKwTermsSql AS kw_score FROM base)
        |  QUALIFY r_kw <= $RrfShortlist),
        |vecs AS (
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS r_vec
        |  FROM (SELECT doc_id, ${cosineSql("embedding", "qv")} AS cos_sim FROM base, q)
-       |  QUALIFY r_vec <= $RrfShortlist)
-       |SELECT COALESCE(kws.doc_id, vecs.doc_id) AS doc_id, r_kw, r_vec,
-       |  COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_kw), 0)
-       |    + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_vec), 0) AS rrf
-       |FROM kws FULL JOIN vecs ON kws.doc_id = vecs.doc_id
-       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
-  }) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val base = t(s, d, "documents")
+       |  QUALIFY r_vec <= $RrfShortlist),
+       |short AS (
+       |  SELECT COALESCE(kws.doc_id, vecs.doc_id) AS doc_id, r_kw, r_vec,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_kw), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_vec), 0) AS rrf
+       |  FROM kws FULL JOIN vecs ON kws.doc_id = vecs.doc_id)""".stripMargin
+
+  /** The corpus side (docs joined to their 64-dim vectors, query doc 0
+    * excluded) and the 1-row query vector — factored so rrf_eval scores
+    * exactly the corpus the shipped op ranks. */
+  private def rrfBase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
       .filter(col("doc_id") =!= 0 && col("text").isNotNull)
       .join(vecs(s, d).withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
       .select("doc_id", "text", "embedding")
-    val q = broadcast(vecs(s, d).filter(col("vec_id") === 0)
+
+  private def rrfQ(s: SparkSession, d: String): DataFrame =
+    broadcast(vecs(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), rounded7(col("embedding")).as("rq")))
-    // keyword side: portable occurrence counts (the lang_id formulation)
-    val kwScore = QueryTerms.map { term =>
-      (length(col("text")) - length(replace(col("text"), lit(term), lit("")))) / term.length
-    }.reduce(_ + _).cast("long")
-    val kwShort = base.select(col("doc_id"), kwScore.as("kw_score"))
+
+  /** keyword side: portable occurrence counts (the lang_id formulation) */
+  private def rrfKwScore: Column = QueryTerms.map { term =>
+    (length(col("text")) - length(replace(col("text"), lit(term), lit("")))) / term.length
+  }.reduce(_ + _).cast("long")
+
+  /** The complete shortlist-RRF fusion (every doc in either shortlist,
+    * with its fused score) — the op orders/limits it; rrf_eval ranks it. */
+  private[graft] def rrfShortFused(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = rrfBase(s, d)
+    val q = rrfQ(s, d)
+    val kwShort = base.select(col("doc_id"), rrfKwScore.as("kw_score"))
       .orderBy(col("kw_score").desc, col("doc_id").asc)
       .limit(RrfShortlist)
       .withColumn("r_kw", row_number()
@@ -972,8 +994,87 @@ object Llm {
       .select(col("doc_id"), col("r_kw"), col("r_vec"),
         (coalesce(lit(1.0) / (lit(RrfK) + col("r_kw")), lit(0.0))
           + coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0))).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-      .limit(10)
+  }
+
+  private val searchRrf = Op("search_rrf",
+    s"""WITH $rrfBaseSql,
+       |$rrfShortSql
+       |SELECT doc_id, r_kw, r_vec, rrf FROM short
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    rrfShortFused(s, d).orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+  }
+
+  // --------------------------------------------------------------------
+  // rrf_eval — the audit of search_rrf's ONE approximation: shortlist
+  // truncation. Shortlist RRF scores a doc 0 for any modality it missed
+  // the top-100 of, while true full-corpus RRF gives every doc
+  // 1/(k+r_kw) + 1/(k+r_vec) over COMPLETE ranks — a doc ranked 50/101
+  // can outscore one ranked 90/95 under full ranks yet lose under
+  // truncation. The eval computes BOTH fused top-10s — the shipped
+  // shortlist pipeline (shared stages, verbatim) and the full-rank
+  // reference — aligned position by position with an agreement flag:
+  // the measured answer to "did the 100-deep shortlists change what the
+  // user sees". The audit-per-approximation invariant (fuzzy_eval's 30%
+  // find is why this table exists before anyone trusts the fusion).
+  //
+  // Scale shape: the shortlist leg is the op's own cost; the full-rank
+  // leg is the audit's declared contract cost — two corpus-wide rank
+  // windows (single-partition, the exactTopK/ann_recall exact-leg
+  // argument) + the exact decimal cosine per doc. At 100 TB the audit
+  // runs on a sampled corpus slice like every exact eval leg here.
+  // --------------------------------------------------------------------
+  private val rrfEval = Op("rrf_eval",
+    s"""WITH $rrfBaseSql,
+       |$rrfShortSql,
+       |st AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM short QUALIFY rank <= 10),
+       |kwf AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY kw_score DESC, doc_id) AS r_kw
+       |  FROM (SELECT doc_id, $rrfKwTermsSql AS kw_score FROM base)),
+       |vecf AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+       |  FROM (SELECT doc_id, ${cosineSql("embedding", "qv")} AS cos_sim FROM base, q)),
+       |ful AS (
+       |  SELECT kwf.doc_id,
+       |    CAST(1 AS DOUBLE) / ($RrfK + r_kw)
+       |      + CAST(1 AS DOUBLE) / ($RrfK + r_vec) AS rrf
+       |  FROM kwf JOIN vecf ON kwf.doc_id = vecf.doc_id),
+       |ft AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM ful QUALIFY rank <= 10)
+       |SELECT st.rank AS rank, st.doc_id AS doc_short, ft.doc_id AS doc_full,
+       |  st.doc_id = ft.doc_id AS agree
+       |FROM st JOIN ft ON st.rank = ft.rank
+       |ORDER BY rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byFused = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    val st = rrfShortFused(s, d)
+      .withColumn("rank", row_number().over(byFused))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("doc_id").as("doc_short"))
+    val base = rrfBase(s, d)
+    val q = rrfQ(s, d)
+    val kwf = base.select(col("doc_id"), rrfKwScore.as("kw_score"))
+      .withColumn("r_kw", row_number()
+        .over(Window.orderBy(col("kw_score").desc, col("doc_id").asc)))
+      .select("doc_id", "r_kw")
+    val vecf = base.select(col("doc_id"), col("embedding")).crossJoin(q)
+      .select(col("doc_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .withColumn("r_vec", row_number()
+        .over(Window.orderBy(col("cos_sim").desc, col("doc_id").asc)))
+      .select("doc_id", "r_vec")
+    val ft = kwf.join(vecf, Seq("doc_id"))
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(RrfK) + col("r_kw"))
+          + lit(1.0) / (lit(RrfK) + col("r_vec"))).as("rrf"))
+      .withColumn("rank", row_number().over(byFused))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("doc_id").as("doc_full"))
+    st.join(ft, Seq("rank"))
+      .select(col("rank"), col("doc_short"), col("doc_full"),
+        (col("doc_short") === col("doc_full")).as("agree"))
+      .orderBy("rank")
   }
 
   // --------------------------------------------------------------------
@@ -1206,6 +1307,6 @@ object Llm {
   val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
     dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
     annRecall, annRecallBucketed, multimodalDecode, multimodalFrames,
-    embedNormalize, vecQuantize, searchRrf, knnJoinBucketed, knnClassify,
-    embedDrift)
+    embedNormalize, vecQuantize, searchRrf, rrfEval, knnJoinBucketed,
+    knnClassify, embedDrift)
 }

@@ -654,6 +654,40 @@ object Streams {
   def dedupIncrView(batchDocs: DataFrame, idx: DataFrame): DataFrame =
     graft.ops.Dedup.dedupIncrView(batchDocs, idx)
 
+  /** Merge per-batch (source, h, df) doc-frequency partials and
+    * (source, n_docs) counts (twin state of the batch boilerplate_detect
+    * op) — keyed SUM merges: both are algebraic BECAUSE each document
+    * arrives exactly once (its distinct-shingle presence and its doc
+    * count are batch-local — the vtopkMerge df argument). */
+  def boilerDfMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("source", "h")
+      .agg(sum(col("df")).as("df"))
+
+  def boilerDocsMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** foreachBatch fold for the within-source boilerplate statistics
+    * (twin of the batch boilerplate_detect op): the crawl streams in,
+    * the per-source furniture statistics fold, and
+    * [[boilerView]] re-screens any drop against the completed corpus —
+    * the threshold set sharpens as more of a site is seen, which only
+    * the view-over-completed-fold shape tracks. */
+  def boilerSink(docs: DataFrame)(readDf: () => DataFrame,
+      readDocs: () => DataFrame)(writeDf: DataFrame => Unit,
+      writeDocs: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeDf(boilerDfMerge(readDf(), graft.ops.Audit.boilerDfGrid(batch)))
+      writeDocs(boilerDocsMerge(readDocs(), graft.ops.Audit.boilerDocsGrid(batch)))
+    }
+
+  /** Read side of [[boilerSink]]: screen docs against the folded
+    * statistics — LITERALLY the batch op's view. */
+  def boilerView(docs: DataFrame, dfGrid: DataFrame,
+      docsGrid: DataFrame): DataFrame =
+    graft.ops.Audit.boilerView(docs, dfGrid, docsGrid)
+
   /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
     * windows — each event extends its session by its OWN duration
     * (props.k minutes), so overlapping per-user intervals coalesce

@@ -313,6 +313,7 @@ class PlanAuditSpec extends SparkSpec {
       "rare_collapse" -> "1-row corpus-total scalar broadcast over the category grid",
       "ann_recall" -> "20-row probe-set + 8-row centroid broadcasts against the corpus scan (the audit's probe sample is bounded by construction)",
       "ann_recall_bucketed" -> "20-row probe-set broadcast against the corpus scan (the sketch-gated audit's probe sample is bounded by construction)",
+      "rrf_eval" -> "1-row query-vector broadcast (the search_rrf legs it audits, plus the full-rank exact leg)",
       "fuzzy_eval" -> "200x200 sample-pair grid, both sides LIMIT-bounded by construction (the blocking-recall audit's exact leg)",
       "ab_srm" -> "1-row global-mix scalar broadcast back over the day grid (the anomaly_mad pattern)",
       "experiment_dashboard" -> "ab_srm's 1-row global-mix scalar broadcast, carried verbatim by the dashboard's SRM leg",
@@ -916,6 +917,22 @@ class PlanAuditSpec extends SparkSpec {
     // grid+view pipeline got duplicated by the dashboard joins.
     "events.parquet".r.findAllIn(plan).size shouldBe 4
     plan should not include "CartesianProduct"
+  }
+
+  test("boilerplate_detect: the boilerplate set broadcasts into the token-scale probe — no sort-merge join anywhere") {
+    val plan = planOf("boilerplate_detect")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // no count(DISTINCT) Expand: the df grid is per-doc-distinct → count
+    plan should not include "Expand"
+  }
+
+  test("rrf_eval: both fused lists come from rank windows, no quadratic join") {
+    val plan = planOf("rrf_eval")
+    plan should not include "CartesianProduct"
+    // the only nested-loop is the declared 1-row query-vector broadcast
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 2
   }
 
   test("vocab_growth: the shingle pass runs once into the checkpointed (decile, h) grid") {

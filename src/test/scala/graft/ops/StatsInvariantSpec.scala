@@ -1540,6 +1540,91 @@ class StatsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate_detect: a crafted corpus with known site furniture is flagged exactly; the fixture corpus has none (positive path proven synthetically)") {
+    import spark.implicits._
+    // source A: 5 docs sharing an 8-word footer (df 5/5 = 100% ≥ 20%)
+    // appended to unique bodies; source B: unique docs only. The footer
+    // contributes exactly 4 boilerplate 5-shingles per doc... plus the
+    // bridge shingles that span body|footer, which are unique per doc.
+    val footer = "visit our site for more terms and conditions"
+    val aDocs = (1L to 5L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i $footer", "en", "A", 0L))
+    val bDocs = (6L to 10L).map(i =>
+      (i, s"zeta$i eta$i theta$i iota$i kappa$i lambda$i", "en", "B", 0L))
+    val docs = (aDocs ++ bDocs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.Audit.boilerView(docs,
+      graft.ops.Audit.boilerDfGrid(docs),
+      graft.ops.Audit.boilerDocsGrid(docs)).collect()
+    out.length shouldBe 10
+    def sh(text: String): Seq[String] = {
+      val w = text.split(" ").toSeq
+      (0 until math.max(w.length - 4, 1)).map(i => w.slice(i, i + 5).mkString(" "))
+    }
+    // shared shingles across source A = exactly the footer-internal ones
+    val aTexts = aDocs.map(_._2)
+    val shared = aTexts.map(sh(_).toSet).reduce(_ intersect _)
+    shared should not be empty // the crafted furniture is really shared
+    out.filter(_.getString(1) == "A").foreach { r =>
+      val text = aTexts(r.getLong(0).toInt - 1)
+      withClue(s"doc ${r.getLong(0)}: ") {
+        r.getLong(r.fieldIndex("n_sh")) shouldBe sh(text).size.toLong
+        r.getLong(r.fieldIndex("n_bp")) shouldBe
+          sh(text).count(shared.contains).toLong
+        r.getLong(r.fieldIndex("n_bp")) should be > 0L
+        r.getBoolean(r.fieldIndex("flagged")) shouldBe
+          (r.getLong(r.fieldIndex("n_bp")) * 10 >= r.getLong(r.fieldIndex("n_sh")) * 3)
+      }
+    }
+    // source B has no cross-doc repetition → zero boilerplate, unflagged
+    out.filter(_.getString(1) == "B").foreach { r =>
+      r.getLong(r.fieldIndex("n_bp")) shouldBe 0L
+      r.getBoolean(r.fieldIndex("flagged")) shouldBe false
+    }
+    // and the REAL fixture carries none (word-soup shingles never reach
+    // 20% doc frequency) — the screen's null result is itself asserted
+    val fx = SparkEntry.queries("boilerplate_detect")(spark, dir).collect()
+    fx should not be empty
+    fx.foreach(r => r.getLong(r.fieldIndex("n_bp")) shouldBe 0L)
+  }
+
+  test("rrf_eval: the full-rank reference list recomputes driver-side and doc_short is exactly the shipped search_rrf top-10") {
+    val rows = SparkEntry.queries("rrf_eval")(spark, dir).collect()
+    rows.map(_.getInt(0)).sorted.toSeq shouldBe (1 to 10)
+    val shipped = SparkEntry.queries("search_rrf")(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")))
+    rows.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq shouldBe shipped.toSeq
+    // driver-side full-rank fusion from raw scores
+    val docs = Tables(spark, dir, "documents")
+      .filter(col("doc_id") =!= 0 && col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val emb = Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qv = emb(0L)
+    def kw(t: String) = Seq("table", "scan", "join")
+      .map(g => ((t.length - t.replace(g, "").length) / g.length).toLong).sum
+    def cos(a: Array[Double]) = {
+      // double-precision is ONLY a ranking proxy here; assert agreement
+      // on the documents, not on score bits
+      val dot = a.zip(qv).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * qv.map(x => x * x).sum)
+    }
+    val inCorpus = docs.filter { case (id, _) => emb.contains(id) }
+    val rKw = inCorpus.map { case (id, t) => id -> kw(t) }
+      .sortBy { case (id, s2) => (-s2, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val rVec = inCorpus.map { case (id, _) => id -> cos(emb(id)) }
+      .sortBy { case (id, s2) => (-s2, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val full = inCorpus.map(_._1).map(id =>
+        id -> (1.0 / (60 + rKw(id)) + 1.0 / (60 + rVec(id))))
+      .sortBy { case (id, s2) => (-s2, id) }.take(10).map(_._1)
+    rows.sortBy(_.getInt(0)).map(_.getLong(2)).toSeq shouldBe full.toSeq
+  }
+
   test("experiment_dashboard: legs equal the standalone ops and the decision recomputes from the flags") {
     val dash = SparkEntry.queries("experiment_dashboard")(spark, dir).collect()
     def byDay(name: String) = SparkEntry.queries(name)(spark, dir).collect()

@@ -1563,6 +1563,23 @@ class FileStreamParitySpec extends SparkSpec {
       graft.ops.Dedup.batchLeg(docs), refolded).collect()) shouldBe streamed
   }
 
+  test("file-source boilerplate sink: df/doc-count dual fold over hash-split document batches equals the batch boilerplate_detect") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    // hash-split: a shared shingle's occurrences land in DIFFERENT
+    // batches — per-batch df partials (distinct within the batch's docs)
+    // SUM to the corpus df because each doc arrives exactly once
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val (dfG, docsG) = runDualFold("docs_boiler_stream", docs, chunks,
+      "source STRING, h BIGINT, df BIGINT",
+      "source STRING, n_docs BIGINT",
+      (s, rA, rB, wA, wB) => graft.streaming.Streams.boilerSink(s)(rA, rB)(wA, wB))
+    val streamed = canon(graft.streaming.Streams.boilerView(docs, dfG, docsG).collect())
+    val batch = canon(graft.SparkEntry.queries("boilerplate_detect")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
     val dir01 = "/root/testdata/sf0.01"
     val emb = graft.Tables(spark, dir01, "embeddings").cache()
