@@ -38,6 +38,8 @@ object BenchBudget {
     "ab_ttest" -> 1.87, // 3 x 0.62 s idle sf0.1 (r10)
     "tpch_q1" -> 3.17, // 3 x 1.06 s worst-of-three idle sf0.1 (r12)
     "boilerplate_detect" -> 6.53, // 3 x 2.18 s worst-of-three idle sf0.1 (r12)
+    "ab_sequential" -> 2.30, // 3 x 0.77 s worst-of-three idle sf0.1 (r12)
+    "curation_report" -> 4.00, // 3 x 1.33 s worst-of-three idle sf0.1 (r12, single-window form)
     "rrf_eval" -> 4.96, // 3 x 1.65 s worst-of-three idle sf0.1 (r12)
     "code_switch" -> 4.72, // 3 x 1.57 s worst-of-three idle sf0.1 (r12)
     "experiment_dashboard" -> 4.20, // 3 x 1.40 s worst-of-three idle sf0.1 (r12)

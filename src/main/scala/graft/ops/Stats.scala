@@ -753,6 +753,122 @@ object Stats {
   }
 
   // --------------------------------------------------------------------
+  // ab_sequential — the peeking-safe experiment monitor: a fixed-horizon
+  // t-test is only valid when read ONCE, but every real dashboard is
+  // watched daily, and 30 looks at |z| > 1.96 have ~15-25% false-positive
+  // rate. The standard guard is a group-sequential boundary: per day t,
+  // the RUNNING Welch z over all data so far is compared against the
+  // O'Brien-Fleming-shaped boundary c/√f (f = t/T the information
+  // fraction, c = 2.7965 — the two-sided-5% OF constant, hardcoded like
+  // 1.96/3.84/1.358: the contract is the boundary SHAPE, not a p-value)
+  // — enormous early thresholds that decay to ~c by the horizon, so the
+  // overall false-positive rate stays controlled no matter how often
+  // anyone peeks. Output per day: cumulative per-arm n, running z, the
+  // boundary, and the crossed flag.
+  //
+  // One fold, many views (the rank-family discipline): the input is
+  // ttestMoments VERBATIM — the same per-day algebraic moment grid
+  // ab_ttest reads and ttestSink folds — so a streaming deployment gets
+  // the always-valid monitor from the state it already carries. The
+  // cumulative sums are exact DECIMAL windows over the grid (order-
+  // independent), converted once; z is ttestView's fixed IEEE tree over
+  // the cumulative moments; oracle decimals ride the house VARCHAR
+  // route. Degenerate prefixes (an arm with ≤1 cumulative obs, zero
+  // pooled variance) are excluded — the ttestView discipline.
+  //
+  // Scale shape: the fact pass is ttestMoments' (map-side combine to
+  // |days| rows); every window here is grid-sized (the survival n_risk
+  // argument).
+  // --------------------------------------------------------------------
+  private val SeqC = 2.7965
+
+  /** Running-z + OF boundary view over a completed moments grid. */
+  private[graft] def seqView(moments: DataFrame): DataFrame = {
+    val byDay = Window.orderBy("day")
+    val cumW = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = moments
+      .withColumn("ca", sum("n_a").over(cumW))
+      .withColumn("cb", sum("n_b").over(cumW))
+      .withColumn("csx_a", sum("sx_a").over(cumW).cast(DecimalType(38, 2)))
+      .withColumn("csxx_a", sum("sxx_a").over(cumW).cast(DecimalType(38, 4)))
+      .withColumn("csx_b", sum("sx_b").over(cumW).cast(DecimalType(38, 2)))
+      .withColumn("csxx_b", sum("sxx_b").over(cumW).cast(DecimalType(38, 4)))
+      .withColumn("t_idx", row_number().over(byDay))
+      .withColumn("t_total", count(lit(1)).over(allW))
+    def vr(suf: String) = {
+      val sx = col(s"csx_$suf").cast("double")
+      val sxx = col(s"csxx_$suf").cast("double")
+      (sxx - sx * sx / col(s"c$suf")) / (col(s"c$suf") - 1)
+    }
+    val st = cum.filter(col("ca") > 1 && col("cb") > 1)
+      .select(col("day"), col("ca").as("n_a"), col("cb").as("n_b"),
+        col("t_idx"), col("t_total"),
+        (col("csx_a").cast("double") / col("ca")).as("mean_a"),
+        (col("csx_b").cast("double") / col("cb")).as("mean_b"),
+        (vr("a") / col("ca")).as("se2_a"),
+        (vr("b") / col("cb")).as("se2_b"))
+    st.filter(col("se2_a") + col("se2_b") > 0)
+      .select(col("day"), col("n_a"), col("n_b"),
+        ((col("mean_a") - col("mean_b")) / sqrt(col("se2_a") + col("se2_b")))
+          .as("z"),
+        (lit(SeqC) / sqrt(col("t_idx").cast("double")
+          / col("t_total").cast("double"))).as("bound"))
+      .withColumn("crossed", abs(col("z")) > col("bound"))
+      .orderBy("day")
+  }
+
+  private val abSequential = Op("ab_sequential", {
+    def m(arm: String, suf: String) =
+      s"""count(*) FILTER (WHERE event_type = '$arm') AS n_$suf,
+         |    SUM(CAST(value AS DECIMAL(18,2)))
+         |      FILTER (WHERE event_type = '$arm') AS sx_$suf,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(19,2))
+         |        * CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(19,2)))
+         |      FILTER (WHERE event_type = '$arm') AS sxx_$suf""".stripMargin
+    def cd(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    def vr(suf: String) =
+      s"(csxx_$suf - csx_$suf * csx_$suf / c$suf) / (c$suf - 1)"
+    s"""WITH mo AS (
+       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |    ${m(ArmA, "a")},
+       |    ${m(ArmB, "b")}
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND value IS NOT NULL
+       |    AND event_type IN ('$ArmA', '$ArmB')
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT day,
+       |    CAST(SUM(n_a) OVER w AS BIGINT) AS ca,
+       |    CAST(SUM(n_b) OVER w AS BIGINT) AS cb,
+       |    ${cd("CAST(SUM(sx_a) OVER w AS DECIMAL(38,2))")} AS csx_a,
+       |    ${cd("CAST(SUM(sxx_a) OVER w AS DECIMAL(38,4))")} AS csxx_a,
+       |    ${cd("CAST(SUM(sx_b) OVER w AS DECIMAL(38,2))")} AS csx_b,
+       |    ${cd("CAST(SUM(sxx_b) OVER w AS DECIMAL(38,4))")} AS csxx_b,
+       |    row_number() OVER (ORDER BY day) AS t_idx,
+       |    count(*) OVER () AS t_total
+       |  FROM mo
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |st AS (
+       |  SELECT day, ca AS n_a, cb AS n_b, t_idx, t_total,
+       |    csx_a / ca AS mean_a, csx_b / cb AS mean_b,
+       |    ${vr("a")} / ca AS se2_a, ${vr("b")} / cb AS se2_b
+       |  FROM cum WHERE ca > 1 AND cb > 1)
+       |SELECT day, n_a, n_b,
+       |  (mean_a - mean_b) / sqrt(se2_a + se2_b) AS z,
+       |  CAST($SeqC AS DOUBLE)
+       |    / sqrt(CAST(t_idx AS DOUBLE) / CAST(t_total AS DOUBLE)) AS bound,
+       |  abs((mean_a - mean_b) / sqrt(se2_a + se2_b))
+       |    > CAST($SeqC AS DOUBLE)
+       |      / sqrt(CAST(t_idx AS DOUBLE) / CAST(t_total AS DOUBLE)) AS crossed
+       |FROM st WHERE se2_a + se2_b > 0
+       |ORDER BY day""".stripMargin
+  }) { (s, d) =>
+    seqView(ttestMoments(t(s, d, "events")))
+  }
+
+  // --------------------------------------------------------------------
   // experiment_dashboard — the composite per-day experiment read-out a
   // platform actually renders: the assignment-health screen (SRM χ²)
   // joined with the parametric (Welch t) and distribution-free
@@ -1404,5 +1520,5 @@ object Stats {
   val ops: Seq[Op] = Seq(driftReport, abTtest, changepointCusum,
     evalAuc, abRanksum, abKsTest, survivalHazard, abSrm, abCuped,
     calibrationTable, gainsTable, bootstrapCi, abPower, rollingCorr,
-    experimentDashboard)
+    experimentDashboard, abSequential)
 }

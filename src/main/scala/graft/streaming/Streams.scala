@@ -391,6 +391,15 @@ object Streams {
   def ttestView(state: DataFrame): DataFrame =
     graft.ops.Stats.ttestView(state)
 
+  /** Second read side of [[ttestSink]] — the always-valid SEQUENTIAL
+    * monitor (batch op ab_sequential) reads the SAME moment fold: one
+    * state, two monitors (the srmSink/rolling_corr pattern). This is
+    * the view a live experiment actually needs — the whole point of a
+    * group-sequential boundary is that it stays valid while the fold
+    * grows. */
+  def seqView(state: DataFrame): DataFrame =
+    graft.ops.Stats.seqView(state)
+
   /** Per-batch calendar-hour count partials — LITERALLY the batch op's
     * fact pass ([[graft.ops.Events.seasonalCounts]]). */
   private[streaming] def seasonalCounts(batch: DataFrame): DataFrame =

@@ -919,6 +919,19 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("ab_sequential: the fact pass is ttestMoments' — one events scan, cumulative windows on the grid") {
+    val plan = planOf("ab_sequential")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+  }
+
+  test("curation_report: ONE pass — no self-join of the HOF scan, dedup attribution rides a digest-keyed window") {
+    val plan = planOf("curation_report")
+    "documents.parquet".r.findAllIn(plan).size shouldBe 2 // gate scan + |sources| totals leg
+    plan should not include "SortMergeJoin"
+    plan should include("BroadcastHashJoin") // grid-sized totals join only
+  }
+
   test("boilerplate_detect: the boilerplate set broadcasts into the token-scale probe — no sort-merge join anywhere") {
     val plan = planOf("boilerplate_detect")
     plan should include("BroadcastHashJoin")

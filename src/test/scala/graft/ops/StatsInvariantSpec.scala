@@ -1625,6 +1625,89 @@ class StatsInvariantSpec extends SparkSpec {
     rows.sortBy(_.getInt(0)).map(_.getLong(2)).toSeq shouldBe full.toSeq
   }
 
+  test("ab_sequential: the running z and OF boundary recompute from a first-principles cumulative walk") {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isin("click", "purchase"))
+      .select(date_trunc("day", col("ts")).cast("timestamp").as("day"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (epochUs(r.get(0)), r.getString(1), BigDecimal(r.getDouble(2))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val days = ev.map(_._1).distinct.sorted
+    val rows = SparkEntry.queries("ab_sequential")(spark, dir).collect()
+    rows should not be empty
+    var lastBound = Double.MaxValue
+    rows.foreach { r =>
+      val day = epochUs(r.get(0))
+      val tIdx = days.indexOf(day) + 1
+      val upTo = ev.filter(_._1 <= day)
+      def arm(t: String) = upTo.filter(_._2 == t).map(_._3)
+      val (a, b) = (arm("click"), arm("purchase"))
+      withClue(s"day $day: ") {
+        r.getLong(r.fieldIndex("n_a")) shouldBe a.size.toLong
+        r.getLong(r.fieldIndex("n_b")) shouldBe b.size.toLong
+        def mv(x: Seq[BigDecimal]) = {
+          val n = x.size
+          val m = (x.sum / n).toDouble
+          val v = x.map(d => math.pow(d.toDouble - m, 2)).sum / (n - 1)
+          (m, v)
+        }
+        val (ma, va) = mv(a); val (mb, vb) = mv(b)
+        val z = (ma - mb) / math.sqrt(va / a.size + vb / b.size)
+        r.getDouble(r.fieldIndex("z")) shouldBe z +- (math.abs(z) * 1e-9 + 1e-9)
+        val bound = 2.7965 / math.sqrt(tIdx.toDouble / days.size)
+        r.getDouble(r.fieldIndex("bound")) shouldBe bound +- 1e-12
+        // the boundary decays monotonically toward the horizon constant
+        bound should be <= lastBound
+        lastBound = bound
+        r.getBoolean(r.fieldIndex("crossed")) shouldBe
+          (math.abs(r.getDouble(r.fieldIndex("z"))) > r.getDouble(r.fieldIndex("bound")))
+      }
+    }
+    // at the horizon the boundary IS the OF constant
+    lastBound shouldBe 2.7965 +- 1e-12
+  }
+
+  test("curation_report: sequential gate attribution recomputes from a first-principles walk over raw documents") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+    def pregate(text: Option[String]): Option[String] = text match {
+      case None => Some("null_text")
+      case Some(t) =>
+        val w = t.split(" ", -1).toSeq
+        val grams = (0 until math.max(w.length - 1, 1))
+          .map(i => w.slice(i, i + 2).mkString(" "))
+        if (w.length < 10) Some("too_short")
+        else if (w.length > 2000) Some("too_long")
+        else if ((grams.size - grams.distinct.size) * 10 > grams.size)
+          Some("repetitive")
+        else None
+    }
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.sortBy(_._1).map { case (_, src, text) =>
+      val g = pregate(text) match {
+        case Some(gate) => gate
+        case None =>
+          if (seen.add(text.get)) "kept" else "duplicate"
+      }
+      (src, g)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rows = SparkEntry.queries("curation_report")(spark, dir).collect()
+    rows should not be empty
+    rows.map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2))
+      .toMap shouldBe expected
+    rows.foreach { r =>
+      val src = Option(r.getString(0))
+      r.getLong(r.fieldIndex("share_bp")) shouldBe
+        r.getLong(r.fieldIndex("n")) * 10000 / totals(src)
+    }
+    // every doc is attributed to exactly one gate
+    rows.map(_.getLong(2)).sum shouldBe docs.length.toLong
+  }
+
   test("experiment_dashboard: legs equal the standalone ops and the decision recomputes from the flags") {
     val dash = SparkEntry.queries("experiment_dashboard")(spark, dir).collect()
     def byDay(name: String) = SparkEntry.queries(name)(spark, dir).collect()

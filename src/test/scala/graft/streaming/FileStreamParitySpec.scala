@@ -741,6 +741,14 @@ class FileStreamParitySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     streamed shouldBe batch
     streamed should not be empty
+    // one state, two monitors: the SAME fold serves the group-sequential
+    // boundary monitor bit-for-bit (batch op ab_sequential)
+    val seqStreamed = graft.streaming.Streams.seqView(readState())
+      .collect().map(_.toSeq).toSet
+    val seqBatch = graft.SparkEntry.queries("ab_sequential")(spark, dir01)
+      .collect().map(_.toSeq).toSet
+    seqStreamed shouldBe seqBatch
+    seqStreamed should not be empty
   }
 
   test("file-source seasonal-anomaly sink: hour-count fold over hash-split batches equals the batch op") {
