@@ -113,7 +113,12 @@ object BenchBudget {
     "lm_score" -> 3.69, "multimodal_cols" -> 0.84, "multimodal_decode" -> 0.75,
     "multimodal_frames" -> 0.85,
     "outlier_filter" -> 4.37, "pack_sequences" -> 0.75, "pii_redact" -> 2.36,
-    "profile_stats" -> 1.02, "project_rename" -> 0.75, "quality_score" -> 1.95,
+    // profile_stats re-based r12: tripped its r9-basis ceiling (1.02) in a
+    // full-263 run at 1.44 s with the plan unchanged; idle worst-of-three
+    // re-measured 1.07 s — the ambient box drift the r12 jar bisect
+    // characterized (SURVEY §7.3.16), not a plan regression. New basis
+    // max(3 x 1.07 idle, 1.25 x 1.44 observed).
+    "profile_stats" -> 3.21, "project_rename" -> 0.75, "quality_score" -> 1.95,
     "quantile_bin" -> 6.2, "recursive_cte" -> 1.82,
     "repetition_filter" -> 3.35, // r11 re-base, see chunk_split note
     "reshape_unpivot" -> 7.41, "retention_cohort" -> 1.25, "sample_per_group" -> 0.75,
