@@ -40,6 +40,7 @@ object BenchBudget {
     "boilerplate_detect" -> 6.53, // 3 x 2.18 s worst-of-three idle sf0.1 (r12)
     "ab_sequential" -> 2.30, // 3 x 0.77 s worst-of-three idle sf0.1 (r12)
     "curation_report" -> 4.00, // 3 x 1.33 s worst-of-three idle sf0.1 (r12, single-window form)
+    "pii_report" -> 2.56, // 3 x 0.85 s worst-of-three idle sf0.1 (r12)
     "rrf_eval" -> 4.96, // 3 x 1.65 s worst-of-three idle sf0.1 (r12)
     "code_switch" -> 4.72, // 3 x 1.57 s worst-of-three idle sf0.1 (r12)
     "experiment_dashboard" -> 4.20, // 3 x 1.40 s worst-of-three idle sf0.1 (r12)

@@ -211,6 +211,93 @@ object Pipeline {
   }
 
   // --------------------------------------------------------------------
+  // pii_report — the per-source PII incidence table read BEFORE choosing
+  // redaction strictness (pii_redact transforms every doc; THIS says
+  // which sources actually carry PII, how much, and of what kind — the
+  // prioritization read: "source C is 40% email-bearing, source A is
+  // clean"): per (source, pii_type ∈ email/ip/number): docs affected,
+  // total matches, and the affected share of the source's screenable
+  // docs in integer bp. Rule set = pii_redact's OWN regexes (EmailRe /
+  // Ipv4Re / LongNumRe, shared constants — the report provably measures
+  // what the redactor redacts); NULL-text docs are excluded from both
+  // numerator and denominator (nothing to screen — the shingleStage
+  // contract).
+  //
+  // Scale shape: ONE scan computes all three per-doc match counts
+  // (regexp_extract_all, scan-stage) and map-side-combines into the
+  // per-source WIDE grid (|sources| rows: n_docs + per-type doc/match
+  // sums — every cell an ALGEBRAIC count, so the streaming twin
+  // ([[graft.streaming.Streams.piiSink]]) folds per-batch partials with
+  // ONE keyed SUM merge); the long (source, pii_type) view unpivots the
+  // completed grid.
+  // --------------------------------------------------------------------
+  /** The per-source wide PII grid — pii_report's only fact-scale pass,
+    * shared with the streaming twin. */
+  private[graft] def piiGrid(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def cnt(re: String) = size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), cnt(EmailRe).as("c_email"),
+        cnt(Ipv4Re).as("c_ip"), cnt(LongNumRe).as("c_num"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("c_email") > 0, 1)).as("d_email"),
+        sum(col("c_email").cast("long")).as("m_email"),
+        count(when(col("c_ip") > 0, 1)).as("d_ip"),
+        sum(col("c_ip").cast("long")).as("m_ip"),
+        count(when(col("c_num") > 0, 1)).as("d_num"),
+        sum(col("c_num").cast("long")).as("m_num"))
+  }
+
+  /** Long-form incidence view over a completed grid (|sources|×3 rows). */
+  private[graft] def piiView(grid: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val long = grid.select(col("source"), col("n_docs"),
+      explode(array(
+        struct(lit("email").as("pii_type"), col("d_email").as("n_docs_hit"),
+          col("m_email").as("n_matches")),
+        struct(lit("ip").as("pii_type"), col("d_ip").as("n_docs_hit"),
+          col("m_ip").as("n_matches")),
+        struct(lit("number").as("pii_type"), col("d_num").as("n_docs_hit"),
+          col("m_num").as("n_matches")))).as("e"))
+    long.select(col("source"), col("e.pii_type"), col("e.n_docs_hit"),
+        col("e.n_matches"),
+        expr("e.n_docs_hit * 10000 div n_docs").as("hit_bp"))
+      .orderBy("source", "pii_type")
+  }
+
+  private val piiReport = Op("pii_report", {
+    val (e, i, n) = (EmailRe, Ipv4Re, LongNumRe)
+    s"""WITH m AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '$e')) AS c_email,
+       |    len(regexp_extract_all(text, '$i')) AS c_ip,
+       |    len(regexp_extract_all(text, '$n')) AS c_num
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    count(*) FILTER (c_email > 0) AS d_email,
+       |    CAST(SUM(c_email) AS BIGINT) AS m_email,
+       |    count(*) FILTER (c_ip > 0) AS d_ip,
+       |    CAST(SUM(c_ip) AS BIGINT) AS m_ip,
+       |    count(*) FILTER (c_num > 0) AS d_num,
+       |    CAST(SUM(c_num) AS BIGINT) AS m_num
+       |  FROM m GROUP BY 1),
+       |long AS (
+       |  SELECT source, 'email' AS pii_type, d_email AS n_docs_hit,
+       |    m_email AS n_matches, n_docs FROM g
+       |  UNION ALL
+       |  SELECT source, 'ip', d_ip, m_ip, n_docs FROM g
+       |  UNION ALL
+       |  SELECT source, 'number', d_num, m_num, n_docs FROM g)
+       |SELECT source, pii_type, n_docs_hit, n_matches,
+       |  n_docs_hit * 10000 // n_docs AS hit_bp
+       |FROM long ORDER BY source, pii_type""".stripMargin
+  }) { (s, d) =>
+    piiView(piiGrid(t(s, d, "documents")))
+  }
+
+  // --------------------------------------------------------------------
   // sample_per_group — exactly-k-per-stratum sampling: rank docs inside
   // each language by a deterministic hash of their id and keep the first
   // 20. Hash order is uniform-random in distribution but reproducible —
@@ -923,5 +1010,5 @@ object Pipeline {
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
     interleaveSources, corpusShuffle, sampleHash, featureScale, sampleBalance,
     sampleWeighted, rankNormalize, datasetKfold, rareCollapse, featureWinsorize,
-    chunkMerge, sampleTemperature, curriculumOrder, curationReport)
+    chunkMerge, sampleTemperature, curriculumOrder, curationReport, piiReport)
 }

@@ -697,6 +697,31 @@ object Streams {
       docsGrid: DataFrame): DataFrame =
     graft.ops.Audit.boilerView(docs, dfGrid, docsGrid)
 
+  /** Merge per-batch per-source PII incidence partials (twin state of
+    * the batch pii_report op) — every cell is an algebraic count under
+    * doc-at-most-once delivery, ONE keyed SUM merge. */
+  def piiMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("d_email")).as("d_email"), sum(col("m_email")).as("m_email"),
+        sum(col("d_ip")).as("d_ip"), sum(col("m_ip")).as("m_ip"),
+        sum(col("d_num")).as("d_num"), sum(col("m_num")).as("m_num"))
+
+  /** foreachBatch fold for the PII incidence monitor (twin of the batch
+    * pii_report op): the "which sources carry PII" table recomputed as
+    * the crawl streams in — the alarm a curator wants BEFORE a
+    * PII-heavy source reaches the training mix. */
+  def piiSink(docs: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(piiMerge(readState(), graft.ops.Pipeline.piiGrid(batch)))
+    }
+
+  /** Read side of [[piiSink]] — LITERALLY the batch op's view. */
+  def piiView(state: DataFrame): DataFrame =
+    graft.ops.Pipeline.piiView(state)
+
   /** Streaming twin of the batch interval_merge op: DYNAMIC-GAP session
     * windows — each event extends its session by its OWN duration
     * (props.k minutes), so overlapping per-user intervals coalesce

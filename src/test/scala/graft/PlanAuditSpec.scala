@@ -932,6 +932,13 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("BroadcastHashJoin") // grid-sized totals join only
   }
 
+  test("pii_report: ONE scan, map-combined wide grid, unpivot on the grid — no join, no window") {
+    val plan = planOf("pii_report")
+    "documents.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
   test("boilerplate_detect: the boilerplate set broadcasts into the token-scale probe — no sort-merge join anywhere") {
     val plan = planOf("boilerplate_detect")
     plan should include("BroadcastHashJoin")

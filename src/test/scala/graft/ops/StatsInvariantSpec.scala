@@ -1708,6 +1708,50 @@ class StatsInvariantSpec extends SparkSpec {
     rows.map(_.getLong(2)).sum shouldBe docs.length.toLong
   }
 
+  test("pii_report: incidence recomputes from pii_redact's own per-doc counts — the report provably measures what the redactor redacts") {
+    val perDoc = SparkEntry.queries("pii_redact")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val srcOf = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    val rows = SparkEntry.queries("pii_report")(spark, dir).collect()
+    rows should not be empty
+    val bySrc = srcOf.groupBy(_._2)
+    rows.foreach { r =>
+      val src = Option(r.getString(0))
+      val sel: ((Int, Int, Int)) => Int = r.getString(1) match {
+        case "email" => _._1
+        case "ip" => _._2
+        case "number" => _._3
+      }
+      val counts = bySrc(src).map { case (id, _) => sel(perDoc(id)) }
+      withClue(s"source $src / ${r.getString(1)}: ") {
+        r.getLong(r.fieldIndex("n_docs_hit")) shouldBe counts.count(_ > 0).toLong
+        r.getLong(r.fieldIndex("n_matches")) shouldBe counts.map(_.toLong).sum
+        r.getLong(r.fieldIndex("hit_bp")) shouldBe
+          counts.count(_ > 0).toLong * 10000 / counts.size
+      }
+    }
+    // the fixture word soup carries NO PII — that null result is itself
+    // asserted, and the positive path is proven on a crafted corpus
+    rows.map(r => r.getLong(r.fieldIndex("n_matches"))).sum shouldBe 0L
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "contact bob@example.com or sue@corp.io today", "en", "A", 0L),
+      (2L, "server 10.0.0.1 then 192.168.1.254 responded", "en", "A", 0L),
+      (3L, "order 1234567 ref 99887766 and 42", "en", "B", 0L),
+      (4L, "nothing sensitive here at all", "en", "B", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.Pipeline.piiView(graft.ops.Pipeline.piiGrid(crafted))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out(("A", "email")) shouldBe ((1L, 2L, 5000L)) // 1 of 2 docs, 2 matches
+    out(("A", "ip")) shouldBe ((1L, 2L, 5000L))
+    out(("A", "number")) shouldBe ((0L, 0L, 0L))
+    out(("B", "number")) shouldBe ((1L, 2L, 5000L)) // 42 is too short
+    out(("B", "email")) shouldBe ((0L, 0L, 0L))
+  }
+
   test("experiment_dashboard: legs equal the standalone ops and the decision recomputes from the flags") {
     val dash = SparkEntry.queries("experiment_dashboard")(spark, dir).collect()
     def byDay(name: String) = SparkEntry.queries(name)(spark, dir).collect()

@@ -1588,6 +1588,20 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source PII sink: per-source incidence fold over hash-split document batches equals the batch pii_report") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val state = runGridFold("docs_pii_stream", docs, chunks,
+      "source STRING, n_docs BIGINT, d_email BIGINT, m_email BIGINT, " +
+        "d_ip BIGINT, m_ip BIGINT, d_num BIGINT, m_num BIGINT",
+      (s, r, w) => graft.streaming.Streams.piiSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.piiView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("pii_report")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source embedding-drift sink: decimal sum-grid fold over hash-split EMBEDDING batches equals the batch embed_drift") {
     val dir01 = "/root/testdata/sf0.01"
     val emb = graft.Tables(spark, dir01, "embeddings").cache()
