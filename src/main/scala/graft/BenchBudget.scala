@@ -40,8 +40,29 @@ object BenchBudget {
     "boilerplate_detect" -> 6.53, // 3 x 2.18 s worst-of-three idle sf0.1 (r12)
     "ab_sequential" -> 2.30, // 3 x 0.77 s worst-of-three idle sf0.1 (r12)
     "curation_report" -> 4.00, // 3 x 1.33 s worst-of-three idle sf0.1 (r12, single-window form)
+    "curation_cost_curve" -> 3.82, // 3 x 1.27 s worst-of-three idle sf0.1 (r13)
+    "lang_routing" -> 2.47, // 3 x 0.82 s worst-of-three idle sf0.1 (r13)
     "pii_report" -> 2.56, // 3 x 0.85 s worst-of-three idle sf0.1 (r12)
-    "rrf_eval" -> 4.96, // 3 x 1.65 s worst-of-three idle sf0.1 (r12)
+    // r13 re-base of the eight BENCH_r12 over_budget flags, per the
+    // evidence protocol: every one re-measured idle worst-of-three with
+    // its plan pin green, all 2-7x UNDER the old ceiling idle — the
+    // documented full-suite driver-box contention signature, not plan
+    // regressions (a same-tree full-264 run on the idle r13 box read
+    // 180.1 s, over_budget: []). Re-based ceilings use
+    // max(3 x idle worst-of-three, 1.25 x worst OBSERVED driver time)
+    // where the driver artifact recorded the value (rrf_eval 9.67 s,
+    // sink_bucketed 3.07 s), and for the five sub-second ops whose
+    // driver values were truncated from BENCH_r12's tail, a 2.5 s
+    // contention floor (the trip evidence bounds them at 0.75-2.05+ s
+    // driver vs <=0.41 s idle — the same 2-7x envelope; a genuine 3x
+    // plan regression on a sub-second op is invisible at EITHER floor,
+    // so the floor only exists to not false-positive on contention).
+    // rrf_eval's basis also moved because its plan changed this round:
+    // the full-rank audit legs went distributed (globalRank: range
+    // shuffle + pid-local rank + broadcast offsets; three localCheckpoint
+    // materializations per run are the declared small-scale cost of
+    // removing the corpus-wide single-partition windows).
+    "rrf_eval" -> 12.09, // max(3 x 3.65 idle r13, 1.25 x 9.67 driver r12)
     "code_switch" -> 4.72, // 3 x 1.57 s worst-of-three idle sf0.1 (r12)
     "experiment_dashboard" -> 4.20, // 3 x 1.40 s worst-of-three idle sf0.1 (r12)
     "agg_approx_distinct" -> 3.15, "agg_bitmap_distinct" -> 1.28, "agg_collect" -> 0.77,
@@ -76,7 +97,7 @@ object BenchBudget {
     "fuzzy_eval" -> 1.68, // 3 x 0.56 s worst-of-three idle sf0.1 (r11)
     "substring_eval" -> 5.06, // 3 x 1.69 s worst-of-three idle sf0.1 (r11)
     "tokenizer_fertility" -> 1.17, // 3 x 0.39 s worst-of-three idle sf0.1 (r11)
-    "sample_temperature" -> 0.96, // 3 x 0.32 s worst-of-three idle sf0.1 (r11)
+    "sample_temperature" -> 2.5, // r13 contention floor (idle worst-of-three 0.31)
     "embed_drift" -> 3.45, // 3 x 1.15 s worst-of-three idle sf0.1 (r11)
     "decontaminate_fuzzy" -> 5.96, // 3 x 1.99 s warm (r9 continuation)
     "doc_fingerprint" -> 3.45,
@@ -122,8 +143,10 @@ object BenchBudget {
     "profile_stats" -> 3.21, "project_rename" -> 0.75, "quality_score" -> 1.95,
     "quantile_bin" -> 6.2, "recursive_cte" -> 1.82,
     "repetition_filter" -> 3.35, // r11 re-base, see chunk_split note
-    "reshape_unpivot" -> 7.41, "retention_cohort" -> 1.25, "sample_per_group" -> 0.75,
-    "sample_hash" -> 0.75, "sample_stratified" -> 0.75,
+    "reshape_unpivot" -> 7.41, "retention_cohort" -> 1.25,
+    "sample_per_group" -> 2.5, // r13 contention floor (idle worst-of-three 0.29)
+    "sample_hash" -> 0.75,
+    "sample_stratified" -> 2.5, // r13 contention floor (idle worst-of-three 0.24)
     "sample_balance" -> 1.55, // 3 x 0.52 s warm sf0.1 (r9 continuation 2)
     "sql_passthrough" -> 1.89, // 3 x 0.63 s
     "time_ohlc" -> 1.38, // 3 x 0.46 s
@@ -170,20 +193,24 @@ object BenchBudget {
     "ann_recall" -> 10.09,
     "ann_recall_bucketed" -> 5.16, // 3 x 1.72 s idle sf0.1
     "contamination_matrix" -> 5.16, // 3 x 1.72 s idle sf0.1
-    "benford_audit" -> 2.19, // 3 x 0.73 s idle sf0.1
+    "benford_audit" -> 3.66, // 3 x 1.22 s idle r13 (two-digit shared grid)
+    "benford_second" -> 3.68, // 3 x 1.23 s worst-of-three idle sf0.1 (r13)
     "curriculum_order" -> 3.02, // 3 x 1.01 s idle sf0.1
     "text_readability" -> 1.6, // 3 x 0.53 s idle sf0.1
     "event_rfm" -> 3.13, // 3 x 1.04 s idle sf0.1
     "session_stats" -> 2.39, // 3 x 0.80 s idle sf0.1
     "assoc_rules" -> 2.22, // 3 x 0.74 s idle sf0.1
-    "scan_csv_roundtrip" -> 1.05, "scan_federated" -> 2.05,
+    "scan_csv_roundtrip" -> 2.5, // r13 contention floor (idle worst-of-three 0.41)
+    "scan_federated" -> 2.61, // max(3 x 0.87 idle r13, the contention floor)
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,
     "scan_xml_roundtrip" -> 0.96, "search_rrf" -> 1.67, "sessionize" -> 1.5,
     "set_except" -> 0.83, "set_intersect" -> 0.92, "set_union" -> 1.06,
     "set_union_byname" -> 0.75, "shard_manifest" -> 0.75, "sim_search" -> 0.9,
-    "sim_search_bucketed" -> 0.76, "sim_search_ivf" -> 3.59, "sink_append" -> 0.75,
-    "sink_bucketed" -> 2.26, "sink_compact" -> 2.33, "sink_delete_where" -> 2.71,
+    "sim_search_bucketed" -> 0.76, "sim_search_ivf" -> 3.59,
+    "sink_append" -> 2.5, // r13 contention floor (idle worst-of-three 0.35)
+    "sink_bucketed" -> 3.84, // max(3 x 1.00 idle r13, 1.25 x 3.07 driver r12)
+    "sink_compact" -> 2.33, "sink_delete_where" -> 2.71,
     "sink_insert_if_absent" -> 1.27, "sink_partitioned" -> 1.59, "sink_scd2" -> 1.11,
     "sink_stream_upsert" -> 4.96, // 3 x 1.65 s idle single-op run (r9)
     "sink_upsert" -> 1.32, "sink_zorder" -> 2.83, "skew_report" -> 0.75,

@@ -838,33 +838,63 @@ object Audit {
     benfordView(benfordGrid(t(s, d, "events")))
   }
 
-  /** The (event_type, digit) observation grid — benford_audit's only
-    * fact-scale pass, shared with the streaming twin
-    * ([[graft.streaming.Streams.benfordSink]]): cells are ALGEBRAIC
-    * counts, so a stream folds per-batch partials in with a keyed SUM
-    * merge and [[benfordView]] reproduces the batch audit at any batch
-    * cut — the fabricated-data screen recomputed as ledger rows arrive.
-    * NULL event_type rows have no per-type cell (a NULL scaffold key
-    * would never equi-join back) — excluded, like the type-keyed stats
-    * ops. */
+  /** The (event_type, digit, digit2) observation grid — the ONE
+    * fact-scale pass behind BOTH Benford screens (benford_audit's
+    * first-digit χ² and benford_second's second-digit χ²), shared with
+    * the streaming twin ([[graft.streaming.Streams.benfordSink]]): cells
+    * are ALGEBRAIC counts keyed by the first TWO significant digits
+    * (digit2 NULL when |cents| < 10 — a one-digit amount has no second
+    * digit), so a stream folds per-batch partials in with a keyed SUM
+    * merge and each view reproduces its batch audit at any batch cut —
+    * the fabricated-data screens recomputed as ledger rows arrive. The
+    * finer key costs ≤90·|types| cells instead of ≤9·|types| — still
+    * grid-sized at any corpus scale. NULL event_type rows have no
+    * per-type cell (a NULL scaffold key would never equi-join back) —
+    * excluded, like the type-keyed stats ops. */
   private[graft] def benfordGrid(events: DataFrame): DataFrame =
     events
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
       .filter(col("cents") =!= 0)
+      .select(col("event_type"), abs(col("cents")).cast("string").as("ds"))
       .select(col("event_type"),
-        substring(abs(col("cents")).cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy("event_type", "digit").agg(count(lit(1)).as("n_obs"))
+        substring(col("ds"), 1, 1).cast("int").as("digit"),
+        // one-digit amounts have no second digit → NULL (the guard, not a
+        // bare cast: ANSI mode throws on CAST('' AS INT))
+        when(length(col("ds")) >= 2, substring(col("ds"), 2, 1))
+          .cast("int").as("digit2"))
+      .groupBy("event_type", "digit", "digit2").agg(count(lit(1)).as("n_obs"))
 
-  /** Scaffold + χ² over a completed grid (grid-sized input: ≤9·|types|
-    * rows). */
-  private[graft] def benfordView(counts: DataFrame): DataFrame = {
+  /** Zero-count scaffold without a join OR a second pass: one grid-sized
+    * aggregate folds each type's observed cells into a digit→count map,
+    * then every scaffold digit reads the map (missing → 0). The previous
+    * distinct-types × digits LEFT JOIN formulation planned the type list
+    * as a SECOND column-pruned fact scan (Catalyst pushes the projection
+    * through the grid aggregate, and the legs prune differently so no
+    * exchange reuse saves it) — this shape keeps ONE lineage, so "one
+    * fact pass" is a plan fact, not a comment. */
+  private def digitScaffold(counts: DataFrame, digitCol: String,
+      lo: Int, hi: Int): DataFrame =
+    counts.groupBy("event_type")
+      .agg(map_from_entries(
+        collect_list(struct(col(digitCol), col("n_obs")))).as("m"))
+      .select(col("event_type"),
+        explode(sequence(lit(lo), lit(hi))).as(digitCol), col("m"))
+      .select(col("event_type"), col(digitCol),
+        // try_element_at, not element_at: ANSI mode throws on a missing
+        // map key, and "missing" is exactly the zero-count cell
+        coalesce(try_element_at(col("m"), col(digitCol)), lit(0L)).as("n_obs"))
+
+  /** Scaffold + χ² over a completed grid (grid-sized input: ≤90·|types|
+    * rows). Folds the two-digit grid down to first-digit cells first —
+    * the digit2 refinement exists for [[benfordSecondView]] and costs
+    * this view one grid-sized re-aggregate. */
+  private[graft] def benfordView(counts2: DataFrame): DataFrame = {
+    val counts = counts2.groupBy("event_type", "digit")
+      .agg(sum(col("n_obs")).as("n_obs"))
     val wT = Window.partitionBy("event_type")
-    val grid = counts.select("event_type").distinct()
-      .select(col("event_type"), explode(sequence(lit(1), lit(9))).as("digit"))
-      .join(counts, Seq("event_type", "digit"), "left")
-      .na.fill(0L, Seq("n_obs"))
+    val grid = digitScaffold(counts, "digit", 1, 9)
       .withColumn("n", sum("n_obs").over(wT))
       .withColumn("exp_bp",
         element_at(array(BenfordBp.map(lit): _*), col("digit")))
@@ -881,6 +911,95 @@ object Audit {
         col("chi2"),
         (col("chi2") > lit(Chi2Crit8).cast("double")).as("skewed"))
       .orderBy("event_type", "digit")
+  }
+
+  // --------------------------------------------------------------------
+  // benford_second — the SECOND-digit Benford screen over the same grid:
+  // second digits are far harder to fake than first digits (a fraudster
+  // padding invoices keeps plausible leading digits but rounds the rest),
+  // so forensic accounting runs both tests as a pair (Nigrini's
+  // first/second-digit battery). Expected shares are the exact
+  // second-digit law p(d₂) = Σ_{d₁=1..9} log₁₀(1 + 1/(10·d₁+d₂)),
+  // quantized to basis points by LARGEST-REMAINDER apportionment so the
+  // 10 constants sum to exactly 10000 (plain rounding gives 10001 — the
+  // d₂=7 cell carries the adjustment), hardcoded identically on both
+  // engines like the first-digit constants. χ²₉ per type, 95% critical
+  // value 16.919. One-digit amounts (|cents| < 10) carry no second digit
+  // and are excluded (declared — the digit2-NULL grid cells); a type
+  // whose every amount is one-digit has no row (the observed-types
+  // scaffold rule benford_audit already uses, which also keeps every
+  // obs_bp division nonzero on both engines).
+  //
+  // Scale shape: ZERO new fact-scale work — the screen is a grid-sized
+  // view over the (type, digit, digit2) cells the first-digit audit
+  // already produces, so a deployment running both screens (or the
+  // streaming twin's stored state) pays ONE events pass total.
+  // --------------------------------------------------------------------
+  private val BenfordBp2 = Seq(1197, 1139, 1088, 1043, 1003, 967, 934, 903, 876, 850)
+  private val Chi2Crit9 = "16.919" // 95% critical value, chi-square df=9
+
+  private val benfordSecond = Op("benford_second", {
+    val lst = BenfordBp2.mkString("[", ",", "]")
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+       |d AS (
+       |  SELECT event_type,
+       |    CAST(substr(CAST(abs(cents) AS VARCHAR), 2, 1) AS INT) AS digit2
+       |  FROM b WHERE cents <> 0 AND length(CAST(abs(cents) AS VARCHAR)) >= 2),
+       |c AS (SELECT event_type, digit2, count(*) AS n_obs FROM d GROUP BY 1, 2),
+       |sc AS (SELECT t.event_type, g.digit2
+       |       FROM (SELECT DISTINCT event_type FROM c) t,
+       |            (SELECT CAST(unnest(range(0, 10)) AS INT) AS digit2) g),
+       |g AS (SELECT sc.event_type, sc.digit2, COALESCE(c.n_obs, 0) AS n_obs
+       |      FROM sc LEFT JOIN c
+       |        ON c.event_type = sc.event_type AND c.digit2 = sc.digit2),
+       |e AS (SELECT *,
+       |        CAST(sum(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |        $lst[digit2 + 1] AS exp_bp
+       |      FROM g),
+       |t AS (SELECT *,
+       |        n_obs * 10000 // n AS obs_bp,
+       |        CAST((CAST(10000 * n_obs - n * exp_bp AS DOUBLE)
+       |              * CAST(10000 * n_obs - n * exp_bp AS DOUBLE))
+       |             / (CAST(10000 AS DOUBLE) * CAST(n AS DOUBLE)
+       |                * CAST(exp_bp AS DOUBLE))
+       |          AS DECIMAL(28,9)) AS term
+       |      FROM e)
+       |SELECT event_type, digit2, n_obs, n, obs_bp,
+       |  CAST(exp_bp AS BIGINT) AS exp_bp, obs_bp - exp_bp AS dev_bp,
+       |  CAST(sum(term) OVER (PARTITION BY event_type) AS DOUBLE) AS chi2,
+       |  CAST(sum(term) OVER (PARTITION BY event_type) AS DOUBLE)
+       |    > CAST($Chi2Crit9 AS DOUBLE) AS skewed
+       |FROM t ORDER BY event_type, digit2""".stripMargin
+  }) { (s, d) =>
+    benfordSecondView(benfordGrid(t(s, d, "events")))
+  }
+
+  /** Second-digit scaffold + χ² over a completed two-digit grid (the
+    * [[benfordGrid]] cells / the streaming twin's state) — grid-sized. */
+  private[graft] def benfordSecondView(counts2: DataFrame): DataFrame = {
+    val counts = counts2.filter(col("digit2").isNotNull)
+      .groupBy("event_type", "digit2").agg(sum(col("n_obs")).as("n_obs"))
+    val wT = Window.partitionBy("event_type")
+    val grid = digitScaffold(counts, "digit2", 0, 9)
+      .withColumn("n", sum("n_obs").over(wT))
+      .withColumn("exp_bp",
+        element_at(array(BenfordBp2.map(lit): _*), col("digit2") + 1))
+    val num = (lit(10000L) * col("n_obs") - col("n") * col("exp_bp")).cast("double")
+    val scored = grid
+      .withColumn("term",
+        (num * num / (lit(10000d) * col("n").cast("double")
+          * col("exp_bp").cast("double"))).cast(DecimalType(28, 9)))
+      .withColumn("chi2", sum("term").over(wT).cast("double"))
+    scored.select(col("event_type"), col("digit2"), col("n_obs"), col("n"),
+        expr("n_obs * 10000 div n").as("obs_bp"),
+        col("exp_bp").cast("long").as("exp_bp"),
+        (expr("n_obs * 10000 div n") - col("exp_bp")).as("dev_bp"),
+        col("chi2"),
+        (col("chi2") > lit(Chi2Crit9).cast("double")).as("skewed"))
+      .orderBy("event_type", "digit2")
   }
 
   // --------------------------------------------------------------------
@@ -1141,5 +1260,6 @@ object Audit {
   val ops: Seq[Op] = Seq(decontaminate, contaminationMatrix, packSequences,
     repetitionFilter, profileStats, outlierFilter, gapDetect, anomalyMad,
     snapshotDiff, skewReport, dqCheck, gapFill, datasetCard, splitTemporal,
-    numericSanitize, benfordAudit, vocabGrowth, boilerplateDetect)
+    numericSanitize, benfordAudit, benfordSecond, vocabGrowth,
+    boilerplateDetect)
 }

@@ -1018,10 +1018,14 @@ object Llm {
   // find is why this table exists before anyone trusts the fusion).
   //
   // Scale shape: the shortlist leg is the op's own cost; the full-rank
-  // leg is the audit's declared contract cost — two corpus-wide rank
-  // windows (single-partition, the exactTopK/ann_recall exact-leg
-  // argument) + the exact decimal cosine per doc. At 100 TB the audit
-  // runs on a sampled corpus slice like every exact eval leg here.
+  // leg is the audit's declared contract cost — complete per-modality
+  // ranks + the exact decimal cosine per doc. Both full ranks run
+  // DISTRIBUTED through `globalRank` (range-partition → local rank →
+  // broadcast offsets; see ops/package.scala) and the fused full top-10
+  // is a distributed TakeOrdered, so no stage anywhere funnels the corpus
+  // through one partition — the r12-verdict watch item. At 100 TB the
+  // audit still runs on a sampled corpus slice like every exact eval leg
+  // here; the distribution removes the one machine-sized ceiling it had.
   // --------------------------------------------------------------------
   private val rrfEval = Op("rrf_eval",
     s"""WITH $rrfBaseSql,
@@ -1055,21 +1059,31 @@ object Llm {
       .select(col("rank"), col("doc_id").as("doc_short"))
     val base = rrfBase(s, d)
     val q = rrfQ(s, d)
-    val kwf = base.select(col("doc_id"), rrfKwScore.as("kw_score"))
-      .withColumn("r_kw", row_number()
-        .over(Window.orderBy(col("kw_score").desc, col("doc_id").asc)))
+    // BOTH modality scores in ONE fact pass, checkpointed as narrow
+    // (doc_id, kw_score, cos_sim) rows — the two rank legs then range-
+    // shuffle projections of the materialized frame instead of each
+    // re-running the corpus join (the bootstrap_ci one-pass lesson)
+    val scoredAll = base.crossJoin(q)
+      .select(col("doc_id"), rrfKwScore.as("kw_score"),
+        cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .localCheckpoint()
+    val kwf = globalRank(
+      scoredAll.select("doc_id", "kw_score"),
+      "r_kw", col("kw_score").desc, col("doc_id").asc)
       .select("doc_id", "r_kw")
-    val vecf = base.select(col("doc_id"), col("embedding")).crossJoin(q)
-      .select(col("doc_id"), cosine(col("embedding"), col("qv")).as("cos_sim"))
-      .withColumn("r_vec", row_number()
-        .over(Window.orderBy(col("cos_sim").desc, col("doc_id").asc)))
+    val vecf = globalRank(
+      scoredAll.select("doc_id", "cos_sim"),
+      "r_vec", col("cos_sim").desc, col("doc_id").asc)
       .select("doc_id", "r_vec")
+    // fused full top-10: distributed sort+limit (TakeOrdered), then the
+    // rank window runs over exactly 10 rows — bounded by construction
     val ft = kwf.join(vecf, Seq("doc_id"))
       .select(col("doc_id"),
         (lit(1.0) / (lit(RrfK) + col("r_kw"))
           + lit(1.0) / (lit(RrfK) + col("r_vec"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
       .withColumn("rank", row_number().over(byFused))
-      .filter(col("rank") <= 10)
       .select(col("rank"), col("doc_id").as("doc_full"))
     st.join(ft, Seq("rank"))
       .select(col("rank"), col("doc_short"), col("doc_full"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -964,6 +964,32 @@ object Pipeline {
        |FROM cnt c JOIN tot t ON c.source IS NOT DISTINCT FROM t.source
        |ORDER BY c.source, c.gate""".stripMargin
   }) { (s, d) =>
+    val fin = curationGatePerDoc(s, d).select("source", "gate")
+    val cnt = fin.groupBy("source", "gate").agg(count(lit(1)).as("n"))
+    // totals come straight off the raw table (every doc lands in exactly
+    // one gate, so the per-source total is just the row count) — the
+    // totals leg must not re-run the HOF gate pipeline
+    val tot = t(s, d, "documents").groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    cnt.join(broadcast(tot), cnt("source") <=> tot("source"))
+      .select(cnt("source"), col("gate"), col("n"),
+        expr("n * 10000 div n_docs").as("share_bp"))
+      .orderBy("source", "gate")
+  }
+
+  /** Per-doc FIRST-gate attribution — the stage shared by curation_report
+    * (per-source funnel) and curation_cost_curve (corpus cost curve), so
+    * both reports provably describe the same gate semantics: scalar gates
+    * (null text → too short → too long → repetitive) computed scan-stage
+    * with array HOFs, then dedup survivorship attributed by ONE
+    * conditional-cumulative window on the content digest — a survivor's
+    * rank among survivors of its hash group = the running count of
+    * pregate-NULL rows. A filter+self-join formulation planned the HOF
+    * scan TWICE (the bootstrap_ci double-generator lesson) and measured
+    * ~4.9 s vs ~2 s for this form at sf0.1. The window keys on the
+    * fixed-width digest, never the text payload. Returns
+    * (doc_id, source, gate, n_tok) with n_tok NULL for NULL text. */
+  private def curationGatePerDoc(s: SparkSession, d: String): DataFrame = {
     val w = words(col("text"))
     val g = transform(
       sequence(lit(0), greatest(size(col("w")) - 1, lit(1)) - 1),
@@ -978,37 +1004,134 @@ object Pipeline {
       .when(col("n_tok") < 10, "too_short")
       .when(col("n_tok") > 2000, "too_long")
       .when((col("n_gram") - col("n_uniq")) * 10 > col("n_gram"), "repetitive")
-    // ONE conditional-cumulative window attributes dedup survivorship
-    // in the same pass that carries the scalar gates: a survivor's rank
-    // among survivors of its hash group = the running count of
-    // pregate-NULL rows. A filter+self-join formulation planned the HOF
-    // scan TWICE (the bootstrap_ci double-generator lesson) and measured
-    // ~4.9 s vs ~2 s for this form at sf0.1. The window keys on the
-    // fixed-width digest, never the text payload.
     val g1 = m.select(col("doc_id"), col("source"),
+      when(col("text").isNull, lit(null).cast("int"))
+        .otherwise(col("n_tok")).as("n_tok"),
       md5(col("text")).as("h"), pregate.as("pregate"))
     val byHash = Window.partitionBy("h").orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fin = g1
-      .withColumn("spos", sum(when(col("pregate").isNull, 1L)).over(byHash))
-      .select(col("source"),
+    g1.withColumn("spos", sum(when(col("pregate").isNull, 1L)).over(byHash))
+      .select(col("doc_id"), col("source"), col("n_tok"),
         coalesce(col("pregate"),
           when(col("spos") === 1, "kept").otherwise("duplicate")).as("gate"))
-    val cnt = fin.groupBy("source", "gate").agg(count(lit(1)).as("n"))
-    // totals come straight off the raw table (every doc lands in exactly
-    // one gate, so the per-source total is just the row count) — the
-    // totals leg must not re-run the HOF gate pipeline
-    val tot = t(s, d, "documents").groupBy("source")
-      .agg(count(lit(1)).as("n_docs"))
-    cnt.join(broadcast(tot), cnt("source") <=> tot("source"))
-      .select(cnt("source"), col("gate"), col("n"),
-        expr("n * 10000 div n_docs").as("share_bp"))
-      .orderBy("source", "gate")
+  }
+
+  // --------------------------------------------------------------------
+  // curation_cost_curve — the gains_table shape turned on the curation
+  // funnel itself: as the gates tighten IN ORDER (null text → too short
+  // → too long → repetitive → exact duplicate), what does a kept doc
+  // cost? Per stage: docs/tokens dropped AT that gate, docs/tokens still
+  // alive AFTER it, the surviving share (left_bp), and the headline a
+  // budget owner reads — cost_bp, scanned input docs per 10000 kept docs
+  // (10000 = a free corpus; 20000 = you scan two docs for every one you
+  // keep). The stage semantics are curationGatePerDoc, shared VERBATIM
+  // with curation_report, so the curve and the per-source funnel cannot
+  // drift. The 5-row stage scaffold is literal (every stage reports even
+  // when it drops nothing — a curve with holes misreads as cheap), and
+  // all shares guard their denominators with CASE so an empty / fully-
+  // dropped corpus yields NULL on both engines instead of a DuckDB
+  // divide error (the numeric_sanitize structural-divergence rule).
+  //
+  // Scale shape: the per-doc stage is the op's only fact-scale work
+  // (scan + ONE digest-keyed window — what curation_report pays);
+  // totals are a 1-row broadcast aggregate, the drop table is map-side
+  // combined to ≤5 rows, and the cumulative window runs over the 5-row
+  // literal scaffold.
+  // --------------------------------------------------------------------
+  private val curationCostCurve = Op("curation_cost_curve", {
+    val grams = """list_transform(range(0, greatest(len(w) - 1, 1)),
+                  |                i -> array_to_string(list_slice(w, i+1, i+2), ' '))"""
+      .stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+       |    len($grams) AS n_gram, len(list_distinct($grams)) AS n_uniq
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+       |        FROM documents)),
+       |g1 AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN text IS NULL THEN NULL ELSE n_tok END AS n_tok,
+       |    CASE WHEN text IS NULL THEN 'null_text'
+       |         WHEN n_tok < 10 THEN 'too_short'
+       |         WHEN n_tok > 2000 THEN 'too_long'
+       |         WHEN (n_gram - n_uniq) * 10 > n_gram THEN 'repetitive'
+       |    END AS pregate
+       |  FROM m),
+       |sp AS (
+       |  SELECT pregate, n_tok,
+       |    SUM(CASE WHEN pregate IS NULL THEN 1 END)
+       |      OVER (PARTITION BY md5(text) ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spos
+       |  FROM g1),
+       |fin AS (
+       |  SELECT COALESCE(pregate,
+       |      CASE WHEN spos = 1 THEN 'kept' ELSE 'duplicate' END) AS gate,
+       |    CAST(COALESCE(n_tok, 0) AS BIGINT) AS tok
+       |  FROM sp),
+       |cnt AS (SELECT gate, count(*) AS n, CAST(sum(tok) AS BIGINT) AS tokd
+       |        FROM fin GROUP BY 1),
+       |tot AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS total,
+       |               CAST(COALESCE(sum(tokd), 0) AS BIGINT) AS total_tok
+       |        FROM cnt),
+       |dr AS (SELECT gate, n, tokd FROM cnt WHERE gate <> 'kept'),
+       |st AS (SELECT * FROM (VALUES ('null_text', 1), ('too_short', 2),
+       |         ('too_long', 3), ('repetitive', 4), ('duplicate', 5))
+       |       AS v(gate, stage)),
+       |cur AS (
+       |  SELECT st.stage, st.gate,
+       |    COALESCE(dr.n, 0) AS n_drop, COALESCE(dr.tokd, 0) AS tok_drop,
+       |    CAST(SUM(COALESCE(dr.n, 0)) OVER (ORDER BY st.stage
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_n,
+       |    CAST(SUM(COALESCE(dr.tokd, 0)) OVER (ORDER BY st.stage
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tok
+       |  FROM st LEFT JOIN dr ON dr.gate = st.gate)
+       |SELECT stage, gate, n_drop, tok_drop,
+       |  total - cum_n AS n_left, total_tok - cum_tok AS tok_left,
+       |  CASE WHEN total > 0 THEN (total - cum_n) * 10000 // total END
+       |    AS left_bp,
+       |  CASE WHEN total - cum_n > 0 THEN total * 10000 // (total - cum_n) END
+       |    AS cost_bp
+       |FROM cur, tot ORDER BY stage""".stripMargin
+  }) { (s, d) =>
+    val fin = curationGatePerDoc(s, d)
+      .select(col("gate"), coalesce(col("n_tok").cast("long"), lit(0L)).as("tok"))
+    // ONE fact-scale aggregate: the ≤6-row per-gate grid; totals fold
+    // from the grid, never from a second pass over the gated frame
+    val cnt = fin.groupBy("gate").agg(count(lit(1)).as("n"), sum("tok").as("tokd"))
+    val tot = cnt.agg(coalesce(sum("n"), lit(0L)).as("total"),
+      coalesce(sum("tokd"), lit(0L)).as("total_tok"))
+    val dr = cnt.filter(col("gate") =!= "kept")
+    val stageDefs = Seq("null_text", "too_short", "too_long", "repetitive",
+      "duplicate")
+    val stages = s.range(1).select(explode(array(
+      stageDefs.zipWithIndex.map { case (g, i) =>
+        struct(lit(i + 1).as("stage"), lit(g).as("gate")) }: _*)).as("x"))
+      .select(col("x.stage"), col("x.gate"))
+    // cumulative window over the 5-row literal scaffold — bounded by
+    // construction
+    val byStage = Window.orderBy("stage")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cur = stages.join(broadcast(dr), Seq("gate"), "left")
+      .na.fill(0L, Seq("n", "tokd"))
+      .withColumn("cum_n", sum("n").over(byStage))
+      .withColumn("cum_tok", sum("tokd").over(byStage))
+    cur.crossJoin(broadcast(tot))
+      .select(col("stage"), col("gate"), col("n").as("n_drop"),
+        col("tokd").as("tok_drop"),
+        (col("total") - col("cum_n")).as("n_left"),
+        (col("total_tok") - col("cum_tok")).as("tok_left"),
+        when(col("total") > 0,
+          expr("(total - cum_n) * 10000 div total")).as("left_bp"),
+        when(col("total") - col("cum_n") > 0,
+          expr("total * 10000 div (total - cum_n)")).as("cost_bp"))
+      .orderBy("stage")
   }
 
   val ops: Seq[Op] = Seq(sampleStratified, chunkSplit, textFilter, piiRedact,
     samplePerGroup, datasetSplit, curationPipeline, shardManifest,
     interleaveSources, corpusShuffle, sampleHash, featureScale, sampleBalance,
     sampleWeighted, rankNormalize, datasetKfold, rareCollapse, featureWinsorize,
-    chunkMerge, sampleTemperature, curriculumOrder, curationReport, piiReport)
+    chunkMerge, sampleTemperature, curriculumOrder, curationReport, piiReport,
+    curationCostCurve)
 }

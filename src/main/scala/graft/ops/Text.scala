@@ -82,11 +82,12 @@ object Text {
     * the mixing screen provably scores with the classifier's own
     * profiles. */
   private[graft] def langScores(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame,
+      extraCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     def occurrences(g: String): Column =
       (length(col("text")) - length(replace(col("text"), lit(g), lit("")))) / g.length
     langProfiles.foldLeft(
-        exchange(docs.select("doc_id", "lang", "text"))) {
+        exchange(docs.select("doc_id", ("lang" +: "text" +: extraCols): _*))) {
       case (df, (lang, gs)) =>
         df.withColumn(s"s_$lang",
           gs.map(occurrences).reduce(_ + _).cast("long"))
@@ -229,6 +230,88 @@ object Text {
           .otherwise(lit(0L)).as("mix_bp"),
         (col("s_alt") * 2 >= col("s_best") && col("s_alt") > 0).as("mixed"))
       .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------------
+  // lang_routing — the per-(source, pred_lang) routing matrix over the
+  // SHARED langScores stage: when a curation pipeline routes each doc to
+  // a per-language branch (tokenizer, quality model, dedup pool), this is
+  // the table that says what each source actually feeds each branch —
+  // docs routed, token volume, the share of the source going to that
+  // lane, and how much of the lane is code_switch-flagged MIXED text (the
+  // docs the monolingual branch will mis-handle; mixed uses code_switch's
+  // own s_alt·2 ≥ s_best rule over the same masked runner-up, so the
+  // router's risk column provably agrees with the mixing screen). All
+  // exact int64; NULL-text docs are excluded (nothing to route — the
+  // shared-stage contract code_switch declares); a NULL source is its own
+  // audited lane (grouping value, never a join key).
+  //
+  // Scale shape: the score stage is scan-stage (the langScores exchange
+  // barrier); the matrix is ONE map-side-combined aggregate to
+  // ≤|sources|·|langs| cells; shares are grid-sized windows per source.
+  // --------------------------------------------------------------------
+  private val langRouting = Op("lang_routing", {
+    val langs = langProfiles.map(_._1)
+    val scoreSqls = langProfiles.map { case (lang, gs) =>
+      val terms = gs.map { g =>
+        val lit = g.replace("'", "''")
+        s"(length(text) - length(replace(text, '$lit', ''))) // length('$lit')"
+      }
+      s"${terms.mkString(" + ")} AS s_$lang"
+    }
+    val caseSql = langProfiles.init.zipWithIndex.map { case ((lang, _), i) =>
+      val later = langProfiles.drop(i + 1).map { case (l2, _) => s"s_$lang >= s_$l2" }
+      s"WHEN ${later.mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    val maskedScores = langs.map(l =>
+      s"CASE WHEN pred_lang = '$l' THEN -1 ELSE s_$l END")
+    s"""WITH sc AS (
+       |  SELECT doc_id, source, n_tok, ${langs.map(l => s"s_$l").mkString(", ")},
+       |    CASE $caseSql ELSE '${langs.last}' END AS pred_lang
+       |  FROM (SELECT doc_id, source,
+       |          len(string_split(text, ' ')) AS n_tok,
+       |          ${scoreSqls.mkString(", ")}
+       |        FROM documents WHERE text IS NOT NULL)),
+       |b AS (
+       |  SELECT source, pred_lang, n_tok,
+       |    greatest(${maskedScores.mkString(", ")}) * 2
+       |      >= greatest(${langs.map(l => s"s_$l").mkString(", ")})
+       |      AND greatest(${maskedScores.mkString(", ")}) > 0 AS mixed
+       |  FROM sc),
+       |c AS (
+       |  SELECT source, pred_lang, count(*) AS n,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       |    CAST(COALESCE(sum(CASE WHEN mixed THEN 1 END), 0) AS BIGINT)
+       |      AS n_mixed
+       |  FROM b GROUP BY 1, 2)
+       |SELECT source, pred_lang, n, n_tok, n_mixed,
+       |  n * 10000 // CAST(sum(n) OVER (PARTITION BY source) AS BIGINT)
+       |    AS share_bp,
+       |  n_mixed * 10000 // n AS mixed_bp
+       |FROM c ORDER BY source, pred_lang""".stripMargin
+  }) { (s, d) =>
+    val langs = langProfiles.map(_._1)
+    val scored = langScores(
+        t(s, d, "documents").filter(col("text").isNotNull), Seq("source"))
+      .withColumn("n_tok", size(words(col("text"))).cast("long"))
+      .withColumn("pred_lang", langBestPred)
+    val sAlt = greatest(langs.map(l =>
+      when(col("pred_lang") === l, lit(-1L)).otherwise(col(s"s_$l"))): _*)
+    val sBest = greatest(langs.map(l => col(s"s_$l")): _*)
+    import org.apache.spark.sql.expressions.Window
+    val b = scored.select(col("source"), col("pred_lang"), col("n_tok"),
+      (sAlt * 2 >= sBest && sAlt > 0).as("mixed"))
+    val c = b.groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("n_tok"),
+        coalesce(sum(when(col("mixed"), 1L)), lit(0L)).as("n_mixed"))
+    // per-source share over the ≤|sources|·|langs| grid — bounded window
+    val bySrc = Window.partitionBy("source")
+    c.withColumn("src_n", sum("n").over(bySrc))
+      .select(col("source"), col("pred_lang"), col("n"), col("n_tok"),
+        col("n_mixed"),
+        expr("n * 10000 div src_n").as("share_bp"),
+        expr("n_mixed * 10000 div n").as("mixed_bp"))
+      .orderBy("source", "pred_lang")
   }
 
   /** The (lang, pred_lang) count grid — lang_id_eval's only doc-scale
@@ -1149,5 +1232,5 @@ object Text {
   val ops: Seq[Op] = Seq(tokenCount, langId, langIdEval, codeSwitch, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
     oovRate, corpusGini, featureHash, heavyHitters, bpePairCounts, ngramNovelty,
-    tokenizeIds, tokenizerFertility, textReadability)
+    tokenizeIds, tokenizerFertility, textReadability, langRouting)
 }

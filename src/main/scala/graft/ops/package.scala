@@ -76,4 +76,48 @@ package object ops {
       .getOrElse(s.sparkContext.defaultParallelism)
     df.repartition(n)
   }
+
+  /** Distributed exact global rank: `row_number() OVER (ORDER BY order*)`
+    * without a single-partition pass over the input. `order` must be a
+    * TOTAL order (unique tiebreak key) — the same determinism contract
+    * every rank in this repo already carries.
+    *
+    * Shape (the classic two-pass offset rank): range-partition on the sort
+    * keys, tag each row with its partition id, rank LOCALLY within each
+    * partition, and add the broadcast cumulative row-count of all earlier
+    * partitions. Every stage is partition-parallel; the only global object
+    * is the ≤`shuffle.partitions`-row offset table (bounded by
+    * construction, broadcast).
+    *
+    * The pid-tagged frame is localCheckpointed before it is read twice
+    * (local ranks + offsets): `spark_partition_id()` is only meaningful
+    * under ONE fixed partitioning, and without the barrier AQE may plan the
+    * two consumers with different coalesced readers of the range shuffle —
+    * offsets keyed by one pid assignment joined to ranks keyed by another
+    * would be silently wrong. The checkpoint freezes a single assignment;
+    * its cost is one materialization of the narrow (keys + pid) rows, paid
+    * at the scale the caller feeds it (rank inputs here are projections of
+    * a few columns, never payloads).
+    */
+  def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    val n = s.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption)
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val tagged = df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = tagged.withColumn("__lr",
+      row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
+    // offsets: ≤n rows, so the partition-less cumulative window is bounded
+    val offs = tagged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn(rankCol, (col("__off") + col("__lr")).cast("int"))
+      .drop("__pid", "__lr", "__off")
+  }
 }

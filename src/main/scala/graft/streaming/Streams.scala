@@ -1074,15 +1074,19 @@ object Streams {
   def driftVecView(sums: DataFrame, counts: DataFrame): DataFrame =
     graft.ops.Llm.driftView(sums, counts)
 
-  /** Merge (event_type, digit) observation-count partials (twin state of
-    * the batch benford_audit op) — keyed SUM merge. */
+  /** Merge (event_type, digit, digit2) observation-count partials (twin
+    * state of the batch benford_audit AND benford_second ops — one stored
+    * grid serves both screens) — keyed SUM merge. digit2 is NULL for
+    * one-digit amounts; NULL is a grouping value here (one cell), never a
+    * join key, so the fold stays exact. State bound: ≤90·|event types|
+    * rows regardless of stream length. */
   def benfordMerge(state: DataFrame, delta: DataFrame): DataFrame =
-    state.unionByName(delta).groupBy("event_type", "digit")
+    state.unionByName(delta).groupBy("event_type", "digit", "digit2")
       .agg(sum(col("n_obs")).as("n_obs"))
 
-  /** foreachBatch fold for the first-digit screen (twin of the batch
-    * benford_audit op): the fabricated-data / unit-mix-up audit stays
-    * current as ledger events arrive. */
+  /** foreachBatch fold for the Benford screens (twin of the batch
+    * benford_audit / benford_second ops): the fabricated-data /
+    * unit-mix-up audits stay current as ledger events arrive. */
   def benfordSink(events: DataFrame)(readState: () => DataFrame)(
       writeState: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -1094,6 +1098,12 @@ object Streams {
   /** Read side of [[benfordSink]] — LITERALLY the batch op's view. */
   def benfordView(state: DataFrame): DataFrame =
     graft.ops.Audit.benfordView(state)
+
+  /** Second read over the SAME [[benfordSink]] state — the batch
+    * benford_second op recomputed at any batch cut (the seqView pattern:
+    * a new monitor costs zero new state). */
+  def benfordSecondView(state: DataFrame): DataFrame =
+    graft.ops.Audit.benfordSecondView(state)
 
   /** Merge distinct (source, shingle-hash) presence partials (twin state
     * of the batch contamination_matrix op) — union + distinct, IDEMPOTENT:

@@ -932,6 +932,43 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("BroadcastHashJoin") // grid-sized totals join only
   }
 
+  test("benford_second: zero new fact-scale work — one events scan into the shared two-digit grid, map scaffold, no join") {
+    val plan = planOf("benford_second")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join" // the digit scaffold is a map lookup now
+    plan should not include "CartesianProduct"
+    plan should not include "SinglePartition" // windows key on event_type
+  }
+
+  test("benford_audit: still one events scan after the grid went two-digit") {
+    val plan = planOf("benford_audit")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+    plan should not include "SinglePartition"
+  }
+
+  test("curation_cost_curve: totals fold from the per-gate grid — both legs share one grid exchange") {
+    val plan = planOf("curation_cost_curve")
+    // the static text prints the gated lineage under both consumers of
+    // the per-gate grid (dr + totals), but the two exchange subplans are
+    // IDENTICAL (unlike a raw-count totals leg, which would prune
+    // differently) — AQE stage reuse runs the fact work once
+    "documents.parquet".r.findAllIn(plan).size shouldBe 2
+    "Exchange hashpartitioning\\(gate".r.findAllIn(plan).size shouldBe 2
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // the only nested-loop is the 1-row totals broadcast
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 1
+  }
+
+  test("lang_routing: scan-stage scores, one map-combined matrix aggregate, per-source share window on the grid") {
+    val plan = planOf("lang_routing")
+    "documents.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+    "Window".r.findAllIn(plan).size shouldBe 1
+    plan should not include "SinglePartition" // share window keys on source
+  }
+
   test("pii_report: ONE scan, map-combined wide grid, unpivot on the grid — no join, no window") {
     val plan = planOf("pii_report")
     "documents.parquet".r.findAllIn(plan).size shouldBe 1
@@ -953,6 +990,22 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     // the only nested-loop is the declared 1-row query-vector broadcast
     "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("rrf_eval: the full-rank audit legs are DISTRIBUTED — no single-partition pass over the corpus") {
+    val plan = planOf("rrf_eval")
+    // the two globalRank legs (r_kw, r_vec): a checkpointed pid-tagged
+    // rank input feeds a __pid-PARTITIONED local-rank window plus a
+    // per-pid count — two hashpartitioning(__pid) exchanges per leg
+    plan should include("Scan ExistingRDD")
+    "Exchange hashpartitioning\\(__pid".r.findAllIn(plan).size shouldBe 4
+    // the ONLY SinglePartition exchanges left are the two
+    // ≤shuffle-partitions-row offset tables (bounded by construction) —
+    // the corpus-wide partition-less rank windows of the r12 form are gone
+    "Exchange SinglePartition".r.findAllIn(plan).size shouldBe 2
+    // every fused/shortlist top-k is a distributed TakeOrdered
+    // (per-partition heaps), never a global sort
+    "TakeOrderedAndProject".r.findAllIn(plan).size should be >= 4
   }
 
   test("vocab_growth: the shingle pass runs once into the checkpointed (decile, h) grid") {

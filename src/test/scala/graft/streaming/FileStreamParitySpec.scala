@@ -1246,12 +1246,18 @@ class FileStreamParitySpec extends SparkSpec {
     // the chi2 recomputed from the folded grid moves batch to batch —
     // only the completed fold can equal the batch audit
     val state = runGridFold("events_benford_stream", ev, timeSplitChunks(ev),
-      "event_type STRING, digit INT, n_obs BIGINT",
+      "event_type STRING, digit INT, digit2 INT, n_obs BIGINT",
       (s, r, w) => graft.streaming.Streams.benfordSink(s)(r)(w))
     val streamed = canon(graft.streaming.Streams.benfordView(state).collect())
     val batch = canon(graft.SparkEntry.queries("benford_audit")(spark, dir01).collect())
     streamed shouldBe batch
     streamed should not be empty
+    // the SAME stored grid serves the second-digit screen — the seqView
+    // pattern: a second monitor over state the stream already carries
+    val streamed2 = canon(graft.streaming.Streams.benfordSecondView(state).collect())
+    val batch2 = canon(graft.SparkEntry.queries("benford_second")(spark, dir01).collect())
+    streamed2 shouldBe batch2
+    streamed2 should not be empty
   }
 
   test("file-source contamination sink: shingle presence-grid fold over hash-split document batches equals the batch contamination_matrix") {
