@@ -290,23 +290,39 @@ object Text {
        |  n_mixed * 10000 // n AS mixed_bp
        |FROM c ORDER BY source, pred_lang""".stripMargin
   }) { (s, d) =>
+    routeView(routeGrid(t(s, d, "documents")))
+  }
+
+  /** The (source, pred_lang) routing-cell grid — lang_routing's only
+    * doc-scale pass, shared with the streaming twin
+    * ([[graft.streaming.Streams.routeSink]]): cells are ALGEBRAIC counts
+    * (docs, tokens, mixed-flagged docs), so a stream folds per-batch
+    * partials in with a keyed SUM merge and [[routeView]] reproduces the
+    * batch matrix at any batch cut — the per-language routing monitor
+    * recomputed as the crawl streams in. Same doc-at-most-once caveat as
+    * the other count folds. */
+  private[graft] def routeGrid(docs: DataFrame): DataFrame = {
     val langs = langProfiles.map(_._1)
-    val scored = langScores(
-        t(s, d, "documents").filter(col("text").isNotNull), Seq("source"))
+    val scored = langScores(docs.filter(col("text").isNotNull), Seq("source"))
       .withColumn("n_tok", size(words(col("text"))).cast("long"))
       .withColumn("pred_lang", langBestPred)
     val sAlt = greatest(langs.map(l =>
       when(col("pred_lang") === l, lit(-1L)).otherwise(col(s"s_$l"))): _*)
     val sBest = greatest(langs.map(l => col(s"s_$l")): _*)
-    import org.apache.spark.sql.expressions.Window
-    val b = scored.select(col("source"), col("pred_lang"), col("n_tok"),
-      (sAlt * 2 >= sBest && sAlt > 0).as("mixed"))
-    val c = b.groupBy("source", "pred_lang")
+    scored.select(col("source"), col("pred_lang"), col("n_tok"),
+        (sAlt * 2 >= sBest && sAlt > 0).as("mixed"))
+      .groupBy("source", "pred_lang")
       .agg(count(lit(1)).as("n"), sum("n_tok").as("n_tok"),
         coalesce(sum(when(col("mixed"), 1L)), lit(0L)).as("n_mixed"))
-    // per-source share over the ≤|sources|·|langs| grid — bounded window
+  }
+
+  /** Shares + contract ordering over a completed routing grid
+    * (≤|sources|·|langs| rows). */
+  private[graft] def routeView(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-source share over the grid — bounded window
     val bySrc = Window.partitionBy("source")
-    c.withColumn("src_n", sum("n").over(bySrc))
+    grid.withColumn("src_n", sum("n").over(bySrc))
       .select(col("source"), col("pred_lang"), col("n"), col("n_tok"),
         col("n_mixed"),
         expr("n * 10000 div src_n").as("share_bp"),

@@ -561,6 +561,32 @@ object Streams {
   def langView(state: DataFrame): DataFrame =
     graft.ops.Text.langConfusionView(state)
 
+  /** Merge (source, pred_lang) routing-cell partials (twin state of the
+    * batch lang_routing op) — every cell is algebraic (doc count, token
+    * sum, mixed-flag count) under doc-at-most-once delivery, ONE keyed
+    * SUM merge. State bound: ≤|sources|·|langs| rows regardless of
+    * stream length. NULL source is a grouping value (its own lane),
+    * never a join key. */
+  def routeMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("source", "pred_lang")
+      .agg(sum(col("n")).as("n"), sum(col("n_tok")).as("n_tok"),
+        sum(col("n_mixed")).as("n_mixed"))
+
+  /** foreachBatch fold for the per-language routing monitor (twin of the
+    * batch lang_routing op): the "what does each source feed each
+    * language branch, and how much of it is mixed text" matrix stays
+    * current as documents arrive. */
+  def routeSink(docs: DataFrame)(readState: () => DataFrame)(
+      writeState: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      writeState(routeMerge(readState(), graft.ops.Text.routeGrid(batch)))
+    }
+
+  /** Read side of [[routeSink]] — LITERALLY the batch op's view. */
+  def routeView(state: DataFrame): DataFrame =
+    graft.ops.Text.routeView(state)
+
   /** Per-batch count-min cell partials for the heavy-hitters twin —
     * LITERALLY the batch op's cell pass ([[graft.ops.Text.hhCells]]). */
   private[streaming] def hhCells(batch: DataFrame): DataFrame =

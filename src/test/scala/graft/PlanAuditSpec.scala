@@ -319,7 +319,8 @@ class PlanAuditSpec extends SparkSpec {
       "experiment_dashboard" -> "ab_srm's 1-row global-mix scalar broadcast, carried verbatim by the dashboard's SRM leg",
       "ab_cuped" -> "1-row pooled-moments scalar broadcast over the 2-row arm grid (the anomaly_mad pattern)",
       "vocab_growth" -> "2-cell doc-id-anchor scalar broadcast back over the doc scan and shingle stage (the anomaly_mad pattern)",
-      "churn_rate" -> "1-row last-week anchor broadcast over the weekly grid (right-censoring exclusion; the anomaly_mad pattern)")
+      "churn_rate" -> "1-row last-week anchor broadcast over the weekly grid (right-censoring exclusion; the anomaly_mad pattern)",
+      "curation_cost_curve" -> "1-row corpus-totals broadcast over the 5-row stage scaffold (the anomaly_mad pattern)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)

@@ -1789,4 +1789,133 @@ class StatsInvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("benford_second: second digits, counts and chi2 recompute from first-principles cents arithmetic") {
+    val events = Tables(spark, dir, "events")
+      .select("event_type", "value").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val digits = events.flatMap { case (t, v) =>
+      val cents = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+      val s = math.abs(cents).toString
+      if (cents == 0 || s.length < 2) None // one-digit amounts: no d2
+      else Some((t, s.charAt(1).asDigit))
+    }
+    val expBp = Seq(1197, 1139, 1088, 1043, 1003, 967, 934, 903, 876, 850)
+    expBp.sum shouldBe 10000 // largest-remainder apportionment: full partition
+    val byType = digits.groupBy(_._1)
+    val got = SparkEntry.queries("benford_second")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7), r.getBoolean(8))).toMap
+    got.keySet shouldBe byType.keySet.flatMap(t => (0 to 9).map(t -> _))
+    byType.foreach { case (typ, rows) =>
+      val n = rows.length.toLong
+      val terms = (0 to 9).map { dg =>
+        val o = rows.count(_._2 == dg).toLong
+        val e = expBp(dg)
+        val num = (10000L * o - n * e).toDouble
+        val term = BigDecimal(num * num / (10000d * n.toDouble * e.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        (dg, o, term)
+      }
+      val chi2 = terms.map(_._3).sum.toDouble
+      terms.foreach { case (dg, o, _) =>
+        withClue(s"($typ, $dg): ") {
+          got((typ, dg)) shouldBe ((o, n, o * 10000 / n, expBp(dg).toLong,
+            o * 10000 / n - expBp(dg), chi2, chi2 > 16.919))
+        }
+      }
+    }
+  }
+
+  test("curation_cost_curve: the curve recomputes from the same first-principles gate walk, and its identities hold") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    def pregate(text: Option[String]): Option[String] = text match {
+      case None => Some("null_text")
+      case Some(t) =>
+        val w = t.split(" ", -1).toSeq
+        val grams = (0 until math.max(w.length - 1, 1))
+          .map(i => w.slice(i, i + 2).mkString(" "))
+        if (w.length < 10) Some("too_short")
+        else if (w.length > 2000) Some("too_long")
+        else if ((grams.size - grams.distinct.size) * 10 > grams.size)
+          Some("repetitive")
+        else None
+    }
+    def tok(text: Option[String]): Long =
+      text.map(_.split(" ", -1).length.toLong).getOrElse(0L)
+    val seen = scala.collection.mutable.Set[String]()
+    val walked = docs.sortBy(_._1).map { case (_, text) =>
+      val g = pregate(text).getOrElse(
+        if (seen.add(text.get)) "kept" else "duplicate")
+      (g, tok(text))
+    }
+    val total = walked.length.toLong
+    val totalTok = walked.map(_._2).sum
+    val drops = walked.filter(_._1 != "kept")
+      .groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val stages = Seq("null_text", "too_short", "too_long", "repetitive", "duplicate")
+    val rows = SparkEntry.queries("curation_cost_curve")(spark, dir)
+      .collect().sortBy(_.getInt(0))
+    rows.map(_.getString(1)).toSeq shouldBe stages // literal scaffold, in order
+    var cumN = 0L; var cumTok = 0L
+    rows.zip(stages).foreach { case (r, g) =>
+      val (nD, tD) = drops.getOrElse(g, (0L, 0L))
+      cumN += nD; cumTok += tD
+      withClue(s"stage $g: ") {
+        r.getLong(r.fieldIndex("n_drop")) shouldBe nD
+        r.getLong(r.fieldIndex("tok_drop")) shouldBe tD
+        r.getLong(r.fieldIndex("n_left")) shouldBe (total - cumN)
+        r.getLong(r.fieldIndex("tok_left")) shouldBe (totalTok - cumTok)
+        r.getLong(r.fieldIndex("left_bp")) shouldBe (total - cumN) * 10000 / total
+        r.getLong(r.fieldIndex("cost_bp")) shouldBe total * 10000 / (total - cumN)
+      }
+    }
+    // terminal identity: what's left after the last gate IS the kept set
+    rows.last.getLong(rows.last.fieldIndex("n_left")) shouldBe
+      walked.count(_._1 == "kept").toLong
+    // the curve only ever loses documents
+    rows.map(r => r.getLong(r.fieldIndex("n_left"))).toSeq shouldBe
+      rows.map(r => r.getLong(r.fieldIndex("n_left"))).toSeq.sorted.reverse
+  }
+
+  test("lang_routing: every cell recomputes from code_switch's per-doc screen — the router provably agrees with the mixing audit") {
+    val srcOf = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        r.getString(2).split(" ", -1).length.toLong))).toMap
+    val screen = SparkEntry.queries("code_switch")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        r.getBoolean(r.fieldIndex("mixed"))))
+    val expected = screen.groupBy { case (id, pred, _) => (srcOf(id)._1, pred) }
+      .map { case (k, g) =>
+        k -> ((g.length.toLong, g.map(x => srcOf(x._1)._2).sum,
+          g.count(_._3).toLong))
+      }
+    val rows = SparkEntry.queries("lang_routing")(spark, dir).collect()
+    rows should not be empty
+    rows.map(r => (Option(r.getString(0)), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap shouldBe expected
+    // share identities per source: integer-bp shares sum to 10000 less
+    // only div truncation (< one bp per cell)
+    rows.groupBy(r => Option(r.getString(0))).foreach { case (src, g) =>
+      val srcN = g.map(_.getLong(2)).sum
+      g.foreach { r =>
+        r.getLong(r.fieldIndex("share_bp")) shouldBe r.getLong(2) * 10000 / srcN
+        r.getLong(r.fieldIndex("mixed_bp")) shouldBe
+          r.getLong(4) * 10000 / r.getLong(2)
+      }
+      val shareIdx = g.head.fieldIndex("share_bp")
+      val shareSum = g.map(_.getLong(shareIdx)).sum
+      withClue(s"source $src share sum: ") {
+        shareSum should be <= 10000L
+        shareSum should be > (10000L - g.length)
+      }
+    }
+  }
 }

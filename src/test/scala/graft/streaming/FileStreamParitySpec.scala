@@ -996,6 +996,22 @@ class FileStreamParitySpec extends SparkSpec {
     streamed should not be empty
   }
 
+  test("file-source routing sink: (source, pred_lang) cell fold over hash-split document batches equals the batch lang_routing") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir01, "documents").cache()
+    // hash-split: every cell's doc/token/mixed counts are algebraic, so
+    // batch composition must wash out; shares recompute in the VIEW over
+    // the completed grid, so per-cut share drift cannot leak into state
+    val chunks = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val state = runGridFold("docs_route_stream", docs, chunks,
+      "source STRING, pred_lang STRING, n BIGINT, n_tok BIGINT, n_mixed BIGINT",
+      (s, r, w) => graft.streaming.Streams.routeSink(s)(r)(w))
+    val streamed = canon(graft.streaming.Streams.routeView(state).collect())
+    val batch = canon(graft.SparkEntry.queries("lang_routing")(spark, dir01).collect())
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   test("file-source heavy-hitters sink: CMS cell + candidate folds over hash-split batches equal the batch heavy_hitters") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.StructType
