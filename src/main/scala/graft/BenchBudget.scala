@@ -42,6 +42,8 @@ object BenchBudget {
     "curation_report" -> 4.00, // 3 x 1.33 s worst-of-three idle sf0.1 (r12, single-window form)
     "curation_cost_curve" -> 3.82, // 3 x 1.27 s worst-of-three idle sf0.1 (r13)
     "lang_routing" -> 2.47, // 3 x 0.82 s worst-of-three idle sf0.1 (r13)
+    "benford_mad" -> 4.76, // 3 x 1.59 s worst-of-three idle sf0.1 (r13)
+    "win_drawdown" -> 2.38, // 3 x 0.79 s worst-of-three idle sf0.1 (r13)
     "pii_report" -> 2.56, // 3 x 0.85 s worst-of-three idle sf0.1 (r12)
     // r13 re-base of the eight BENCH_r12 over_budget flags, per the
     // evidence protocol: every one re-measured idle worst-of-three with

@@ -890,14 +890,25 @@ object Audit {
     * rows). Folds the two-digit grid down to first-digit cells first —
     * the digit2 refinement exists for [[benfordSecondView]] and costs
     * this view one grid-sized re-aggregate. */
+  /** Scaffolded per-(type, digit) cells with totals and expected bp —
+    * the stage shared by the χ² views AND benford_mad, so every Benford
+    * statistic provably reads the same cells. `expAt1` is the 1-based
+    * index of the digit in `expBp` minus the digit value (0 for the
+    * first-digit 1..9 grid, 1 for the second-digit 0..9 grid). */
+  private def benfordCells(counts: DataFrame, digitCol: String,
+      lo: Int, hi: Int, expBp: Seq[Int]): DataFrame = {
+    val wT = Window.partitionBy("event_type")
+    digitScaffold(counts, digitCol, lo, hi)
+      .withColumn("n", sum("n_obs").over(wT))
+      .withColumn("exp_bp",
+        element_at(array(expBp.map(lit): _*), col(digitCol) + lit(1 - lo)))
+  }
+
   private[graft] def benfordView(counts2: DataFrame): DataFrame = {
     val counts = counts2.groupBy("event_type", "digit")
       .agg(sum(col("n_obs")).as("n_obs"))
     val wT = Window.partitionBy("event_type")
-    val grid = digitScaffold(counts, "digit", 1, 9)
-      .withColumn("n", sum("n_obs").over(wT))
-      .withColumn("exp_bp",
-        element_at(array(BenfordBp.map(lit): _*), col("digit")))
+    val grid = benfordCells(counts, "digit", 1, 9, BenfordBp)
     val num = (lit(10000L) * col("n_obs") - col("n") * col("exp_bp")).cast("double")
     val scored = grid
       .withColumn("term",
@@ -983,10 +994,7 @@ object Audit {
     val counts = counts2.filter(col("digit2").isNotNull)
       .groupBy("event_type", "digit2").agg(sum(col("n_obs")).as("n_obs"))
     val wT = Window.partitionBy("event_type")
-    val grid = digitScaffold(counts, "digit2", 0, 9)
-      .withColumn("n", sum("n_obs").over(wT))
-      .withColumn("exp_bp",
-        element_at(array(BenfordBp2.map(lit): _*), col("digit2") + 1))
+    val grid = benfordCells(counts, "digit2", 0, 9, BenfordBp2)
     val num = (lit(10000L) * col("n_obs") - col("n") * col("exp_bp")).cast("double")
     val scored = grid
       .withColumn("term",
@@ -1000,6 +1008,109 @@ object Audit {
         col("chi2"),
         (col("chi2") > lit(Chi2Crit9).cast("double")).as("skewed"))
       .orderBy("event_type", "digit2")
+  }
+
+  // --------------------------------------------------------------------
+  // benford_mad — Nigrini's Mean Absolute Deviation as the SECOND test
+  // statistic over the same two-digit grid: χ² rejects everything at
+  // scale (its critical value is fixed while deviations shrink as 1/√n,
+  // so at millions of ledger rows even textbook-clean data "fails"), so
+  // forensic practice reads MAD = Σ_d |observed_d − expected_d| / D,
+  // which is SIZE-INVARIANT, against Nigrini's published conformity
+  // bands — first digits 0.006/0.012/0.015, second digits
+  // 0.008/0.010/0.012 (close / acceptable / marginally-acceptable /
+  // nonconformity). Exactly the statistic a 100 TB ledger audit needs
+  // next to the χ² flag. The BAND decision is EXACT integer arithmetic:
+  // mad < τ  ⟺  Σ_d |10⁴·o_d − n·e_d| < (τ·10⁴)·n·D, so both engines
+  // compare BIGINTs — the reported double mad is presentation only.
+  // Missing digits contribute |0 − n·e_d| via the shared scaffold; the
+  // per-type row for the second-digit test exists only for types with
+  // ≥1 two-digit amount (the observed-types rule).
+  //
+  // Scale shape: two grid-sized folds over the ONE (type, d₁, d₂) grid
+  // benford_audit already pays for (both consumers sit above the same
+  // grid exchange — stage-reused at runtime); output ≤2·|types| rows.
+  // --------------------------------------------------------------------
+  private val MadBands1 = Seq(60, 120, 150) // τ·10⁴, first-digit test
+  private val MadBands2 = Seq(80, 100, 120) // τ·10⁴, second-digit test
+
+  private val benfordMad = Op("benford_mad", {
+    def legSql(test: String, digitExpr: String, where: String,
+        digits: String, expLst: String, d: Int, bands: Seq[Int]) =
+      s"""SELECT event_type, '$test' AS test, n,
+         |  CAST(sum_adev AS BIGINT) AS sum_adev,
+         |  CAST(sum_adev AS DOUBLE) / (10000.0 * n * $d) AS mad,
+         |  CASE WHEN sum_adev < ${bands(0)} * n * $d THEN 'close'
+         |       WHEN sum_adev < ${bands(1)} * n * $d THEN 'acceptable'
+         |       WHEN sum_adev < ${bands(2)} * n * $d THEN 'marginal'
+         |       ELSE 'nonconformity' END AS band
+         |FROM (
+         |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |    CAST(sum(abs(10000 * n_obs - n * exp_bp)) AS BIGINT) AS sum_adev
+         |  FROM (
+         |    SELECT sc.event_type, sc.dg,
+         |      COALESCE(c.n_obs, 0) AS n_obs,
+         |      CAST(sum(COALESCE(c.n_obs, 0))
+         |        OVER (PARTITION BY sc.event_type) AS BIGINT) AS n,
+         |      $expLst[sc.dg + 1] AS exp_bp
+         |    FROM (SELECT t.event_type, g.dg
+         |          FROM (SELECT DISTINCT event_type FROM (
+         |                  SELECT event_type, $digitExpr AS dg FROM b
+         |                  WHERE $where) cd) t,
+         |               (SELECT CAST(unnest($digits) AS INT) AS dg) g) sc
+         |    LEFT JOIN (SELECT event_type, $digitExpr AS dg, count(*) AS n_obs
+         |               FROM b WHERE $where GROUP BY 1, 2) c
+         |      ON c.event_type = sc.event_type AND c.dg = sc.dg)
+         |  GROUP BY 1)""".stripMargin
+    val exp1 = BenfordBp.mkString("[0,", ",", "]") // pad: dg 1..9 → idx 2..10
+    val exp2 = BenfordBp2.mkString("[", ",", "]")
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    CAST(abs(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS VARCHAR) AS ds
+       |  FROM events
+       |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+       |    AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) <> 0)
+       |${legSql("first", "CAST(substr(ds, 1, 1) AS INT)", "TRUE",
+           "range(1, 10)", exp1, 9, MadBands1)}
+       |UNION ALL
+       |${legSql("second", "CAST(substr(ds, 2, 1) AS INT)", "length(ds) >= 2",
+           "range(0, 10)", exp2, 10, MadBands2)}
+       |ORDER BY event_type, test""".stripMargin
+  }) { (s, d) =>
+    benfordMadView(benfordGrid(t(s, d, "events")))
+  }
+
+  /** Both MAD tests over a completed two-digit grid (the [[benfordGrid]]
+    * cells / the streaming twin's state) — grid-sized, the third read
+    * over the same stored state. */
+  private[graft] def benfordMadView(counts2: DataFrame): DataFrame = {
+    def leg(test: String, cells: DataFrame, digits: Int,
+        bands: Seq[Int]): DataFrame = {
+      val adev = abs(lit(10000L) * col("n_obs") - col("n") * col("exp_bp"))
+      cells.groupBy("event_type")
+        .agg(max(col("n")).as("n"), sum(adev).as("sum_adev"))
+        .select(col("event_type"), lit(test).as("test"), col("n"),
+          col("sum_adev"),
+          (col("sum_adev").cast("double")
+            / (lit(10000d) * col("n") * lit(digits))).as("mad"),
+          when(col("sum_adev") < lit(bands(0).toLong) * col("n") * digits,
+            "close")
+            .when(col("sum_adev") < lit(bands(1).toLong) * col("n") * digits,
+              "acceptable")
+            .when(col("sum_adev") < lit(bands(2).toLong) * col("n") * digits,
+              "marginal")
+            .otherwise("nonconformity").as("band"))
+    }
+    val c1 = counts2.groupBy("event_type", "digit")
+      .agg(sum(col("n_obs")).as("n_obs"))
+    val c2 = counts2.filter(col("digit2").isNotNull)
+      .groupBy("event_type", "digit2").agg(sum(col("n_obs")).as("n_obs"))
+    leg("first", benfordCells(c1, "digit", 1, 9, BenfordBp), 9, MadBands1)
+      .unionByName(
+        leg("second", benfordCells(c2, "digit2", 0, 9, BenfordBp2), 10,
+          MadBands2))
+      .orderBy("event_type", "test")
   }
 
   // --------------------------------------------------------------------
@@ -1260,6 +1371,6 @@ object Audit {
   val ops: Seq[Op] = Seq(decontaminate, contaminationMatrix, packSequences,
     repetitionFilter, profileStats, outlierFilter, gapDetect, anomalyMad,
     snapshotDiff, skewReport, dqCheck, gapFill, datasetCard, splitTemporal,
-    numericSanitize, benfordAudit, benfordSecond, vocabGrowth,
+    numericSanitize, benfordAudit, benfordSecond, benfordMad, vocabGrowth,
     boilerplateDetect)
 }

@@ -2222,6 +2222,79 @@ object Events {
     (newLast, mergedGrid)
   }
 
+  // --------------------------------------------------------------------
+  // win_drawdown — per-user maximum drawdown of the running value
+  // balance (the classic risk statistic, applied to any signed event
+  // series: spend vs refund, credit vs debit, score gains vs losses):
+  // order each user's events by (ts, event_id) — the unique total order —
+  // fold the cents-quantized values into a running balance, track the
+  // running peak, and report the deepest peak-to-balance fall, plus the
+  // final balance, the peak, and the drawdown as integer bp of the peak
+  // (guarded: a user whose peak never goes positive has no meaningful
+  // bp — NULL on both engines, the curation_cost_curve divide-guard
+  // rule). All arithmetic is exact BIGINT cents (DECIMAL(18,2)·100), so
+  // the running fold is bit-identical regardless of partitioning —
+  // an IEEE running sum would drift with the cut points. NULL value or
+  // NULL ts rows carry no balance contribution and no position in the
+  // order — excluded (declared, the benford cents-gate stance).
+  //
+  // Scale shape: ONE window pass keyed by user_id computes the running
+  // balance AND the running peak under the same window spec (one
+  // exchange + one sort, state O(1) per row), then ONE map-side-combined
+  // aggregate collapses to the |users| grid. Headroom: |balance| stays
+  // in BIGINT cents to ~9·10¹⁶ cents per user.
+  // --------------------------------------------------------------------
+  private val winDrawdown = Op("win_drawdown",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |r1 AS (
+      |  SELECT user_id, ts, event_id, cents,
+      |    CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS bal
+      |  FROM e),
+      |r AS (
+      |  SELECT user_id, cents, bal,
+      |    CAST(MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS peak
+      |  FROM r1),
+      |g AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(SUM(cents) AS BIGINT) AS final_cents,
+      |    CAST(max(peak) AS BIGINT) AS peak_cents,
+      |    CAST(max(peak - bal) AS BIGINT) AS max_dd_cents
+      |  FROM r GROUP BY 1)
+      |SELECT user_id, n_events, final_cents, peak_cents, max_dd_cents,
+      |  CASE WHEN peak_cents > 0 THEN max_dd_cents * 10000 // peak_cents END
+      |    AS dd_bp
+      |FROM g ORDER BY user_id""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events")
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running balance + running peak under the SAME window spec: one
+    // exchange, one sort, O(1) state per row (Spark allows stacking the
+    // second window on the first's output column without a re-shuffle)
+    val r = e.withColumn("bal", sum("cents").over(w))
+      .withColumn("peak", max(col("bal")).over(w))
+    r.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("final_cents"), // the fold's last value IS the total
+        max(col("peak")).as("peak_cents"),
+        max(col("peak") - col("bal")).as("max_dd_cents"))
+      .select(col("user_id"), col("n_events"),
+        col("final_cents"), col("peak_cents"), col("max_dd_cents"),
+        when(col("peak_cents") > 0,
+          expr("max_dd_cents * 10000 div peak_cents")).as("dd_bp"))
+      .orderBy("user_id")
+  }
+
   val ops: Seq[Op] = Seq(tumbling, sliding, streamTopk, session, dedup, incremental,
     funnel, eventPattern, retention, intervalJoin, intervalJoinLeft, eventSequences,
     attribution, attributionFirstTouch, trendDetect, sessionize, cdcApply, eventMarkov, eventStreak,
@@ -2229,5 +2302,5 @@ object Events {
     intervalMerge, rateAlert, winEma, rollingActiveUsers, timeWeightedAvg, cohortLtv,
     activityProfile, conversionLatency, anomalySeasonal, eventRfm,
     sessionStats, assocRules, interarrival, attributionTimeDecay, churnRate,
-    winBollinger)
+    winBollinger, winDrawdown)
 }

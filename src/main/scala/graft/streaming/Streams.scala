@@ -1131,6 +1131,12 @@ object Streams {
   def benfordSecondView(state: DataFrame): DataFrame =
     graft.ops.Audit.benfordSecondView(state)
 
+  /** Third read over the SAME [[benfordSink]] state — the size-invariant
+    * MAD conformity bands (batch op benford_mad); the statistic forensic
+    * practice trusts at stream scale, where χ² rejects everything. */
+  def benfordMadView(state: DataFrame): DataFrame =
+    graft.ops.Audit.benfordMadView(state)
+
   /** Merge distinct (source, shingle-hash) presence partials (twin state
     * of the batch contamination_matrix op) — union + distinct, IDEMPOTENT:
     * replays and redelivered batches are absorbed outright (a presence

@@ -948,6 +948,29 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "SinglePartition"
   }
 
+  test("benford_mad: both test legs fold the SAME two-digit grid exchange — no join, no SinglePartition") {
+    val plan = planOf("benford_mad")
+    // static text prints the grid lineage once per leg; the subplans
+    // below the (type, d1, d2) grid exchange are IDENTICAL (grouping
+    // keys pin the pruning), so AQE stage reuse runs the fact work once
+    "events.parquet".r.findAllIn(plan).size shouldBe 2
+    "Exchange hashpartitioning\\(event_type#\\d+, digit#\\d+, digit2"
+      .r.findAllIn(plan).size shouldBe 2
+    plan should not include "Join"
+    plan should not include "SinglePartition"
+  }
+
+  test("win_drawdown: one user-keyed window pass (balance + peak share the spec), one grid aggregate") {
+    val plan = planOf("win_drawdown")
+    "events.parquet".r.findAllIn(plan).size shouldBe 1
+    // ONE exchange brings each user's rows together; both running folds
+    // and the per-user aggregate ride it
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+    plan should not include "SinglePartition"
+    plan should include("PushedFilters: [IsNotNull(value), IsNotNull(ts)]")
+  }
+
   test("curation_cost_curve: totals fold from the per-gate grid — both legs share one grid exchange") {
     val plan = planOf("curation_cost_curve")
     // the static text prints the gated lineage under both consumers of

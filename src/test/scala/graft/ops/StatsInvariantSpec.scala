@@ -1883,6 +1883,81 @@ class StatsInvariantSpec extends SparkSpec {
       rows.map(r => r.getLong(r.fieldIndex("n_left"))).toSeq.sorted.reverse
   }
 
+  test("win_drawdown: the running peak-to-balance fold recomputes from a first-principles replay in exact cents") {
+    val events = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(3))
+      .map(r => (r.getLong(0), epochUs(r.get(1)), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val expected = events.groupBy(_._1).map { case (u, rows) =>
+      var bal = 0L; var peak = Long.MinValue; var dd = Long.MinValue
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, cents) =>
+        bal += cents
+        peak = math.max(peak, bal)
+        dd = math.max(dd, peak - bal)
+      }
+      u -> ((rows.length.toLong, bal, peak, dd,
+        if (peak > 0) Some(dd * 10000 / peak) else None))
+    }
+    val rows = SparkEntry.queries("win_drawdown")(spark, dir).collect()
+    rows should not be empty
+    rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4),
+      if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap shouldBe expected
+    // drawdown is never negative and never exceeds the peak-minus-minimum
+    rows.foreach(r => r.getLong(4) should be >= 0L)
+  }
+
+  test("benford_mad: both test statistics and their conformity bands recompute from raw cents, and the band decision is exact integer arithmetic") {
+    val events = Tables(spark, dir, "events")
+      .select("event_type", "value").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val centsStr = events.flatMap { case (t, v) =>
+      val cents = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+      if (cents == 0) None else Some((t, math.abs(cents).toString))
+    }
+    val exp1 = Seq(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+    val exp2 = Seq(1197, 1139, 1088, 1043, 1003, 967, 934, 903, 876, 850)
+    def legExpected(digits: Seq[(String, Int)], exp: Seq[Int], lo: Int,
+        bands: Seq[Int], d: Int) =
+      digits.groupBy(_._1).map { case (t, rows) =>
+        val n = rows.length.toLong
+        val sumAdev = (lo until lo + d).map { dg =>
+          val o = rows.count(_._2 == dg).toLong
+          math.abs(10000L * o - n * exp(dg - lo))
+        }.sum
+        val band =
+          if (sumAdev < bands(0).toLong * n * d) "close"
+          else if (sumAdev < bands(1).toLong * n * d) "acceptable"
+          else if (sumAdev < bands(2).toLong * n * d) "marginal"
+          else "nonconformity"
+        (t, (n, sumAdev, band))
+      }
+    val first = legExpected(centsStr.map { case (t, s) => (t, s.charAt(0).asDigit) },
+      exp1, 1, Seq(60, 120, 150), 9)
+    val second = legExpected(
+      centsStr.filter(_._2.length >= 2).map { case (t, s) => (t, s.charAt(1).asDigit) },
+      exp2, 0, Seq(80, 100, 120), 10)
+    val rows = SparkEntry.queries("benford_mad")(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (t, test) = (r.getString(0), r.getString(1))
+      val (n, sumAdev, band) = (if (test == "first") first else second)(t)
+      withClue(s"($t, $test): ") {
+        r.getLong(2) shouldBe n
+        r.getLong(3) shouldBe sumAdev
+        r.getDouble(4) shouldBe sumAdev.toDouble / (10000d * n *
+          (if (test == "first") 9 else 10))
+        r.getString(5) shouldBe band
+      }
+    }
+    rows.count(_.getString(1) == "first") shouldBe first.size
+    rows.count(_.getString(1) == "second") shouldBe second.size
+  }
+
   test("lang_routing: every cell recomputes from code_switch's per-doc screen — the router provably agrees with the mixing audit") {
     val srcOf = Tables(spark, dir, "documents")
       .filter(col("text").isNotNull)

@@ -1274,6 +1274,11 @@ class FileStreamParitySpec extends SparkSpec {
     val batch2 = canon(graft.SparkEntry.queries("benford_second")(spark, dir01).collect())
     streamed2 shouldBe batch2
     streamed2 should not be empty
+    // …and the MAD conformity bands — a THIRD monitor, zero new state
+    val streamed3 = canon(graft.streaming.Streams.benfordMadView(state).collect())
+    val batch3 = canon(graft.SparkEntry.queries("benford_mad")(spark, dir01).collect())
+    streamed3 shouldBe batch3
+    streamed3 should not be empty
   }
 
   test("file-source contamination sink: shingle presence-grid fold over hash-split document batches equals the batch contamination_matrix") {
