@@ -330,6 +330,57 @@ object Text {
       .orderBy("source", "pred_lang")
   }
 
+  // --------------------------------------------------------------------
+  // route_quality — the routing matrix crossed with the quality signal:
+  // per (source, pred_lang) lane, how many docs, their MEAN composite
+  // quality, and the low-quality share (< 0.5) in bp. lang_routing says
+  // WHAT each source feeds each per-language branch; this says how GOOD
+  // that lane is — the read that decides "route source X's German lane
+  // to the cleanup pipeline, not the tokenizer". Both stages are the
+  // shared house stages (langScores for the route, qualitySignals for
+  // the signal), stacked in ONE scan-stage pass — the per-doc join a
+  // naive composition would pay (doc-scale shuffle of both sides on
+  // doc_id) never exists on the Spark side; the ORACLE spells it as the
+  // join of the two factored subqueries, so the zero-join plan is
+  // hash-verified against the join semantics it replaces. Mean quality
+  // is exact: the composite carries ≤4 decimals by construction, so the
+  // per-lane sum goes through DECIMAL(18,4) (order-free) and pays ONE
+  // IEEE division at the end. NULL-text docs excluded (the shared-stage
+  // contract).
+  //
+  // Scale shape: scan-stage scores+signals → ONE map-side-combined
+  // aggregate to ≤|sources|·|langs| cells; no window, no join.
+  // --------------------------------------------------------------------
+  // lazy: the oracle string calls qualitySql, whose stopword list
+  // initializes later in this object — eager init would read null
+  private lazy val routeQuality = Op("route_quality",
+    s"""WITH q AS (
+       |  SELECT doc_id, source, quality
+       |  FROM (${qualitySql("WHERE text IS NOT NULL")})),
+       |p AS (SELECT doc_id, pred_lang FROM $langPredSql),
+       |c AS (
+       |  SELECT source, pred_lang, count(*) AS n,
+       |    CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) AS qsum,
+       |    CAST(COALESCE(sum(CASE WHEN quality < 0.5 THEN 1 END), 0)
+       |      AS BIGINT) AS n_low
+       |  FROM q JOIN p USING (doc_id) GROUP BY 1, 2)
+       |SELECT source, pred_lang, n, qsum / n AS avg_quality, n_low,
+       |  n_low * 10000 // n AS low_bp
+       |FROM c ORDER BY source, pred_lang""".stripMargin) { (s, d) =>
+    val base = qualitySignals(
+      langScores(t(s, d, "documents").filter(col("text").isNotNull),
+        Seq("source", "n_chars"))
+        .withColumn("pred_lang", langBestPred))
+    base.groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("quality").cast(DecimalType(18, 4))).as("qsum"),
+        coalesce(sum(when(col("quality") < 0.5, 1L)), lit(0L)).as("n_low"))
+      .select(col("source"), col("pred_lang"), col("n"),
+        (col("qsum").cast("double") / col("n")).as("avg_quality"),
+        col("n_low"), expr("n_low * 10000 div n").as("low_bp"))
+      .orderBy("source", "pred_lang")
+  }
+
   /** The (lang, pred_lang) count grid — lang_id_eval's only doc-scale
     * pass, shared with the streaming twin
     * ([[graft.streaming.Streams.langSink]]): cells are ALGEBRAIC counts,
@@ -360,23 +411,31 @@ object Text {
     * IEEE double division of small exact ints — bit-identical across
     * engines (decimal division scales differ between Spark/DuckDB);
     * unused columns prune out of the scan per caller. */
-  private[ops] def qualityView(docs: DataFrame): DataFrame = {
+  /** Adds the four quality signals + composite to ANY frame carrying
+    * (text, n_chars) — the additive form lets route_quality stack the
+    * signals onto the langScores stage in the same scan-stage pass
+    * (zero joins) while qualityView keeps its original projection. */
+  private[ops] def qualitySignals(df: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val nTok = size(ws)
-    docs.select(
-        col("doc_id"), col("source"),
-        nTok.as("n_tok"),
-        (col("n_chars").cast("double") / nTok).as("mean_wlen"),
-        (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
-          .cast("double") / nTok).as("punct_ratio"),
-        (size(filter(ws, w => w.isin(stopwords: _*)))
-          .cast("double") / nTok).as("stop_ratio"))
+    df.withColumn("n_tok", size(ws))
+      .withColumn("mean_wlen", col("n_chars").cast("double") / col("n_tok"))
+      .withColumn("punct_ratio",
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("double") / col("n_tok"))
+      .withColumn("stop_ratio",
+        size(filter(ws, w => w.isin(stopwords: _*)))
+          .cast("double") / col("n_tok"))
       .withColumn("quality",
         (lit(0.4).cast(DecimalType(8, 4)) * col("stop_ratio").cast(DecimalType(8, 4))
           + lit(0.3).cast(DecimalType(8, 4)) * when(col("n_tok").between(20, 1000), 1).otherwise(0)
           + lit(0.3).cast(DecimalType(8, 4)) * when(col("punct_ratio") <= 0.2, 1).otherwise(0))
           .cast("double"))
   }
+
+  private[ops] def qualityView(docs: DataFrame): DataFrame =
+    qualitySignals(docs.select("doc_id", "source", "text", "n_chars"))
+      .select("doc_id", "source", "n_tok", "mean_wlen", "punct_ratio",
+        "stop_ratio", "quality")
 
   /** Oracle twin of [[qualityView]] — a subquery string over `documents`
     * rows satisfying `where`. */
@@ -1248,5 +1307,6 @@ object Text {
   val ops: Seq[Op] = Seq(tokenCount, langId, langIdEval, codeSwitch, qualityScore, docFingerprint,
     textNormalize, textDiversity, ngramFreq, vocabTopk, lmScore, tfIdf, textCooccur,
     oovRate, corpusGini, featureHash, heavyHitters, bpePairCounts, ngramNovelty,
-    tokenizeIds, tokenizerFertility, textReadability, langRouting)
+    tokenizeIds, tokenizerFertility, textReadability, langRouting,
+    routeQuality)
 }

@@ -993,6 +993,15 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "SinglePartition" // share window keys on source
   }
 
+  test("route_quality: langScores + qualitySignals stack in ONE scan-stage pass — the per-doc join the oracle spells never exists") {
+    val plan = planOf("route_quality")
+    "documents.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+    plan should not include "Window"
+    "HashAggregate".r.findAllIn(plan).size shouldBe 2 // partial+final
+    plan should not include "SinglePartition"
+  }
+
   test("pii_report: ONE scan, map-combined wide grid, unpivot on the grid — no join, no window") {
     val plan = planOf("pii_report")
     "documents.parquet".r.findAllIn(plan).size shouldBe 1

@@ -1958,6 +1958,33 @@ class StatsInvariantSpec extends SparkSpec {
     rows.count(_.getString(1) == "second") shouldBe second.size
   }
 
+  test("route_quality: every lane recomputes from quality_score x lang_id's own per-doc outputs — the matrix provably crosses the published signals") {
+    val nonNull = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val qOf = SparkEntry.queries("quality_score")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
+    val pOf = SparkEntry.queries("lang_id")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = nonNull.toSeq.map { case (id, src) =>
+      ((src, pOf(id)), qOf(id))
+    }.groupBy(_._1).map { case (k, g) =>
+      val n = g.length.toLong
+      // the op quantizes each composite to DECIMAL(18,4) HALF_UP before
+      // the order-free sum (both engines) — replay the same quantize
+      val qsum = g.map(x =>
+        BigDecimal(x._2).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      val nLow = g.count(_._2 < 0.5).toLong
+      k -> ((n, qsum.toDouble / n, nLow, nLow * 10000 / n))
+    }
+    val rows = SparkEntry.queries("route_quality")(spark, dir).collect()
+    rows should not be empty
+    rows.map(r => (Option(r.getString(0)), r.getString(1)) ->
+      ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap shouldBe expected
+  }
+
   test("lang_routing: every cell recomputes from code_switch's per-doc screen — the router provably agrees with the mixing audit") {
     val srcOf = Tables(spark, dir, "documents")
       .filter(col("text").isNotNull)
