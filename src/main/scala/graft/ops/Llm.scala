@@ -120,6 +120,51 @@ object Llm {
   }
 
   // --------------------------------------------------------------------
+  // dedup_profile — the corpus duplication histogram: per exact-duplicate
+  // cluster size k, how many clusters, how many docs they hold, and the
+  // EXCESS (what dedup_exact would drop) — both as counts and integer-bp
+  // shares of the corpus. This is the read that decides whether to pay
+  // for dedup at all and where the redundancy lives ("31% of the corpus
+  // is k=10 replica blocks" = a crawler loop; "a long k=2 tail" = mirror
+  // sites): dedup_exact answers WHICH docs survive, this answers how the
+  // duplication is SHAPED. Clusters key on the text digest exactly like
+  // dedup_exact (NULL text = one cluster, the same grouping contract),
+  // so profile and dedup provably describe the same clusters.
+  //
+  // Scale shape: one digest-keyed count (fixed-width shuffle keys, the
+  // dedup_exact exchange) collapses the corpus to |clusters| 1-long rows;
+  // the histogram re-aggregate is map-side combined to ≤|distinct sizes|
+  // rows (O(√N) by a counting argument); the corpus total folds from the
+  // histogram itself and broadcasts back as a declared 1-row BNLJ — the
+  // profile never re-scans the corpus for its denominator.
+  // --------------------------------------------------------------------
+  private val dedupProfile = Op("dedup_profile",
+    """WITH c AS (SELECT count(*) AS csize FROM documents GROUP BY text),
+      |h AS (SELECT csize, count(*) AS n_clusters FROM c GROUP BY 1),
+      |t AS (SELECT CAST(COALESCE(sum(csize * n_clusters), 0) AS BIGINT)
+      |        AS total FROM h)
+      |SELECT csize, n_clusters,
+      |  CAST(csize * n_clusters AS BIGINT) AS n_docs,
+      |  csize * n_clusters * 10000 // total AS docs_bp,
+      |  CAST((csize - 1) * n_clusters AS BIGINT) AS excess_docs,
+      |  (csize - 1) * n_clusters * 10000 // total AS excess_bp
+      |FROM h, t ORDER BY csize""".stripMargin) { (s, d) =>
+    val h = t(s, d, "documents")
+      .groupBy(sha2(col("text"), 256).as("__h"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+    val tot = h.agg(coalesce(sum(col("csize") * col("n_clusters")), lit(0L))
+      .as("total"))
+    h.crossJoin(broadcast(tot))
+      .select(col("csize"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"),
+        expr("csize * n_clusters * 10000 div total").as("docs_bp"),
+        ((col("csize") - 1) * col("n_clusters")).as("excess_docs"),
+        expr("(csize - 1) * n_clusters * 10000 div total").as("excess_bp"))
+      .orderBy("csize")
+  }
+
+  // --------------------------------------------------------------------
   // sim_search — exact top-k cosine vs a query vector (vec_id 0), brute
   // force over a broadcast query. At 100 TB this is the per-bucket inner
   // loop; sim_search_bucketed below is the pruned scale path.
@@ -1318,7 +1363,7 @@ object Llm {
       .orderBy("lang")
   }
 
-  val ops: Seq[Op] = Seq(textStats, dedupExact, simSearch, dedupEmbed,
+  val ops: Seq[Op] = Seq(textStats, dedupExact, dedupProfile, simSearch, dedupEmbed,
     dedupEmbedBanded, multimodalCols, simSearchBucketed, simSearchIvf,
     annRecall, annRecallBucketed, multimodalDecode, multimodalFrames,
     embedNormalize, vecQuantize, searchRrf, rrfEval, knnJoinBucketed,

@@ -320,7 +320,8 @@ class PlanAuditSpec extends SparkSpec {
       "ab_cuped" -> "1-row pooled-moments scalar broadcast over the 2-row arm grid (the anomaly_mad pattern)",
       "vocab_growth" -> "2-cell doc-id-anchor scalar broadcast back over the doc scan and shingle stage (the anomaly_mad pattern)",
       "churn_rate" -> "1-row last-week anchor broadcast over the weekly grid (right-censoring exclusion; the anomaly_mad pattern)",
-      "curation_cost_curve" -> "1-row corpus-totals broadcast over the 5-row stage scaffold (the anomaly_mad pattern)")
+      "curation_cost_curve" -> "1-row corpus-totals broadcast over the 5-row stage scaffold (the anomaly_mad pattern)",
+      "dedup_profile" -> "1-row corpus-total broadcast over the cluster-size histogram (the anomaly_mad pattern)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
@@ -1000,6 +1001,19 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "Window"
     "HashAggregate".r.findAllIn(plan).size shouldBe 2 // partial+final
     plan should not include "SinglePartition"
+  }
+
+  test("dedup_profile: digest-keyed count then grid histogram — fixed-width shuffle keys, totals fold from the histogram") {
+    val plan = planOf("dedup_profile")
+    // static text prints the histogram lineage under both consumers
+    // (rows + the 1-row totals leg); the subplans below the csize
+    // exchange are identical — stage-reused at runtime
+    "documents.parquet".r.findAllIn(plan).size shouldBe 2
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+    // the digest, not the text, is the shuffle key
+    plan should include("sha2")
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 1
   }
 
   test("pii_report: ONE scan, map-combined wide grid, unpivot on the grid — no join, no window") {

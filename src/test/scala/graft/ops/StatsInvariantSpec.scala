@@ -1958,6 +1958,26 @@ class StatsInvariantSpec extends SparkSpec {
     rows.count(_.getString(1) == "second") shouldBe second.size
   }
 
+  test("dedup_profile: the duplication histogram recomputes from raw text clusters, and its identities reconcile with dedup_exact") {
+    val texts = Tables(spark, dir, "documents")
+      .select("text").collect().map(r => Option(r.getString(0)))
+    val sizes = texts.groupBy(identity).values.map(_.length.toLong).toSeq
+    val total = texts.length.toLong
+    val expected = sizes.groupBy(identity).map { case (k, g) =>
+      val nc = g.length.toLong
+      k -> ((nc, k * nc, k * nc * 10000 / total,
+        (k - 1) * nc, (k - 1) * nc * 10000 / total))
+    }
+    val rows = SparkEntry.queries("dedup_profile")(spark, dir).collect()
+    rows should not be empty
+    rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)))).toMap shouldBe expected
+    // reconciliation: corpus = Σ n_docs; dedup_exact survivors = Σ clusters
+    rows.map(_.getLong(2)).sum shouldBe total
+    rows.map(_.getLong(1)).sum shouldBe
+      SparkEntry.queries("dedup_exact")(spark, dir).count()
+  }
+
   test("route_quality: every lane recomputes from quality_score x lang_id's own per-doc outputs — the matrix provably crosses the published signals") {
     val nonNull = Tables(spark, dir, "documents")
       .filter(col("text").isNotNull)
