@@ -101,4 +101,73 @@ class SoakSpec extends SparkSpec {
     streamed shouldBe batch
     streamed should not be empty
   }
+
+  test("soak: ttestSink over 100 real micro-batches — day-grid state bounded every cut, flat cost, BOTH monitors equal their batch ops") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.StructType
+
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    val nBatches = 100
+    val chunks = (0 until nBatches)
+      .map(i => ev.filter(pmod(col("event_id"), lit(nBatches)) === i))
+
+    val staged = Files.createTempDirectory("ttest_soak")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"ttest_soak_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+
+    val stateDdl = "day TIMESTAMP, n_a BIGINT, sx_a DECIMAL(38,2), " +
+      "sxx_a DECIMAL(38,4), n_b BIGINT, sx_b DECIMAL(38,2), sxx_b DECIMAL(38,4)"
+    val stateSchema = StructType.fromDDL(stateDdl)
+    val stateRoot = Files.createTempDirectory("ttest_soak_state").toString
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      stateSchema).write.parquet(s"$stateRoot/v0")
+
+    // the moment grid is keyed by day: the table's distinct days bound it
+    val stateBound = ev.select(to_date(col("ts"))).distinct().count()
+    val batchMs = scala.collection.mutable.ArrayBuffer[Double]()
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    var v = 0
+    var tBatch = 0L
+    def readState(): DataFrame = {
+      tBatch = System.nanoTime()
+      spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    }
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+      batchMs += (System.nanoTime() - tBatch) / 1e6
+      stateRows += spark.read.schema(stateSchema)
+        .parquet(s"$stateRoot/v$v").count()
+    }
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = Streams.ttestSink(stream)(readState _)(writeState).start()
+    try q.processAllAvailable() finally q.stop()
+
+    v shouldBe nBatches
+    stateRows.max should be <= stateBound
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = median(batchMs.slice(10, 30).toSeq)
+    val late = median(batchMs.takeRight(20).toSeq)
+    withClue(s"early median ${early}ms, late median ${late}ms: ") {
+      late should be <= (2 * early + 250)
+    }
+    // one soaked state, BOTH monitors: the Welch table and the
+    // peeking-safe sequential boundary both equal their batch ops
+    val state = spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    canon(Streams.ttestView(state).collect()) shouldBe
+      canon(graft.SparkEntry.queries("ab_ttest")(spark, dir01).collect())
+    val seq = canon(Streams.seqView(state).collect())
+    seq shouldBe canon(graft.SparkEntry.queries("ab_sequential")(spark, dir01).collect())
+    seq should not be empty
+  }
 }
