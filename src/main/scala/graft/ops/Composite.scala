@@ -668,7 +668,51 @@ object Composite {
       .orderBy("f")
   }
 
-  val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, joinSkewSalted, joinScd2Lookup,
+  // --------------------------------------------------------------------
+  // tpch_q14 — promotion-effect: the revenue share of PROMO-typed parts
+  // in one shipping month. The month is adapted to the fixture's
+  // shipdate range (spec shape is the contract, the month is data).
+  // Plan shape: the month-filtered lineitem scan joins `part` — a
+  // BOUNDED dim — as a broadcast hash join (pinned), then ONE global
+  // aggregate; promo and total revenue come from the same exact-decimal
+  // pass (conditional + unconditional sums), and the percentage is one
+  // IEEE tree over the two exact doubles.
+  // --------------------------------------------------------------------
+  private val tpchQ14 = Op("tpch_q14",
+    s"""SELECT
+       |  CAST(100 AS DOUBLE)
+       |    * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+       |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+       |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |    / $revenueSql AS promo_revenue,
+       |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+       |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+       |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+       |  $revenueSql AS total_rev,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+    val discd = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    li.join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100d) * sum(when(col("p_type").like("PROMO%"), discd)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+          / revenue).as("promo_revenue"),
+        sum(when(col("p_type").like("PROMO%"), discd)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+          .as("promo_rev"),
+        revenue.as("total_rev"),
+        count(lit(1)).as("n"))
+  }
+
+  val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ14, joinSkewSalted, joinScd2Lookup,
     graphTriangles, graphPagerank, joinBloomPrefilter, aggLinearFit, winPareto,
     skylinePareto)
 }

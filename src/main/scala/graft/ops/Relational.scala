@@ -96,6 +96,39 @@ object Relational {
   }
 
   // --------------------------------------------------------------------
+  // tpch_q6 — the forecasting-revenue-change query: ONE filtered scan,
+  // ONE global aggregate, the purest pushdown benchmark in the suite
+  // (every predicate — date band, discount band, quantity cap — must
+  // reach the parquet scan, pinned). Date window adapted to the
+  // fixture's shipdate range (the generator ships 1995–2001; the spec's
+  // 1994 window matches zero rows here) — the SPEC SHAPE is the
+  // contract, the year is data. Revenue = Σ extendedprice·discount in
+  // exact decimals (scale-4 products summed order-free), cast to double
+  // once at the end.
+  // --------------------------------------------------------------------
+  private val tpchQ6 = Op("tpch_q6",
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))
+          * col("l_discount").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  // --------------------------------------------------------------------
   // Scans. Parquet DataSource v2 does split planning; ReadSchema shows the
   // pruned projection for scan_projected (nothing else is read from disk).
   // --------------------------------------------------------------------
@@ -815,7 +848,7 @@ object Relational {
   }
 
   val ops: Seq[Op] = Seq(
-    Op("agg_group", aggGroupSql)(aggGroup), tpchQ1, recursiveCte,
+    Op("agg_group", aggGroupSql)(aggGroup), tpchQ1, tpchQ6, recursiveCte,
     scanParquet, scanProjected, filterPred,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     joinCross, joinTheta, joinAsof, joinAsofTolerance, joinAsofNearest,

@@ -35,6 +35,21 @@ class PlanAuditSpec extends SparkSpec {
     planOf("limit_topk") should include("TakeOrderedAndProject")
   }
 
+  test("tpch_q6: every predicate reaches the scan; one partial+final aggregate") {
+    val plan = planOf("tpch_q6")
+    "lineitem.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should include("PushedFilters: [IsNotNull(l_shipdate)")
+    "HashAggregate".r.findAllIn(plan).size shouldBe 2
+    plan should not include "Join"
+  }
+
+  test("tpch_q14: the part dim broadcasts into the month-filtered lineitem scan") {
+    val plan = planOf("tpch_q14")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should include("PushedFilters: [IsNotNull(l_shipdate)")
+  }
+
   test("agg_group plans partial+final hash aggregation") {
     val plan = planOf("agg_group")
     "HashAggregate".r.findAllIn(plan).size should be >= 2
