@@ -48,6 +48,8 @@ object BenchBudget {
     "dedup_profile" -> 3.13, // 3 x 1.04 s worst-of-three idle sf0.1 (r13)
     "tpch_q6" -> 1.12, // 3 x 0.37 s worst-of-three idle sf0.1 (r13)
     "tpch_q14" -> 2.33, // 3 x 0.78 s worst-of-three idle sf0.1 (r13)
+    "tpch_q13" -> 3.11, // 3 x 1.04 s worst-of-three idle sf0.1 (r13)
+    "tpch_q18" -> 4.41, // 3 x 1.47 s worst-of-three idle sf0.1 (r13)
     "pii_report" -> 2.56, // 3 x 0.85 s worst-of-three idle sf0.1 (r12)
     // r13 re-base of the eight BENCH_r12 over_budget flags, per the
     // evidence protocol: every one re-measured idle worst-of-three with

@@ -712,7 +712,75 @@ object Composite {
         count(lit(1)).as("n"))
   }
 
-  val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ14, joinSkewSalted, joinScd2Lookup,
+  // --------------------------------------------------------------------
+  // tpch_q13 — customer order-count distribution (custdist): how many
+  // customers placed k orders, INCLUDING the zero-order customers the
+  // LEFT JOIN keeps — the distribution-of-engagement read (and the
+  // classic outer-join-then-double-aggregate plan shape). The oracle
+  // keeps the spec's LEFT JOIN + count(o_orderkey) spelling; the Spark
+  // plan AGGREGATES ORDERS FIRST (per-custkey counts, map-side combined)
+  // and left-joins the |customers|-sized count table — the
+  // aggregate-before-join rewrite that shrinks the shuffle from |orders|
+  // rows to |customers| rows; the hash compare proves the rewrite exact.
+  // (The spec's o_comment NOT LIKE filter is dropped — the fixture
+  // carries no comment column; shape is the contract.)
+  // --------------------------------------------------------------------
+  private val tpchQ13 = Op("tpch_q13",
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    val perCust = t(s, d, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    t(s, d, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q18 — large-volume customers: orders whose total line quantity
+  // exceeds the spec threshold (300), with their customer and order
+  // detail, top 100 by price. The oracle keeps the spec's IN-subquery
+  // spelling (lineitem scanned twice); the Spark plan computes the
+  // per-order quantity sum ONCE (exact decimal, map-side combined),
+  // filters to qualifying orders, joins orders on the orderkey it is
+  // already keyed by, broadcasts the bounded customer dim, and takes the
+  // top 100 with per-partition heaps — the one-pass rewrite the hash
+  // compare proves exact. o_orderkey joins the final sort key so the
+  // top-100 cut is total-ordered.
+  // --------------------------------------------------------------------
+  private val tpchQ18 = Op("tpch_q18",
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val big = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      .filter(col("qty") > 300)
+      .select(col("l_orderkey"), col("qty").cast("double").as("sum_qty"))
+    t(s, d, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, d, "customer")), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val ops: Seq[Op] = Seq(tpchQ3, tpchQ5, tpchQ10, tpchQ13, tpchQ14, tpchQ18,
+    joinSkewSalted, joinScd2Lookup,
     graphTriangles, graphPagerank, joinBloomPrefilter, aggLinearFit, winPareto,
     skylinePareto)
 }

@@ -50,6 +50,23 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("PushedFilters: [IsNotNull(l_shipdate)")
   }
 
+  test("tpch_q13: orders aggregate BEFORE the outer join — the shuffle carries per-customer counts, not orders") {
+    val plan = planOf("tpch_q13")
+    plan should not include "CartesianProduct"
+    // the count table joins customer; the second aggregate reads the
+    // joined |customers| rows — 4 HashAggregates (2 partial+final pairs)
+    "HashAggregate".r.findAllIn(plan).size shouldBe 4
+    plan should not include "SinglePartition"
+  }
+
+  test("tpch_q18: one lineitem pass (never the spec's IN-subquery double scan), broadcast customer, top-100 heaps") {
+    val plan = planOf("tpch_q18")
+    "lineitem.parquet".r.findAllIn(plan).size shouldBe 1
+    plan should include("BroadcastHashJoin")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
   test("agg_group plans partial+final hash aggregation") {
     val plan = planOf("agg_group")
     "HashAggregate".r.findAllIn(plan).size should be >= 2
