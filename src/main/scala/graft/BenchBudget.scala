@@ -50,6 +50,15 @@ object BenchBudget {
     "tpch_q14" -> 2.33, // 3 x 0.78 s worst-of-three idle sf0.1 (r13)
     "tpch_q13" -> 3.11, // 3 x 1.04 s worst-of-three idle sf0.1 (r13)
     "tpch_q18" -> 4.41, // 3 x 1.47 s worst-of-three idle sf0.1 (r13)
+    // r13 late batch: bases are idle worst-of-three from 5-op runs on a
+    // day the box read untouched agg_distinct at 1.2-2.0 s (strict-run
+    // value 0.88) — the small-batch amortization + ambient-drift envelope
+    // the r12/r13 verdicts characterized; full-suite strict values for
+    // these ops run 2-4x lower.
+    "tpch_q4" -> 7.36, // 3 x 2.45 s idle worst-of-three sf0.1 (r13)
+    "tpch_q7" -> 5.43, // 3 x 1.81 s idle worst-of-three sf0.1 (r13)
+    "tpch_q8" -> 6.55, // 3 x 2.18 s idle worst-of-three sf0.1 (r13)
+    "tpch_q12" -> 6.70, // 3 x 2.23 s idle worst-of-three sf0.1 (r13)
     "pii_report" -> 2.56, // 3 x 0.85 s worst-of-three idle sf0.1 (r12)
     // r13 re-base of the eight BENCH_r12 over_budget flags, per the
     // evidence protocol: every one re-measured idle worst-of-three with

@@ -13,7 +13,7 @@ object SparkEntry {
   private val allOps: Seq[Op] = {
     val ops = Relational.ops ++ Aggregates.ops ++ Functions.ops ++ SinkOps.ops ++
       Events.ops ++ Llm.ops ++ Text.ops ++ Dedup.ops ++ Pipeline.ops ++
-      Audit.ops ++ Composite.ops ++ Stats.ops
+      Audit.ops ++ Composite.ops ++ Tpch.ops ++ Stats.ops
     // a name collision would silently drop an operator at toMap below
     val dups = ops.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate op names: ${dups.mkString(", ")}")

@@ -67,6 +67,40 @@ class PlanAuditSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("tpch_q4: the EXISTS runs as a LEFT SEMI join; both scans pruned and date-filtered") {
+    val plan = planOf("tpch_q4")
+    plan should include("LeftSemi")
+    plan should not include "CartesianProduct"
+    // the quarter filter reaches the orders scan; lineitem reads 2 columns
+    plan should include("GreaterThanOrEqual(o_orderdate,1996-01-01")
+    plan should include("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>")
+  }
+
+  test("tpch_q7: both nation copies broadcast with the pair-set pushed into their scans") {
+    val plan = planOf("tpch_q7")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // the 2-nation filter reaches BOTH nation scans (arm pruning before the fact joins)
+    "In\\(n_name, \\[NATION_3,NATION_7\\]\\)".r.findAllIn(plan).size shouldBe 2
+    plan should include("GreaterThanOrEqual(l_shipdate,1996-01-01")
+  }
+
+  test("tpch_q8: part-type and region filters reach their scans; lineitem pruned to the 5 join/measure columns") {
+    val plan = planOf("tpch_q8")
+    plan should not include "CartesianProduct"
+    plan should include("EqualTo(p_type,PROMO)")
+    plan should include("EqualTo(r_name,ASIA)")
+    plan should include(
+      "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>")
+  }
+
+  test("tpch_q12: the ship-year band reaches the lineitem scan; one partial+final aggregate pair") {
+    val plan = planOf("tpch_q12")
+    plan should not include "CartesianProduct"
+    plan should include("GreaterThanOrEqual(l_shipdate,1997-01-01")
+    "HashAggregate".r.findAllIn(plan).size shouldBe 2
+  }
+
   test("agg_group plans partial+final hash aggregation") {
     val plan = planOf("agg_group")
     "HashAggregate".r.findAllIn(plan).size should be >= 2
