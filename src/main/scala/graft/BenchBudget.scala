@@ -59,6 +59,10 @@ object BenchBudget {
     "tpch_q7" -> 5.43, // 3 x 1.81 s idle worst-of-three sf0.1 (r13)
     "tpch_q8" -> 6.55, // 3 x 2.18 s idle worst-of-three sf0.1 (r13)
     "tpch_q12" -> 6.70, // 3 x 2.23 s idle worst-of-three sf0.1 (r13)
+    "tpch_q15" -> 5.00, // 3 x 1.66 s idle worst-of-three sf0.1 (r13)
+    "tpch_q17" -> 4.57, // 3 x 1.52 s idle worst-of-three sf0.1 (r13)
+    "tpch_q19" -> 3.09, // 3 x 1.03 s idle worst-of-three sf0.1 (r13)
+    "tpch_q22" -> 3.51, // 3 x 1.17 s idle worst-of-three sf0.1 (r13)
     "pii_report" -> 2.56, // 3 x 0.85 s worst-of-three idle sf0.1 (r12)
     // r13 re-base of the eight BENCH_r12 over_budget flags, per the
     // evidence protocol: every one re-measured idle worst-of-three with

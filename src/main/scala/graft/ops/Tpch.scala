@@ -225,5 +225,154 @@ object Tpch {
       .orderBy("o_year")
   }
 
-  val ops: Seq[Op] = Seq(tpchQ4, tpchQ7, tpchQ8, tpchQ12)
+  // --------------------------------------------------------------------
+  // tpch_q15 — top supplier: per-supplier revenue over a quarter, keep
+  // the supplier(s) equal to the GLOBAL MAX — the spec's view + scalar
+  // max-subquery shape. Plan: ONE revenue grid (per-supplier, map-side
+  // combined), its 1-row max folds FROM THE GRID and broadcasts back
+  // (declared 1-row cross join — never a second fact pass), equality on
+  // the double both engines derived from the same exact decimal. The
+  // supplier dim is bounded: broadcast.
+  // --------------------------------------------------------------------
+  private val tpchQ15 = Op("tpch_q15",
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no, $revenueSql AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(revenue.as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(t(s, d, "supplier")), col("s_suppkey") === col("supplier_no"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q17 — small-quantity-order revenue: lines of one brand whose
+  // quantity is under 20% of that part's average quantity. The oracle
+  // keeps the spec's CORRELATED scalar-subquery spelling; the Spark plan
+  // is the aggregate-then-join rewrite (per-part sum+count computed
+  // ONCE, joined back) — hash-proven exact. The avg comparison is made
+  // EXACT by clearing denominators: qty < 0.2·(sum/n) ⟺ 5·qty·n < sum,
+  // all in BIGINT-safe decimals (quantities are ≤50 with 2-decimal
+  // scale), so no IEEE average can flip a boundary row between engines.
+  // The per-part grid is |parts|-sized: NO broadcast hint — AQE
+  // broadcasts it at test scale, shuffles on partkey at 100 TB (a
+  // fact-derived aggregate is never safely broadcastable by fiat).
+  // --------------------------------------------------------------------
+  private val tpchQ17 = Op("tpch_q17",
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND 5 * CAST(l_quantity AS DECIMAL(18,2))
+      |      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+      |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+      |       FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin) { (s, d) =>
+    val g = t(s, d, "lineitem").groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
+        count(lit(1)).as("nq"))
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#3")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(g, col("l_partkey") === col("pk"))
+      .filter(lit(5) * col("l_quantity").cast(DecimalType(18, 2)) * col("nq") < col("sq"))
+      .agg(
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / 7.0d)
+          .as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q19 — discounted revenue under DISJUNCTIVE predicates: three
+  // OR'd (brand, size-band, quantity-band) conjunct groups across the
+  // lineitem⋈part join — the pushdown stress test for OR trees.
+  // Catalyst must derive the per-table implications (p_brand IN the
+  // 3-brand set onto the part scan, the quantity envelope onto the
+  // lineitem scan) BELOW the join, then apply the full disjunction
+  // after it; part broadcasts. (Spec's shipmode/shipinstruct legs
+  // dropped — columns absent; shape is the contract.)
+  // --------------------------------------------------------------------
+  private val tpchQ19 = Op("tpch_q19",
+    s"""SELECT $revenueSql AS revenue, COUNT(*) AS n
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 1 AND 15)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+       |       AND l_quantity BETWEEN 10 AND 25)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+       |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin) { (s, d) =>
+    val leg1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(1, 15)
+    val leg2 = col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+      col("l_quantity").between(10, 25)
+    val leg3 = col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+      col("l_quantity").between(20, 35)
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(leg1 || leg2 || leg3)
+      .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q22 — global sales opportunity: rich-but-dormant customers per
+  // segment — above the positive-balance average (scalar subquery) with
+  // NO recent urgent order (NOT EXISTS → anti join). The spec's phone
+  // country codes adapt to the segment column; "no orders at all" adapts
+  // to "no 1-URGENT order since 2000" (every fixture customer has
+  // orders). The average is an exact-decimal sum over the segment-
+  // filtered positive balances with ONE IEEE division, identical on
+  // both engines; it folds from the SAME customer scan stage and
+  // broadcasts back as a 1-row cross join.
+  // --------------------------------------------------------------------
+  private val tpchQ22 = Op("tpch_q22",
+    """SELECT c_mktsegment AS cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+      |  AND c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    FROM customer
+      |    WHERE c_acctbal > 0.0
+      |      AND c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY'))
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderpriority = '1-URGENT'
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin) { (s, d) =>
+    val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+    val c = t(s, d, "customer").filter(col("c_mktsegment").isin(segs: _*))
+    val avg1 = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+        / count(lit(1))).as("abar"))
+    val urgent = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(avg1))
+      .filter(col("c_acctbal") > col("abar"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val ops: Seq[Op] = Seq(tpchQ4, tpchQ7, tpchQ8, tpchQ12,
+    tpchQ15, tpchQ17, tpchQ19, tpchQ22)
 }

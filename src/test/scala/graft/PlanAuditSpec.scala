@@ -101,6 +101,44 @@ class PlanAuditSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(plan).size shouldBe 2
   }
 
+  test("tpch_q15: equals-max over the revenue grid — two IDENTICAL quarter-filtered subplans (AQE stage reuse), no sort-merge join") {
+    val plan = planOf("tpch_q15")
+    // static text prints the grid lineage under both consumers (grid +
+    // its 1-row max); the subplans are identical — AQE runs the scan once
+    "lineitem.parquet".r.findAllIn(plan).size shouldBe 2
+    "GreaterThanOrEqual\\(l_shipdate,1996-01-01".r.findAllIn(plan).size shouldBe 2
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpch_q17: the correlated-avg rewrite — per-part grid joined back, brand filter pushed, NO broadcast hint on the fact-derived grid") {
+    val plan = planOf("tpch_q17")
+    // two lineitem scans ARE the spec's cost (the correlated subquery
+    // aggregates ALL parts; the outer leg is brand-filtered)
+    "lineitem.parquet".r.findAllIn(plan).size shouldBe 2
+    plan should include("EqualTo(p_brand,Brand#3)")
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpch_q19: the disjunction's per-table implications reach BOTH scans") {
+    val plan = planOf("tpch_q19")
+    // Catalyst derives In/Or envelopes from the OR-of-conjuncts and
+    // pushes them below the join — the whole point of the shape
+    plan should include("Or(Or(And(EqualTo(p_brand,Brand#1)")
+    plan should include("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpch_q22: NOT EXISTS runs as LEFT ANTI; the segment set is pushed into the customer scan") {
+    val plan = planOf("tpch_q22")
+    plan should include("LeftAnti")
+    plan should include("In(c_mktsegment, [AUTOMOBILE,BUILDING,MACHINERY])")
+    plan should include("EqualTo(o_orderpriority,1-URGENT)")
+    // the only nested-loop is the 1-row average broadcast
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 1
+  }
+
   test("agg_group plans partial+final hash aggregation") {
     val plan = planOf("agg_group")
     "HashAggregate".r.findAllIn(plan).size should be >= 2
@@ -387,7 +425,8 @@ class PlanAuditSpec extends SparkSpec {
       "vocab_growth" -> "2-cell doc-id-anchor scalar broadcast back over the doc scan and shingle stage (the anomaly_mad pattern)",
       "churn_rate" -> "1-row last-week anchor broadcast over the weekly grid (right-censoring exclusion; the anomaly_mad pattern)",
       "curation_cost_curve" -> "1-row corpus-totals broadcast over the 5-row stage scaffold (the anomaly_mad pattern)",
-      "dedup_profile" -> "1-row corpus-total broadcast over the cluster-size histogram (the anomaly_mad pattern)")
+      "dedup_profile" -> "1-row corpus-total broadcast over the cluster-size histogram (the anomaly_mad pattern)",
+      "tpch_q22" -> "1-row positive-balance-average scalar broadcast back over the segment-filtered customers (the spec's scalar subquery; the anomaly_mad pattern)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
