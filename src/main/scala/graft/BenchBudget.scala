@@ -63,6 +63,12 @@ object BenchBudget {
     "tpch_q17" -> 4.57, // 3 x 1.52 s idle worst-of-three sf0.1 (r13)
     "tpch_q19" -> 3.09, // 3 x 1.03 s idle worst-of-three sf0.1 (r13)
     "tpch_q22" -> 3.51, // 3 x 1.17 s idle worst-of-three sf0.1 (r13)
+    "tpch_q2" -> 7.10, // 3 x 2.37 s idle worst-of-three sf0.1 (r13)
+    "tpch_q9" -> 10.77, // 3 x 3.59 s idle worst-of-three sf0.1 (r13)
+    "tpch_q11" -> 9.79, // 3 x 3.26 s idle worst-of-three sf0.1 (r13)
+    "tpch_q16" -> 5.98, // 3 x 1.99 s idle worst-of-three sf0.1 (r13)
+    "tpch_q20" -> 9.25, // 3 x 3.08 s idle worst-of-three sf0.1 (r13)
+    "tpch_q21" -> 6.52, // 3 x 2.17 s idle worst-of-three sf0.1 (r13)
     "pii_report" -> 2.56, // 3 x 0.85 s worst-of-three idle sf0.1 (r12)
     // r13 re-base of the eight BENCH_r12 over_budget flags, per the
     // evidence protocol: every one re-measured idle worst-of-three with

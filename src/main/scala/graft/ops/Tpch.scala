@@ -373,6 +373,316 @@ object Tpch {
       .orderBy("cntrycode")
   }
 
-  val ops: Seq[Op] = Seq(tpchQ4, tpchQ7, tpchQ8, tpchQ12,
-    tpchQ15, tpchQ17, tpchQ19, tpchQ22)
+  // --------------------------------------------------------------------
+  // tpch_q2 — minimum-cost supplier: for every qualifying part, the
+  // region's supplier(s) achieving the MINIMUM supply cost — the spec's
+  // correlated min-subquery over partsupp. The fixture has no partsupp:
+  // the surrogate is the per-(l_partkey, l_suppkey) grid from lineitem
+  // (the relation partsupp models) with supplycost := MIN observed line
+  // price in exact DECIMAL (min is order-independent, so no IEEE
+  // discipline is needed beyond the per-row cast). Plan: the correlated
+  // min rewrites as aggregate-then-join — the eligible grid is computed
+  // ONCE from bounded broadcast dims (size/type-filtered part, the
+  // region's supplier arm), its per-part min folds FROM THE GRID and
+  // joins back on partkey (q17's rewrite, keyed instead of scalar), and
+  // the top-100 is a TakeOrdered heap, never a full sort. At 100 TB the
+  // only fact-scale shuffle is the (partkey, suppkey) aggregate.
+  // --------------------------------------------------------------------
+  private val tpchQ2 = Op("tpch_q2",
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS sc
+      |  FROM lineitem GROUP BY 1, 2),
+      |eligible AS (
+      |  SELECT p_partkey, s_name, s_acctbal, n_name,
+      |         CAST(sc AS DOUBLE) AS supplycost
+      |  FROM part, ps, supplier, nation, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND p_size <= 15 AND p_type = 'LARGE'
+      |    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE')
+      |SELECT p_partkey, s_name, s_acctbal, n_name, supplycost
+      |FROM eligible e
+      |WHERE supplycost = (SELECT MIN(supplycost) FROM eligible e2
+      |                    WHERE e2.p_partkey = e.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val ps = t(s, d, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("sc"))
+    val pDim = broadcast(t(s, d, "part")
+      .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      .select("p_partkey"))
+    val sDim = broadcast(t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")
+          .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    val elig = ps
+      .join(pDim, col("l_partkey") === col("p_partkey"))
+      .join(sDim, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_name"), col("s_acctbal"), col("n_name"),
+        col("sc").cast("double").as("supplycost"))
+    // per-part min folds from the SAME grid; fact-derived → no broadcast
+    // hint (AQE broadcasts at test scale, shuffles on partkey at 100 TB)
+    val mn = elig.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("supplycost")).as("mn"))
+    elig.join(mn, col("p_partkey") === col("mk") && col("supplycost") === col("mn"))
+      .select("p_partkey", "s_name", "s_acctbal", "n_name", "supplycost")
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q9 — product-type profit: per (supplier nation, order year),
+  // profit over name-matched parts — the spec's 6-table join through
+  // partsupp with a LIKE part screen. partsupp surrogate as in q2;
+  // supplycost := MIN line price for the pair, and profit adapts to
+  // ext·(1−disc) − supplycost PER LINE (no unit division — the whole
+  // chain stays in exact decimals so the sum is partition-order-free).
+  // Plan: part screen + supplier/nation broadcast; the ps grid joins
+  // lineitem on its own (partkey, suppkey) key — the spec's partsupp
+  // join, fact-fact by nature; orders joins on orderkey. ONE aggregate
+  // pass, map-side combined to ≤|nations|·|years| cells.
+  // --------------------------------------------------------------------
+  private val tpchQ9 = Op("tpch_q9",
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT n_name AS nation,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |       - supplycost) AS DOUBLE) AS sum_profit,
+      |  COUNT(*) AS n
+      |FROM part, supplier, lineitem, ps, orders, nation
+      |WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+      |  AND ps_partkey = l_partkey AND p_partkey = l_partkey
+      |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%widget%'
+      |GROUP BY n_name, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+    val ps = t(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("supplycost"))
+    val pw = broadcast(t(s, d, "part")
+      .filter(col("p_name").like("%widget%")).select("p_partkey"))
+    val sup = broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey"))
+    val nat = broadcast(t(s, d, "nation").select("n_nationkey", "n_name"))
+    val profit = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))) -
+      col("supplycost")
+    t(s, d, "lineitem")
+      .join(pw, col("l_partkey") === col("p_partkey"))
+      .join(ps, col("l_partkey") === col("ps_partkey")
+        && col("l_suppkey") === col("ps_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"), count(lit(1)).as("n"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q11 — important stock: parts whose regional sales value exceeds
+  // a threshold derived from the WHOLE grid — the spec's
+  // HAVING > scalar-subquery-fraction shape (q15 is equals-max; this is
+  // the fraction-of-aggregate sibling). The spec's 0.0001 fraction is
+  // SF-coupled (empty at sf0.1 here); adapted to value > 1.75× the mean
+  // part value, spelled 4·cnt·value > 7·total. The whole comparison runs
+  // in EXACT integer e4-units (cents × discount-percent), summed as
+  // DECIMAL so no magnitude overflows and no IEEE boundary row can flip
+  // between engines (DuckDB sums BIGINT into HUGEINT — same exactness,
+  // different spelling). Plan: ONE fact aggregate on partkey; its 1-row
+  // (total, count) folds from the grid and broadcasts back.
+  // --------------------------------------------------------------------
+  private val tpchQ11 = Op("tpch_q11",
+    """WITH grid AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))
+      |      AS value_e4
+      |  FROM lineitem, supplier, nation, region
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  GROUP BY l_partkey)
+      |SELECT ps_partkey, CAST(value_e4 AS DOUBLE) / 10000 AS value
+      |FROM grid
+      |WHERE value_e4 * 4 * (SELECT COUNT(*) FROM grid)
+      |    > 7 * (SELECT SUM(value_e4) FROM grid)
+      |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, d) =>
+    val supEur = broadcast(t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")
+          .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey"))
+    val e4 = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long") *
+      (lit(100L) - (col("l_discount").cast(DecimalType(18, 2)) * 100).cast("long"))
+    val grid = t(s, d, "lineitem")
+      .join(supEur, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("ps_partkey"))
+      // DECIMAL(38,0) sum: exact and overflow-safe where a long sum of
+      // e4-units would wrap at ~9e18 on a 100 TB fact table
+      .agg(sum(e4.cast(DecimalType(28, 0))).as("value_e4"))
+    val tot = grid.agg(sum(col("value_e4")).as("tot"), count(lit(1)).as("cnt"))
+    grid.crossJoin(broadcast(tot)) // declared 1-row threshold broadcast
+      .filter(col("value_e4") * 4 * col("cnt") > col("tot") * 7)
+      .select(col("ps_partkey"),
+        (col("value_e4").cast("double") / 10000).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q16 — parts/supplier relationship: distinct supplier count per
+  // (brand, type, size) cell over the partsupp association, EXCLUDING a
+  // screened part class and a NOT-IN supplier set. The spec's complaint
+  // screen (comment LIKE) adapts to negative account balance. Plan: the
+  // partsupp surrogate is the distinct (partkey, suppkey) grid — one
+  // fact shuffle; the part screen is a broadcast dim with brand/type/
+  // size-set pushed into its scan; NOT IN runs as LEFT ANTI against the
+  // (tiny, non-null-key) flagged-supplier set — safe because s_suppkey
+  // is non-null by construction (the NOT IN + NULL trap documented at
+  // the oracle); COUNT(DISTINCT) expands on already-distinct pairs.
+  // --------------------------------------------------------------------
+  private val tpchQ16 = Op("tpch_q16",
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val ps = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    val pDim = broadcast(t(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size"))
+    val flagged = broadcast(t(s, d, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey"))
+    ps.join(pDim, col("l_partkey") === col("p_partkey"))
+      .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q20 — potential part promotion: suppliers in one region who
+  // shipped a meaningful quantity of a name-screened part class in a
+  // year — the spec's NESTED IN-subquery tower (supplier IN (partsupp
+  // WHERE part IN (screen) AND qty-threshold)). availqty is absent: the
+  // threshold adapts to the year's shipped quantity per (supplier,
+  // part) exceeding 30 (exact decimal sum). Plan: innermost screen is a
+  // broadcast part dim (prefix LIKE pushed as StringStartsWith); the
+  // middle IN materializes as the year-filtered per-(suppkey, partkey)
+  // aggregate; the outer IN is a LEFT SEMI from the bounded supplier
+  // dim — every IN level becomes a semi join, no correlated re-scan.
+  // --------------------------------------------------------------------
+  private val tpchQ20 = Op("tpch_q20",
+    """SELECT s_name, s_acctbal, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 30)
+      |ORDER BY s_name""".stripMargin) { (s, d) =>
+    val red = broadcast(t(s, d, "part")
+      .filter(col("p_name").like("red%")).select("p_partkey"))
+    val qual = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(red, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"))
+      .filter(col("sq") > 30)
+      .select(col("l_suppkey").as("qk"))
+    t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")
+          .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qual, col("s_suppkey") === col("qk"), "left_semi")
+      .select("s_name", "s_acctbal", "n_name")
+      .orderBy("s_name")
+  }
+
+  // --------------------------------------------------------------------
+  // tpch_q21 — suppliers who kept orders waiting: on finished orders,
+  // lines that shipped late where ANOTHER supplier had a line on the
+  // same order (EXISTS) but NO other supplier was ALSO late (NOT
+  // EXISTS) — the double correlated self-join, the hardest shape in the
+  // suite. Lateness adapts to q4's rule (shipdate > orderdate + 60
+  // days; no receipt/commit dates). Both EXISTS legs correlate only on
+  // the orderkey of an order already fixed 'F' by the outer leg, so all
+  // three legs derive from ONE orders('F')⋈lineitem join computing the
+  // late flag — spelled as RENAMED projections per leg (the
+  // DeduplicateRelations self-join trap, SURVEY §7.4). The outer-only
+  // region restriction joins BEFORE the self-joins (it never applies to
+  // the EXISTS legs, so pushing it early prunes only the probe side);
+  // semi + anti join on the orderkey each leg already clusters by;
+  // top-100 is a TakeOrdered heap.
+  // --------------------------------------------------------------------
+  private val tpchQ21 = Op("tpch_q21",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation, region
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val base = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    val sDim = broadcast(t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")
+          .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name"))
+    val l1 = base.filter(col("late")).select("l_orderkey", "l_suppkey")
+      .join(sDim, col("l_suppkey") === col("s_suppkey"))
+    val l2 = base.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = base.filter(col("late"))
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val ops: Seq[Op] = Seq(tpchQ2, tpchQ4, tpchQ7, tpchQ8, tpchQ9,
+    tpchQ11, tpchQ12, tpchQ15, tpchQ16, tpchQ17, tpchQ19, tpchQ20,
+    tpchQ21, tpchQ22)
 }

@@ -139,6 +139,65 @@ class PlanAuditSpec extends SparkSpec {
     "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 1
   }
 
+  test("tpch_q2: correlated-min rewrite — per-part min joined back as an equi-join; dim filters pushed; top-100 heaps") {
+    val plan = planOf("tpch_q2")
+    // the eligible grid feeds both consumers (grid + its per-part min):
+    // static text prints the lineage twice; AQE reuses the stage
+    "lineitem.parquet".r.findAllIn(plan).size shouldBe 2
+    plan should include("EqualTo(p_type,LARGE)")
+    plan should include("LessThanOrEqual(p_size,15)")
+    plan should include("EqualTo(r_name,EUROPE)")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin" // the min joins back KEYED, not scalar
+  }
+
+  test("tpch_q9: the partsupp-surrogate join is the only fact-fact shuffle; the part LIKE screen reaches its scan") {
+    val plan = planOf("tpch_q9")
+    // outer leg + the ps grid = 2 lineitem scans (the spec's own partsupp cost)
+    "lineitem.parquet".r.findAllIn(plan).size shouldBe 2
+    plan should include("StringContains(p_name,widget)")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpch_q11: ONE declared 1-row threshold nested-loop; region filter pushed into both printed grid lineages") {
+    val plan = planOf("tpch_q11")
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size shouldBe 1
+    "lineitem.parquet".r.findAllIn(plan).size shouldBe 2
+    "EqualTo\\(r_name,EUROPE\\)".r.findAllIn(plan).size shouldBe 2
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpch_q16: NOT IN runs as LEFT ANTI; brand/type/size screens pushed into the part scan") {
+    val plan = planOf("tpch_q16")
+    plan should include("LeftAnti")
+    // (the scan's PushedFilters list is elided in toString — the size set
+    // shows in the Filter node; the brand screen survives the elision)
+    plan should include("IN (1,4,9,16,25,36,49)")
+    plan should include("Not(EqualTo(p_brand,Brand#5))")
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpch_q20: the nested-IN tower runs as a LEFT SEMI from the supplier dim; prefix LIKE and year band pushed") {
+    val plan = planOf("tpch_q20")
+    plan should include("LeftSemi")
+    plan should include("StringStartsWith(p_name,red)")
+    plan should include("GreaterThanOrEqual(l_shipdate,1997-01-01")
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpch_q21: EXISTS→semi AND NOT-EXISTS→anti self-joins; status filter pushed; top-100 heaps") {
+    val plan = planOf("tpch_q21")
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+    plan should include("EqualTo(o_orderstatus,F)")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("agg_group plans partial+final hash aggregation") {
     val plan = planOf("agg_group")
     "HashAggregate".r.findAllIn(plan).size should be >= 2
@@ -426,7 +485,8 @@ class PlanAuditSpec extends SparkSpec {
       "churn_rate" -> "1-row last-week anchor broadcast over the weekly grid (right-censoring exclusion; the anomaly_mad pattern)",
       "curation_cost_curve" -> "1-row corpus-totals broadcast over the 5-row stage scaffold (the anomaly_mad pattern)",
       "dedup_profile" -> "1-row corpus-total broadcast over the cluster-size histogram (the anomaly_mad pattern)",
-      "tpch_q22" -> "1-row positive-balance-average scalar broadcast back over the segment-filtered customers (the spec's scalar subquery; the anomaly_mad pattern)")
+      "tpch_q22" -> "1-row positive-balance-average scalar broadcast back over the segment-filtered customers (the spec's scalar subquery; the anomaly_mad pattern)",
+      "tpch_q11" -> "1-row (total, count) threshold broadcast back over the per-part value grid (the spec's fraction-of-aggregate scalar subquery; the anomaly_mad pattern — inequality filter, so Catalyst cannot rewrite it to an equi-join the way it does tpch_q15's equals-max)")
     val quadratic = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = planOf(name)
       val hit = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
