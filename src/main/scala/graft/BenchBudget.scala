@@ -60,11 +60,11 @@ object BenchBudget {
     "tpch_q8" -> 6.55, // 3 x 2.18 s idle worst-of-three sf0.1 (r13)
     "tpch_q12" -> 6.70, // 3 x 2.23 s idle worst-of-three sf0.1 (r13)
     "tpch_q15" -> 5.00, // 3 x 1.66 s idle worst-of-three sf0.1 (r13)
-    "tpch_q17" -> 4.57, // 3 x 1.52 s idle worst-of-three sf0.1 (r13)
+    "tpch_q17" -> 4.06, // 3 x 1.35 s idle worst-of-three sf0.1 (r13, screen-below-grid form)
     "tpch_q19" -> 3.09, // 3 x 1.03 s idle worst-of-three sf0.1 (r13)
     "tpch_q22" -> 3.51, // 3 x 1.17 s idle worst-of-three sf0.1 (r13)
-    "tpch_q2" -> 7.10, // 3 x 2.37 s idle worst-of-three sf0.1 (r13)
-    "tpch_q9" -> 10.77, // 3 x 3.59 s idle worst-of-three sf0.1 (r13)
+    "tpch_q2" -> 4.35, // 3 x 1.45 s idle worst-of-three sf0.1 (r13, screens-below-aggregate form)
+    "tpch_q9" -> 4.69, // 3 x 1.56 s idle worst-of-three sf0.1 (r13, screen-below-aggregate form)
     "tpch_q11" -> 9.79, // 3 x 3.26 s idle worst-of-three sf0.1 (r13)
     "tpch_q16" -> 5.98, // 3 x 1.99 s idle worst-of-three sf0.1 (r13)
     "tpch_q20" -> 9.25, // 3 x 3.08 s idle worst-of-three sf0.1 (r13)

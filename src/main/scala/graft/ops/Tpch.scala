@@ -282,12 +282,22 @@ object Tpch {
       |      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
       |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
       |       FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin) { (s, d) =>
-    val g = t(s, d, "lineitem").groupBy(col("l_partkey").as("pk"))
+    val brand = broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#3")
+      .select("p_partkey"))
+    // the brand screen pushes BELOW the per-part grid: the correlated
+    // subquery is only ever probed at the outer leg's (brand-filtered)
+    // partkeys, and l_partkey is the group key, so aggregating only the
+    // brand's parts leaves every probed group bit-identical (the oracle
+    // keeps the spec's aggregate-over-ALL-parts correlated spelling,
+    // hash-proven). The grid shuffle shrinks from the whole ledger to
+    // one brand's lines.
+    val g = t(s, d, "lineitem")
+      .join(brand, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("pk"))
       .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
         count(lit(1)).as("nq"))
     t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#3")
-        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(brand, col("l_partkey") === col("p_partkey"))
       .join(g, col("l_partkey") === col("pk"))
       .filter(lit(5) * col("l_quantity").cast(DecimalType(18, 2)) * col("nq") < col("sq"))
       .agg(
@@ -407,9 +417,6 @@ object Tpch {
       |                    WHERE e2.p_partkey = e.p_partkey)
       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
       |LIMIT 100""".stripMargin) { (s, d) =>
-    val ps = t(s, d, "lineitem")
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("sc"))
     val pDim = broadcast(t(s, d, "part")
       .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
       .select("p_partkey"))
@@ -420,6 +427,18 @@ object Tpch {
         .select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    // Both dim screens push BELOW the (partkey, suppkey) aggregate: the
+    // group key contains both join keys, so dropping never-joinable rows
+    // before the min leaves every surviving group's row set — and its
+    // min — bit-identical (the oracle keeps the spec's aggregate-over-
+    // everything spelling; CORRECTNESS hash-proves the rewrite). At
+    // 100 TB this cuts the one fact-scale shuffle by the combined screen
+    // selectivity instead of aggregating every pair ever traded.
+    val ps = t(s, d, "lineitem")
+      .join(pDim, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(sDim.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("sc"))
     val elig = ps
       .join(pDim, col("l_partkey") === col("p_partkey"))
       .join(sDim, col("l_suppkey") === col("s_suppkey"))
@@ -465,11 +484,19 @@ object Tpch {
       |  AND p_name LIKE '%widget%'
       |GROUP BY n_name, o_year
       |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
-    val ps = t(s, d, "lineitem")
-      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-      .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("supplycost"))
     val pw = broadcast(t(s, d, "part")
       .filter(col("p_name").like("%widget%")).select("p_partkey"))
+    // the part screen pushes BELOW the pair aggregate: l_partkey is in
+    // the group key, so dropping non-widget rows first leaves every
+    // surviving pair's min unchanged (q2's rewrite argument; oracle
+    // keeps the spec's aggregate-over-everything spelling, hash-proven).
+    // The fact-fact (partkey, suppkey) shuffle shrinks by the screen's
+    // selectivity — the difference between shuffling the whole ledger
+    // and shuffling one part family at 100 TB.
+    val ps = t(s, d, "lineitem")
+      .join(pw, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("supplycost"))
     val sup = broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey"))
     val nat = broadcast(t(s, d, "nation").select("n_nationkey", "n_name"))
     val profit = col("l_extendedprice").cast(DecimalType(18, 2)) *

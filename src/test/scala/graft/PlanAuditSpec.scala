@@ -113,10 +113,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("tpch_q17: the correlated-avg rewrite — per-part grid joined back, brand filter pushed, NO broadcast hint on the fact-derived grid") {
     val plan = planOf("tpch_q17")
-    // two lineitem scans ARE the spec's cost (the correlated subquery
-    // aggregates ALL parts; the outer leg is brand-filtered)
+    // two lineitem scans stay (inner grid + outer leg), but BOTH are now
+    // brand-screened: the grid prefilters via a semi join because the
+    // outer leg only ever probes brand partkeys and l_partkey is the
+    // group key — every probed group bit-identical, grid shuffle shrinks
+    // from the whole ledger to one brand's lines
     "lineitem.parquet".r.findAllIn(plan).size shouldBe 2
     plan should include("EqualTo(p_brand,Brand#3)")
+    plan should include("LeftSemi")
     plan should not include "CartesianProduct"
   }
 
@@ -150,6 +154,10 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin" // the min joins back KEYED, not scalar
+    // the dim screens are pushed BELOW the pair aggregate as semi joins
+    // (group key ⊇ join keys ⇒ bit-identical min; shuffle shrinks by
+    // the screens' selectivity) — losing this re-aggregates every pair
+    plan should include("LeftSemi")
   }
 
   test("tpch_q9: the partsupp-surrogate join is the only fact-fact shuffle; the part LIKE screen reaches its scan") {
@@ -159,6 +167,9 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("StringContains(p_name,widget)")
     plan should include("BroadcastHashJoin")
     plan should not include "CartesianProduct"
+    // the part screen is pushed below the pair aggregate as a semi join
+    // (group key contains l_partkey ⇒ surviving pairs' min unchanged)
+    plan should include("LeftSemi")
   }
 
   test("tpch_q11: ONE declared 1-row threshold nested-loop; region filter pushed into both printed grid lineages") {
