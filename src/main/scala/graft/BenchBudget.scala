@@ -66,7 +66,7 @@ object BenchBudget {
     "tpch_q2" -> 4.35, // 3 x 1.45 s idle worst-of-three sf0.1 (r13, screens-below-aggregate form)
     "tpch_q9" -> 4.69, // 3 x 1.56 s idle worst-of-three sf0.1 (r13, screen-below-aggregate form)
     "tpch_q11" -> 9.79, // 3 x 3.26 s idle worst-of-three sf0.1 (r13)
-    "tpch_q16" -> 5.98, // 3 x 1.99 s idle worst-of-three sf0.1 (r13)
+    "tpch_q16" -> 3.74, // 3 x 1.25 s idle worst-of-three sf0.1 (r13, screens-below-distinct form)
     "tpch_q20" -> 9.25, // 3 x 3.08 s idle worst-of-three sf0.1 (r13)
     "tpch_q21" -> 6.52, // 3 x 2.17 s idle worst-of-three sf0.1 (r13)
     "pii_report" -> 2.56, // 3 x 0.85 s worst-of-three idle sf0.1 (r12)
@@ -109,7 +109,12 @@ object BenchBudget {
     // and 1.25 x the worst OBSERVED full-suite driver time, so a ceiling
     // still trips on a genuinely tripled plan but not on suite contention.
     "cdc_apply" -> 1.56, "chunk_split" -> 2.10,
-    // conversion_latency + scan_parquet re-based r13 end-of-round: both
+    // conversion_latency + scan_parquet (+ later the same night
+    // scan_text_roundtrip 0.80 -> 1.84 and scan_xml_roundtrip 0.96 ->
+    // 1.97, same evidence: full-suite 0.89 / 1.03 s on the loaded box
+    // vs idle worst-of-three 0.61 / 0.66 s UNDER the old ceilings,
+    // plans untouched; new basis = max(3 x idle, 1.25 x observed))
+    // re-based r13 end-of-round: both
     // tripped ONLY in a full-289 strict run on an ambient-loaded box
     // (load avg ~3 with no builder work running; 5.42 / 2.96 s vs
     // same-day idle worst-of-three 1.52 / 1.50 s, both UNDER the old
@@ -239,8 +244,8 @@ object BenchBudget {
     "scan_federated" -> 2.61, // max(3 x 0.87 idle r13, the contention floor)
     "scan_json_roundtrip" -> 0.83, "scan_orc_roundtrip" -> 0.92,
     "scan_parquet" -> 4.50, // max(3 x 1.50 idle, 1.25 x 2.96 observed) r13 — see conversion_latency note
-    "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 0.8,
-    "scan_xml_roundtrip" -> 0.96, "search_rrf" -> 1.67, "sessionize" -> 1.5,
+    "scan_projected" -> 1.74, "scan_schema_evolution" -> 1.23, "scan_text_roundtrip" -> 1.84,
+    "scan_xml_roundtrip" -> 1.97, "search_rrf" -> 1.67, "sessionize" -> 1.5,
     "set_except" -> 0.83, "set_intersect" -> 0.92, "set_union" -> 1.06,
     "set_union_byname" -> 0.75, "shard_manifest" -> 0.75, "sim_search" -> 0.9,
     "sim_search_bucketed" -> 0.76, "sim_search_ivf" -> 3.59,

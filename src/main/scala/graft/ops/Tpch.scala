@@ -588,15 +588,23 @@ object Tpch {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
-    val ps = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
     val pDim = broadcast(t(s, d, "part")
       .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO"
         && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
       .select("p_partkey", "p_brand", "p_type", "p_size"))
     val flagged = broadcast(t(s, d, "supplier")
       .filter(col("s_acctbal") < 0).select("s_suppkey"))
-    ps.join(pDim, col("l_partkey") === col("p_partkey"))
+    // both screens push BELOW the distinct (the §7.4 screens-below-
+    // aggregate discipline: the pair key contains both join keys, so
+    // dropping screened-out rows first leaves the surviving pair set —
+    // and every downstream count — bit-identical, hash-proven); the
+    // pair-distinct shuffle carries one screened part family instead of
+    // the whole ledger
+    val ps = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      .join(pDim.select("p_partkey"), col("l_partkey") === col("p_partkey"), "left_semi")
       .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .distinct()
+    ps.join(pDim, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))

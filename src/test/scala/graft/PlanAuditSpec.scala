@@ -189,6 +189,9 @@ class PlanAuditSpec extends SparkSpec {
     plan should include("IN (1,4,9,16,25,36,49)")
     plan should include("Not(EqualTo(p_brand,Brand#5))")
     plan should not include "CartesianProduct"
+    // both screens pushed BELOW the pair distinct (§7.4 discipline):
+    // the part semi + supplier anti run before the distinct's exchange
+    plan should include("LeftSemi")
   }
 
   test("tpch_q20: the nested-IN tower runs as a LEFT SEMI from the supplier dim; prefix LIKE and year band pushed") {
