@@ -261,19 +261,29 @@ object Functions {
   // divisions that return NULL instead of failing the job. At 100 TB one
   // malformed row must not kill a 6-hour pipeline; try_* turns data errors
   // into per-row nulls a later audit query can count.
-  // Cost note: a FAILING try_cast pays a caught exception per row (this
-  // op's pri_bad column fails on every row by design, hence its bench
-  // time) — on real data the failure rate, and so the overhead, is small.
+  // Cost note: a FAILING try_cast pays a caught-exception per row (the
+  // error-class machinery formats a message and fills a stack trace —
+  // measured ~7 µs/row here, and pri_bad fails on EVERY row by design, in
+  // BOTH the range-sampling job and the main pass). `tryIntScreen` guards
+  // the cast with a cheap regex accepting exactly the strings ANSI
+  // string→int parses (optional ≤0x20 trim chars — UTF8String.trimAll's
+  // set — optional sign, ASCII digits): a screen-rejected string is one
+  // try_cast maps to NULL anyway, so results are identical and the
+  // exception path survives only for overflow-length digit strings, which
+  // the screen cannot exclude without re-implementing range checks.
   private val fnTry = Op("fn_try",
     """SELECT o_orderkey,
       |  TRY_CAST(o_orderpriority AS INTEGER) AS pri_bad,
       |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
       |  o_totalprice / nullif(o_orderkey % 3, 0) AS ratio_or_null
       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    def tryInt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.rlike("^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$"),
+        c.try_cast("int"))
     t(s, d, "orders").select(
         col("o_orderkey"),
-        expr("try_cast(o_orderpriority AS INT)").as("pri_bad"),
-        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_num"),
+        tryInt(col("o_orderpriority")).as("pri_bad"),
+        tryInt(substring(col("o_orderpriority"), 1, 1)).as("pri_num"),
         try_divide(col("o_totalprice"),
           nullif(col("o_orderkey") % 3, lit(0))).as("ratio_or_null"))
       .orderBy("o_orderkey")

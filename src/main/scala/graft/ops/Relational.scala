@@ -674,6 +674,14 @@ object Relational {
       |SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
       |FROM m
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+    // r13 optimization note: sort-below-Expand (shuffle n narrow rows, melt
+    // after — guide §2.3) was tried and REVERTED: (l_orderkey,
+    // l_linenumber) is NOT unique in the fixtures, so the final sort key is
+    // not total — the rows' tie order is whatever both engines' stable
+    // sorts see, which is file order of the 4n expanded rows, and
+    // re-blocking the expansion changes it (measured red: 79748/240000
+    // positions moved on sf0.01). The 4n-row exchange is the price of the
+    // op's declared output order.
     t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(DecimalType(18, 2)).as("quantity"),

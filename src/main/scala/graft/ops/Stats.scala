@@ -1336,7 +1336,16 @@ object Stats {
        |   AND count(*) FILTER (WHERE b < $BootReps) >= 2
        |ORDER BY event_type""".stripMargin
   }) { (s, d) =>
-    bootView(bootGrid(t(s, d, "events")))
+    // exchange BEFORE the B+1-fold generator: the bench fixture's events
+    // parquet is one small file → one scan task, so the whole 33× Generate
+    // + partial aggregate ran on a single core (measured r13: 2.9 s of the
+    // op's 3.5 s in that one task). The round-robin shuffles the NARROW
+    // pre-expansion rows (guide §2.5 input-parallelism / §2.3 shuffle the
+    // proxy, not the expansion); width follows spark.sql.shuffle.partitions
+    // so a real deployment's scan splits govern instead. The streaming twin
+    // (bootSink) keeps calling bootGrid directly — micro-batches arrive
+    // already partitioned.
+    bootView(bootGrid(exchange(t(s, d, "events"))))
   }
 
   // --------------------------------------------------------------------

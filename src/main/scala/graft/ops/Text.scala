@@ -659,11 +659,16 @@ object Text {
       |SELECT gram, COUNT(*) AS n FROM grams
       |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin) { (s, d) =>
     val w = words(col("text"))
-    t(s, d, "documents")
+    // exchange: the one-file documents scan is ONE task, so the per-doc
+    // tokenize+gram generator ran single-core (measured r13: 1.3 s of the
+    // op's 1.5 s in that task). Shuffle the raw text rows (narrow), expand
+    // post-shuffle — the Dedup-module pattern (guide §2.5).
+    exchange(t(s, d, "documents")
       // NULL text filtered on BOTH sides: Spark's concat_ws would count a
       // null doc's gram as "" while DuckDB's array_to_string yields NULL —
       // excluding null docs keeps the engines symmetric
       .filter(col("text").isNotNull)
+      .select("text"))
       .select(explode(transform(
         sequence(lit(0), greatest(size(w) - 1, lit(1)) - 1),
         i => concat_ws(" ", slice(w, i + 1, lit(2))))).as("gram"))
