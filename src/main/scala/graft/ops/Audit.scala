@@ -45,6 +45,14 @@ object Audit {
     * "" where DuckDB yields NULL — excluding them keeps the engines
     * symmetric). */
   private def shingleStage(docs: DataFrame): DataFrame =
+    // r13 note: an outer materialization exchange over the exploded hash
+    // stream (so consumers stop re-running the split+hash) was tried and
+    // REVERTED — round-robin re-shuffling the token-scale stream cost more
+    // than the re-computation it saved (A/B: contamination_matrix
+    // 1.6 → 3.4 s, decontaminate 1.0 → 2.3 s). The per-consumer recompute
+    // runs shuffle-wide off the inner exchange and is the cheaper side of
+    // the trade at every scale (recompute-from-narrow-shuffle vs re-shuffle
+    // a 30× wider stream).
     exchange(docs.filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"), words(col("text")).as("w")))
       .select(col("doc_id"), col("source"),

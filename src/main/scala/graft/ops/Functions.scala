@@ -146,8 +146,13 @@ object Functions {
       |  CAST(json_extract(props, '$.k') AS INT) AS k,
       |  CAST(json_extract(props, '$.k') AS INT) AS k2
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
-    val e = t(s, d, "events")
-    e.select(
+    // exchange (r13): both JSON parses ran in the one-file scan's single
+    // task, twice over (the final sort's range-sampling job re-executes the
+    // projection) — measured 2 × ~0.55 s single-task at sf0.1. Post-
+    // exchange the parse is shuffle-wide and the sampling job re-reads the
+    // exchange's shuffle files instead of re-parsing.
+    exchange(t(s, d, "events").select("event_id", "props"))
+      .select(
         col("event_id"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k"),

@@ -553,8 +553,12 @@ object Text {
        |ORDER BY doc_id, fp""".stripMargin
   }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // exchange the raw text, split above it (r13): the split used to run in
+    // the one-file scan's single task AND the exchange carried the split
+    // arrays instead of the smaller raw text
     val docs = exchange(t(s, d, "documents")
-      .select(col("doc_id"), words(col("text")).as("w")))
+      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), words(col("text")).as("w"))
     // fully relational: explode words, build each 3-word shingle with lead()
     // (concat_ws skips the nulls past the tail, matching the oracle's
     // clamped list_slice on degenerate short docs), hash on the flat column
@@ -765,6 +769,11 @@ object Text {
       |FROM bgs JOIN model USING (bg)
       |JOIN uni ON split_part(bgs.bg, ' ', 1) = uni.w1
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // r13 note: both share-barriers over the bigram stream (outer
+    // round-robin exchange: 1.16 → 2.22 s; localCheckpoint: → 1.6-1.8 s)
+    // A/B'd WORSE than letting the three consumers (model, uni, scoring
+    // join) recompute the tokenize+explode — materializing a token-scale
+    // stream costs more than three recomputes. Left as-is.
     val bgs = t(s, d, "documents")
       .filter(col("text").isNotNull && size(words(col("text"))) >= 2)
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -1161,8 +1170,11 @@ object Text {
        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // exchange raw, split above (r13) — scan-task parallelism, smaller
+    // shuffle rows (text, not the split arrays)
     val docs = exchange(t(s, d, "documents").filter(col("text").isNotNull)
-      .select(col("doc_id"), words(col("text")).as("w")))
+      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), words(col("text")).as("w"))
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
     val tri = docs
       .select(col("doc_id"), size(col("w")).as("nw"),
@@ -1239,8 +1251,16 @@ object Text {
       else zip_with(ws, sequence(lit(1), size(ws)),
         (w, i) => concat(w, lit("#"),
           pmod(xxhash64(concat(w, lit(":"), i)), lit(2048))))
+    // r13: the tokenize+posexplode ran in the ONE scan task below the
+    // materialization exchange (measured 1.0 s single-task with
+    // expandTokens). Inner exchange lifts the scan to shuffle width;
+    // localCheckpoint is the evaluate-once barrier for the vocab + join
+    // consumers (an outer round-robin exchange of the token-scale stream
+    // A/B'd worse: 1.75 → 2.43 s).
     val tok = exchange(t(s, d, "documents").filter(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "word"))))
+        .select("doc_id", "text"))
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "word")))
+      .localCheckpoint()
     val vocab = tok.groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc).limit(vocabK)
       // vocabK bounded rows: the one justified unpartitioned window
