@@ -25,6 +25,9 @@ object Aggregates {
       |  COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(DISTINCT l_partkey) AS n_part,
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // r13: exchange-before-partial (the percentile-family fix below) A/B'd
+    // WORSE here (0.77 -> 1.44 s) — countDistinct's partial pass is cheap
+    // and the exchange shuffles 3 fact columns for nothing. Left alone.
     t(s, d, "lineitem").groupBy("l_returnflag")
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(col("l_partkey")).as("n_part"),
@@ -167,7 +170,9 @@ object Aggregates {
   }) { (s, d) =>
     val x = col("l_extendedprice").cast(DecimalType(18, 2)).cast("double")
     val li = t(s, d, "lineitem")
-    val thr = li.groupBy("l_returnflag")
+    // exchange: single-task partial percentile buffers (see agg_percentile)
+    val thr = exchange(li.select("l_returnflag", "l_extendedprice"))
+      .groupBy("l_returnflag")
       .agg(percentile(x, array(lit(0.25), lit(0.50), lit(0.75))).as("qs"))
       .select(col("l_returnflag"), col("qs")(0).as("q1"),
         col("qs")(1).as("q2"), col("qs")(2).as("q3"))
@@ -346,7 +351,14 @@ object Aggregates {
       |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val price = col("l_extendedprice").cast(DecimalType(18, 2)).cast("double")
-    t(s, d, "lineitem").groupBy("l_returnflag")
+    // exchange (r13): the single-row-group scan makes the partial percentile
+    // buffer build effectively single-task (guide §2.5); the exchange
+    // shuffles the two projected columns and the buffer build runs at
+    // shuffle width. A/B: 1.75 -> 1.50 s. (Cheap codegen partials —
+    // sums/counts/cube — measured NO win from the same pattern; only the
+    // ObjectHashAggregate buffer builds and decimal-product sums keep it.)
+    exchange(t(s, d, "lineitem").select("l_returnflag", "l_extendedprice"))
+      .groupBy("l_returnflag")
       .agg(percentile(price, array(lit(0.5), lit(0.95))).as("ps"))
       .select(col("l_returnflag"), col("ps")(0).as("p50"),
         col("ps")(1).as("p95"))
@@ -365,7 +377,9 @@ object Aggregates {
       |  true AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val price = col("l_extendedprice").cast(DecimalType(18, 2)).cast("double")
-    t(s, d, "lineitem").groupBy("l_returnflag")
+    // exchange: single-task partial percentile buffers (see agg_percentile)
+    exchange(t(s, d, "lineitem").select("l_returnflag", "l_extendedprice"))
+      .groupBy("l_returnflag")
       .agg(percentile(price, lit(0.5)).as("p50_exact"),
         percentile_approx(price, lit(0.5), lit(1000)).as("p50_approx"))
       .select(col("l_returnflag"), col("p50_exact"),
@@ -477,7 +491,11 @@ object Aggregates {
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val dx = col("l_quantity").cast(DecimalType(18, 2))
     val dy = col("l_extendedprice").cast(DecimalType(18, 2))
-    val sums = t(s, d, "lineitem").groupBy("l_returnflag")
+    // exchange: the five decimal-product partial sums ran single-task
+    // (see agg_percentile; A/B 1.23 -> 0.93 s)
+    val sums = exchange(t(s, d, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice"))
+      .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(dx).cast("double").as("sxd"), sum(dy).cast("double").as("syd"),
         sum(dx * dx).cast("double").as("sxxd"),

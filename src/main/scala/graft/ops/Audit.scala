@@ -294,7 +294,10 @@ object Audit {
       |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, d) =>
     val price = col("l_extendedprice").cast(DecimalType(18, 2)).cast("double")
     val li = t(s, d, "lineitem")
-    val thr = li.groupBy("l_returnflag")
+    // exchange: single-task partial percentile buffer (the Aggregates-module
+    // r13 pattern — single-row-group scans starve partial aggregation)
+    val thr = exchange(li.select("l_returnflag", "l_extendedprice"))
+      .groupBy("l_returnflag")
       .agg(percentile(price, lit(0.995)).as("p995"))
     li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
       .join(broadcast(thr), "l_returnflag")
