@@ -221,7 +221,10 @@ object Audit {
       sequence(lit(0), greatest(size(col("w")) - 1, lit(1)) - 1),
       i => concat_ws(" ", slice(col("w"), i + 1, lit(2))))
     val dupRatio = (col("n_gram") - col("n_uniq")).cast("double") / col("n_gram")
-    t(s, d, "documents").filter(col("text").isNotNull)
+    // exchange (r13): split+bigram+distinct ran in the single scan task,
+    // twice (sampling + main) — the fn_map_json pattern
+    exchange(t(s, d, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text"))
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), g.as("g"))
       .select(col("doc_id"), size(col("g")).as("n_gram"),

@@ -201,7 +201,11 @@ object Pipeline {
   }) { (s, d) =>
     val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
       EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), LongNumRe, "<NUM>")
-    t(s, d, "documents").select(
+    // exchange (r13): the three-regex redact + three extract_alls ran in
+    // the one-file scan's single task, twice (sampling job + main) —
+    // measured 2 × ~0.5 s at sf0.1. Post-exchange the regex work is
+    // shuffle-wide (the fn_map_json pattern).
+    exchange(t(s, d, "documents").select("doc_id", "text")).select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_email"),
         size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ip"),

@@ -461,6 +461,8 @@ object Text {
     s"""SELECT doc_id, n_tok, mean_wlen, punct_ratio, stop_ratio, quality
        |FROM (${qualitySql("")})
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // r13: exchange-before-qualityView A/B'd worse (0.72 -> ~1.0 s) — the
+    // ratio regexes are cheaper than the extra exchange. Left alone.
     qualityView(t(s, d, "documents"))
       .select("doc_id", "n_tok", "mean_wlen", "punct_ratio", "stop_ratio",
         "quality")
