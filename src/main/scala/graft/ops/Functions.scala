@@ -304,7 +304,10 @@ object Functions {
       |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
       |  props IS NOT NULL AND json_valid(props) AS is_json
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
-    t(s, d, "events").createOrReplaceTempView("events")
+    // exchange (r13): the fn_map_json pattern — the variant parses ran in
+    // the one-file scan's single task, twice (sampling job + main pass)
+    exchange(t(s, d, "events").select("event_id", "props"))
+      .createOrReplaceTempView("events")
     s.sql(
       // coalesce: on INVALID json try_parse_json is null and the bare
       // comparison would yield NULL where DuckDB's json_valid says false.
