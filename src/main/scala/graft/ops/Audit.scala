@@ -221,10 +221,12 @@ object Audit {
       sequence(lit(0), greatest(size(col("w")) - 1, lit(1)) - 1),
       i => concat_ws(" ", slice(col("w"), i + 1, lit(2))))
     val dupRatio = (col("n_gram") - col("n_uniq")).cast("double") / col("n_gram")
-    // exchange (r13): split+bigram+distinct ran in the single scan task,
-    // twice (sampling + main) — the fn_map_json pattern
-    exchange(t(s, d, "documents").filter(col("text").isNotNull)
-        .select("doc_id", "text"))
+    // r13: an exchange before the split+bigram stage (the fn_map_json
+    // pattern) was tried and REVERTED — the win was inside subset noise
+    // (1.01 vs 0.76/1.17/0.80 s) and PlanAuditSpec pins this op's designed
+    // property: scan-stage narrow work with NO shuffle before the final
+    // sort, which is the right 100 TB shape for a pure per-doc ratio.
+    t(s, d, "documents").filter(col("text").isNotNull)
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), g.as("g"))
       .select(col("doc_id"), size(col("g")).as("n_gram"),
