@@ -726,7 +726,16 @@ object Pipeline {
       |  CASE WHEN n = 1 THEN 0 ELSE (rk - 1) * 10000 // (n - 1) END AS pr_bp
       |FROM r ORDER BY event_id""".stripMargin) { (s, d) =>
     val v = col("value").cast(DecimalType(18, 2))
-    t(s, d, "events").filter(col("value").isNotNull)
+    // coalesce-exempt keyed exchange (REPARTITION_BY_NUM): the window's
+    // own exchange is ~1.5 MB, so AQE coalesced its reader to ONE task and
+    // all five per-type window sorts ran serial on one core (Profile jobs
+    // 114/115). Hash-by-type at explicit width satisfies the windows'
+    // clustering (no second exchange) and keeps the types parallel —
+    // bounded by the 5 coarse types, which is this op's documented
+    // contract ceiling (see SCALE note above).
+    exchangeWide(t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value")),
+        col("event_type"))
       .select(col("event_id"), col("event_type"), (v * 100).cast("long").as("cents"),
         rank().over(Window.partitionBy("event_type").orderBy(v)).cast("long").as("rk"),
         count(lit(1)).over(Window.partitionBy("event_type")).as("n"))

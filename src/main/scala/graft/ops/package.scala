@@ -77,6 +77,33 @@ package object ops {
     df.repartition(n)
   }
 
+  /** Coalesce-exempt keyed exchange for CPU-DENSE, BYTE-SMALL stages.
+    *
+    * AQE's partition coalescing is byte-based: a post-shuffle stage whose
+    * input is kilobytes is collapsed to ONE task even when each row costs
+    * real CPU (the exact-decimal rescores: two 64-element decimal folds
+    * per row). `repartition(n, keys)` carries the REPARTITION_BY_NUM
+    * shuffle origin, which AQE's CoalesceShufflePartitions does not touch
+    * — the stage READING this exchange keeps the full shuffle width, so
+    * the expensive projection above it runs partition-parallel.
+    *
+    * vs round-robin [[exchange]]: a hash repartition pays no
+    * sortBeforeRepartition pass and is row-deterministic. Pick `keys`
+    * with enough distinct values to spread (e.g. the row id); a
+    * downstream window keyed differently just adds its own (cheap,
+    * coalescible) exchange above the expensive projection.
+    *
+    * Scale note: the stages this guards are shortlist-sized (probes ×
+    * RefineK rows) at any data scale, so the extra exchange stays
+    * kilobytes at 100 TB while the width it pins is the cluster's. */
+  def exchangeWide(df: DataFrame, keys: Column*): DataFrame = {
+    val s = df.sparkSession
+    val n = s.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption)
+      .getOrElse(s.sparkContext.defaultParallelism)
+    df.repartition(n, keys: _*)
+  }
+
   /** Distributed exact global rank: `row_number() OVER (ORDER BY order*)`
     * without a single-partition pass over the input. `order` must be a
     * TOTAL order (unique tiebreak key) — the same determinism contract
