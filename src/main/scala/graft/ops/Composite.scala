@@ -293,9 +293,17 @@ object Composite {
     * (mutualGraphCtes), so the two formulations cross-check.
     */
   private def mutualEdges(s: SparkSession, d: String): DataFrame = {
-    val perOrder = t(s, d, "lineitem")
+    // round-robin exchange between the per-order aggregate and the
+    // C(k,2) pair explode: the explode + pair-weight partials ran in the
+    // aggregate exchange's AQE-coalesced reader (4 tasks, ~2.2 s of task
+    // time — Profile job 186); the repo's exchange() lifts that stage to
+    // shuffle width. (A BY_NUM exchange BELOW the aggregate was A/B'd
+    // red: losing the partial/final collect_set split cost ~10x the
+    // stage's CPU; a same-partitioned keyed exchange above it is pruned
+    // as redundant — the r13 finding.)
+    val perOrder = graft.ops.exchange(t(s, d, "lineitem")
       .groupBy("l_orderkey")
-      .agg(array_sort(collect_set(col("l_suppkey"))).as("sks"))
+      .agg(array_sort(collect_set(col("l_suppkey"))).as("sks")))
     val pw = perOrder
       .select(explode(flatten(transform(col("sks"), (x, i) =>
         transform(
@@ -303,8 +311,15 @@ object Composite {
           y => struct(x.as("u"), y.as("v")))))).as("p"))
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("w"))
-    val dir = pw.select(col("u").as("src"), col("v").as("dst"), col("w"))
-      .unionAll(pw.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    // ONE pass over pw for both edge directions (explode of a 2-array),
+    // instead of a union whose two branches each re-ran the final
+    // pair-weight aggregate from the partial shuffle (Profile job 187
+    // read that exchange twice)
+    val dir = pw.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst"), col("w")),
+        struct(col("v").as("src"), col("u").as("dst"), col("w")))).as("e"))
+      .select("e.src", "e.dst", "e.w")
+      .toDF("src", "dst", "w")
     val perNode = Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)
     val tk = dir.withColumn("rn", row_number().over(perNode))
       .filter(col("rn") <= 10).select("src", "dst")
@@ -405,25 +420,30 @@ object Composite {
       .localCheckpoint()
     var ranks = deg.select(col("node"), lit(PrScale / nNodes).as("r"))
     for (_ <- 1 to PrIters) {
-      // localCheckpoint per iteration: without it, iteration i's plan
-      // embeds all i-1 predecessors and Catalyst re-optimizes a linearly
-      // growing tree each round (the dedup_cluster lesson) — the accepted
-      // cost of a genuinely iterative algorithm. The superseded round's
-      // blocks are released immediately (the engine/Graph.scala
-      // discipline): without it, repeated invocations in one session
-      // accumulate 8 dead rank snapshots each (measured: a back-to-back
-      // rerun at the 10x facts probe went 9.2 -> 13.8 s from block churn).
-      val next = edges.join(ranks, col("src") === col("node"))
+      // LAZY unrolling — no per-iteration localCheckpoint. Each round
+      // references its predecessor exactly ONCE (unlike the CC kernel's
+      // pointer-jump self-join), so the chained plan grows linearly to a
+      // fixed depth of 8 join+aggregate pairs and is optimized/executed
+      // as ONE job at the final action, instead of 8 checkpoint
+      // materializations + 8 driver round-trips + 8 superseded block
+      // sets (r13 measured the checkpointed form's block churn: a
+      // back-to-back 10x-probe rerun went 9.2 -> 13.8 s). `edges` stays
+      // a checkpointed leaf, so the 8 references to it reuse its blocks.
+      // A/B at sf0.1 (warm Profile): 3.57 s / 40 jobs -> 2.22 s / 17
+      // jobs with identical output (integer fixed-point is
+      // schedule-independent).
+      ranks = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst"))
         .agg((lit(resetUnits) + expr("(sum(c) * 85) div 100")).as("r"))
         .withColumnRenamed("dst", "node")
-        .localCheckpoint()
-      ranks.unpersist()
-      ranks = next
     }
+    // ONE eager materialization at loop end (node-count-sized rows): the
+    // lazy chain still references the edges/e checkpoint leaves, so they
+    // must not be unpersisted until the chain has actually run
+    val fin = ranks.localCheckpoint()
     edges.unpersist(); e.unpersist()
-    ranks.select(col("node"),
+    fin.select(col("node"),
         (col("r").cast("double") / lit(PrScale)).as("pagerank"))
       .orderBy(col("pagerank").desc, col("node").asc)
   }
