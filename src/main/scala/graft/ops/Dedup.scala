@@ -168,6 +168,13 @@ object Dedup {
 
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val (cand, hsv) = minhashCand(s, d)
+    minhashVerify(cand, hsv)
+  }
+
+  /** The exact-Jaccard verification stage over banded candidates —
+    * factored from [[minhashPairs]] so dedup_agreement can run it on a
+    * SHARED hashed-shingle frame (see the op below). */
+  private def minhashVerify(cand: DataFrame, hsv: DataFrame): DataFrame = {
     val av = hsv.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
     val bv = hsv.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
     val inter = size(array_intersect(col("hs_a"), col("hs_b")))
@@ -559,6 +566,14 @@ object Dedup {
       .filter(col("text").isNotNull).select("doc_id", "text"))
     val hs = exchange(docs.select(col("doc_id"),
       array_sort(transform(shingles3(col("text")), s => h60(s))).as("hs")))
+    ngramPairsFrom(hs)
+  }
+
+  /** [[ngramPairs]] from an already-built (doc_id, sorted hashed-shingle
+    * array) frame — factored so dedup_agreement can feed the minhash
+    * pipeline's hsv (h1 IS h60, so the two frames are value-identical)
+    * and pay the md5-per-shingle pass once for both methods. */
+  private def ngramPairsFrom(hs: DataFrame): DataFrame = {
     val keyed = hs.select(col("doc_id"), col("hs"),
       explode(slice(col("hs"), 1, NgramKeys)).as("k"))
     val a = keyed.select(col("k"), col("doc_id").as("id_a"), col("hs").as("hs_a"))
@@ -599,9 +614,15 @@ object Dedup {
        |           WHERE jaccard >= 0.5) g
        |  ON m.id_a = g.id_a AND m.id_b = g.id_b
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val m = minhashPairs(s, d).select("id_a", "id_b")
+    // ONE md5-per-shingle pass for BOTH candidate generators: the ngram
+    // leg runs on the minhash pipeline's hashed-shingle frame (hsv's h1
+    // IS h60 — value-identical to ngramPairs' own hs), so the md5 digest
+    // stage — the dominant CPU of both pipelines — is one shared
+    // exchange subtree (ReuseExchange) instead of two full passes.
+    val (cand, hsv) = minhashCand(s, d)
+    val m = minhashVerify(cand, hsv).select("id_a", "id_b")
       .withColumn("in_m", lit(true))
-    val g = ngramPairs(s, d).filter(col("jaccard") >= 0.5)
+    val g = ngramPairsFrom(hsv).filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b").withColumn("in_g", lit(true))
     m.join(g, Seq("id_a", "id_b"), "full_outer")
       .select(col("id_a"), col("id_b"),
