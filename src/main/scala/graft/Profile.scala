@@ -70,10 +70,14 @@ object Profile {
           println(f"\n== $name run $run: $wall%.2f s, ${jobs.size} jobs ==")
           jobs.synchronized {
             jobs.toSeq.sortBy(_._1).foreach { case (jid, j) =>
-              val w = (j.t1 - j.t0) / 1e3
-              println(f"  job $jid%3d ${w}%6.2f s wall  ${j.taskMs}%6d task-ms " +
+              // a job still running (or whose JobEnd event hasn't been
+              // delivered) has t1=0 — print 'running' instead of a
+              // negative wall
+              val w = if (j.t1 > 0) f"${(j.t1 - j.t0) / 1e3}%6.2f s wall" else "  running  "
+              val d = if (j.desc.isEmpty) "" else "  " + j.desc.take(60)
+              println(f"  job $jid%3d $w  ${j.taskMs}%6d task-ms " +
                 f"${j.tasks}%4d tasks  shufR ${j.shuffleReadB / 1024}%7d KB  " +
-                f"shufW ${j.shuffleWriteB / 1024}%7d KB")
+                f"shufW ${j.shuffleWriteB / 1024}%7d KB$d")
             }
           }
         }

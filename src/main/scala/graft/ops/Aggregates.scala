@@ -404,7 +404,15 @@ object Aggregates {
       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    // coalesce-exempt hash-by-status exchange (the rank_normalize r14
+    // fix): AQE coalesced the window exchange's reader to ONE task, so
+    // the 3 per-status sorts ran serial on one core; explicit width
+    // satisfies the window's clustering and keeps the statuses parallel
+    // — bounded by the 3 statuses, the contract ceiling the SCALE NOTE
+    // above documents
+    exchangeWide(t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        col("o_orderstatus"))
       .withColumn("quartile", ntile(4).over(w))
       .select("o_orderkey", "o_custkey", "quartile")
       .orderBy("o_orderkey")
@@ -421,7 +429,11 @@ object Aggregates {
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // coalesce-exempt hash-by-status exchange — same rationale as
+    // win_ntile above
+    exchangeWide(t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        col("o_orderstatus"))
       .withColumn("cd", cume_dist().over(w))
       .withColumn("pr", percent_rank().over(w))
       .select("o_orderkey", "o_orderstatus", "cd", "pr")
