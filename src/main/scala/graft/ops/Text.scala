@@ -1259,6 +1259,13 @@ object Text {
     // localCheckpoint is the evaluate-once barrier for the vocab + join
     // consumers (an outer round-robin exchange of the token-scale stream
     // A/B'd worse: 1.75 → 2.43 s).
+    // RELIABILITY TRADE (r13 advice): localCheckpoint pins
+    // MEMORY_AND_DISK blocks and TRUNCATES lineage, so a lost
+    // executor/block makes the op fail-stop instead of recomputing —
+    // free in local[n] (no executor loss), but at the 100 TB deployment
+    // shape a token-scale checkpoint is a real storage/failure-domain
+    // cost: swap to reliable checkpoint() (or accept the 2 consumers'
+    // recompute) when running multi-executor.
     val tok = exchange(t(s, d, "documents").filter(col("text").isNotNull)
         .select("doc_id", "text"))
       .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "word")))
