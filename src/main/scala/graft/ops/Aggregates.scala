@@ -357,12 +357,16 @@ object Aggregates {
     // shuffle width. A/B: 1.75 -> 1.50 s. (Cheap codegen partials —
     // sums/counts/cube — measured NO win from the same pattern; only the
     // ObjectHashAggregate buffer builds and decimal-product sums keep it.)
-    exchange(t(s, d, "lineitem").select("l_returnflag", "l_extendedprice"))
-      .groupBy("l_returnflag")
-      .agg(percentile(price, array(lit(0.5), lit(0.95))).as("ps"))
-      .select(col("l_returnflag"), col("ps")(0).as("p50"),
-        col("ps")(1).as("p95"))
-      .orderBy("l_returnflag")
+    // sortBounded (r14): the range sort's sampling pass re-ran the final
+    // percentile merge (two ~0.5 s jobs for a 3-row output); the
+    // single-partition presentation sort runs it once
+    sortBounded(
+      exchange(t(s, d, "lineitem").select("l_returnflag", "l_extendedprice"))
+        .groupBy("l_returnflag")
+        .agg(percentile(price, array(lit(0.5), lit(0.95))).as("ps"))
+        .select(col("l_returnflag"), col("ps")(0).as("p50"),
+          col("ps")(1).as("p95")),
+      col("l_returnflag"))
   }
 
   // The percentile SCALE path: agg_percentile's exact interpolation buffers
@@ -378,14 +382,16 @@ object Aggregates {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val price = col("l_extendedprice").cast(DecimalType(18, 2)).cast("double")
     // exchange: single-task partial percentile buffers (see agg_percentile)
-    exchange(t(s, d, "lineitem").select("l_returnflag", "l_extendedprice"))
-      .groupBy("l_returnflag")
-      .agg(percentile(price, lit(0.5)).as("p50_exact"),
-        percentile_approx(price, lit(0.5), lit(1000)).as("p50_approx"))
-      .select(col("l_returnflag"), col("p50_exact"),
-        (abs(col("p50_approx") - col("p50_exact")) <=
-          abs(col("p50_exact")) * 0.05).as("approx_ok"))
-      .orderBy("l_returnflag")
+    // sortBounded: same final-merge double-execution as agg_percentile
+    sortBounded(
+      exchange(t(s, d, "lineitem").select("l_returnflag", "l_extendedprice"))
+        .groupBy("l_returnflag")
+        .agg(percentile(price, lit(0.5)).as("p50_exact"),
+          percentile_approx(price, lit(0.5), lit(1000)).as("p50_approx"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.05).as("approx_ok")),
+      col("l_returnflag"))
   }
 
   // SCALE NOTE (win_ntile / win_cume): both partition by o_orderstatus —
@@ -517,7 +523,10 @@ object Aggregates {
     // group has zero variance — under ANSI mode the bare division THROWS
     // instead of yielding the statistically-correct NULL, and a single
     // degenerate group must not kill a 100 TB aggregation job
-    sums.select(col("l_returnflag"), col("n"),
+    // sortBounded (r14): single-partition presentation sort of the 3-row
+    // output — the range sort's sampling re-ran the decimal-product merge
+    sortBounded(
+      sums.select(col("l_returnflag"), col("n"),
         (col("sxd") / col("n")).as("mean_qty"),
         sqrt((col("sxxd") - col("sxd") * col("sxd") / col("n"))
             / nullif(col("n") - 1, lit(0)))
@@ -525,8 +534,8 @@ object Aggregates {
         ((col("n") * col("sxyd") - col("sxd") * col("syd"))
           / nullif(sqrt(col("n") * col("sxxd") - col("sxd") * col("sxd"))
             * sqrt(col("n") * col("syyd") - col("syd") * col("syd")), lit(0.0)))
-          .as("corr_qty_price"))
-      .orderBy("l_returnflag")
+          .as("corr_qty_price")),
+      col("l_returnflag"))
   }
 
   // --------------------------------------------------------------------

@@ -104,6 +104,20 @@ package object ops {
     df.repartition(n, keys: _*)
   }
 
+  /** Presentation sort for BOUNDED outputs (aggregates over a small
+    * fixed key domain, e.g. 3 return flags). A plain ORDER BY plans a
+    * range sort whose boundary-sampling pass RE-EXECUTES the child plan;
+    * when the child is an expensive final aggregate merge, the declared
+    * sort doubles the op's cost (measured r14: agg_percentile's two
+    * final-merge jobs both re-read the full partial-buffer shuffle —
+    * 1.1 s for a 3-row output). Shuffling the ≤ dozens of result rows to
+    * ONE partition and sorting there produces the identical total order
+    * with a single execution, and is the right plan at ANY data scale
+    * because the output stays key-domain-bounded. Do NOT use on
+    * row-scale outputs. */
+  def sortBounded(df: DataFrame, order: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(order: _*)
+
   /** Distributed exact global rank: `row_number() OVER (ORDER BY order*)`
     * without a single-partition pass over the input. `order` must be a
     * TOTAL order (unique tiebreak key) — the same determinism contract
