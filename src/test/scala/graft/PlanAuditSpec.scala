@@ -243,6 +243,50 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann-family exact rescores sit above coalesce-exempt exchanges (r14)") {
+    // AQE's byte-based coalescing collapsed the kilobyte-but-CPU-dense
+    // decimal rescore stages to ONE task (ann_recall: 1.7 s single-core);
+    // REPARTITION_BY_NUM exchanges pin those stages at shuffle width
+    // (CoalesceShufflePartitions does not touch user-numbered shuffles).
+    // Each op carries the round-robin eN exchange plus >= 1 keyed wide
+    // exchange per rescore leg.
+    Seq("ann_recall" -> 3, "ann_recall_bucketed" -> 3, "sim_search_ivf" -> 3)
+      .foreach { case (name, n) =>
+        withClue(name) {
+          "REPARTITION_BY_NUM".r.findAllIn(planOf(name)).size should be >= n
+        }
+      }
+  }
+
+  test("per-key window ops reuse one coalesce-exempt exchange (r14)") {
+    // win_ntile / win_cume / rank_normalize partition their windows by a
+    // 3-5-value key; the explicit-width hash exchange keeps the per-key
+    // sorts parallel (AQE coalesced the ENSURE_REQUIREMENTS form to one
+    // task) and the window must REUSE it — a second hash exchange means
+    // the repartition stopped satisfying the window's clustering.
+    Seq("win_ntile", "win_cume", "rank_normalize").foreach { name =>
+      withClue(name) {
+        val plan = planOf(name)
+        plan should include("REPARTITION_BY_NUM")
+        "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+      }
+    }
+  }
+
+  test("bounded-output presentation sorts are single-partition, not range (r14)") {
+    // the range sort's boundary sampling re-executes the child — for
+    // these ops that child is the expensive final aggregate merge, and
+    // the output is key-domain-bounded (3 rows), so a single-partition
+    // sort is the right plan at any scale
+    Seq("agg_percentile", "agg_percentile_approx", "agg_stats").foreach { name =>
+      withClue(name) {
+        val plan = planOf(name)
+        plan should include("Exchange SinglePartition")
+        plan should not include "rangepartitioning"
+      }
+    }
+  }
+
   test("subquery_exists decorrelates to semi+anti hash joins (no per-row subquery, no nested loop)") {
     val plan = planOf("subquery_exists")
     plan should include("LeftSemi")
