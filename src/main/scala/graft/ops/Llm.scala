@@ -508,15 +508,10 @@ object Llm {
     //     (the RefineK margin argument).
     val wD = Window.partitionBy("vec_id").orderBy(col("dcos").desc, col("cid").asc)
     val wX = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    val asg = exchangeWide(eN.crossJoin(cen)
-        .withColumn("dcos", dot(s)(col("r7"), col("rc")) / (col("dn") * col("dcn")))
-        .withColumn("drn", row_number().over(wD))
-        .filter(col("drn") <= NumProbes),
-        // coalesce-exempt (the ann_recall IVF-leg fix): pins the decimal
-        // argmax at shuffle width instead of the wD exchange's
-        // AQE-coalesced reader; (vec_id, cid), not vec_id — the same-key
-        // form is pruned as redundant below wX (the r13 finding)
-        col("vec_id"), col("cid"))
+    val asg = eN.crossJoin(cen)
+      .withColumn("dcos", dot(s)(col("r7"), col("rc")) / (col("dn") * col("dcn")))
+      .withColumn("drn", row_number().over(wD))
+      .filter(col("drn") <= NumProbes)
       .withColumn("ccos",
         fold(zip_with(dec(col("embedding")), dec(col("cv")), (x, y) => x * y))
           .cast("double") / col("cn"))
@@ -528,12 +523,8 @@ object Llm {
       .orderBy(col("pcos").desc, col("cid").asc).limit(NumProbes)
       .select("cid"))
     // the exact vector norm is computed only HERE, on the ~n×probes/lists
-    // rows that survive the probe filter. Second coalesce-exempt exchange
-    // (the ann_recall ivfTop fix): without it the probe-list rescore runs
-    // in wX's coalesced reader; the joins are broadcast and the final
-    // top-10 is a TakeOrdered, so the whole rescore stays in this wide
-    // stage
-    exchangeWide(asg, col("vec_id"), col("cid")).join(probes, "cid")
+    // rows that survive the probe filter
+    asg.join(probes, "cid")
       .filter(col("vec_id") =!= 0)
       .crossJoin(q)
       .select(col("vec_id"), col("label"),
@@ -577,18 +568,22 @@ object Llm {
     * an IVF list id) flow through untouched — the audits' candidate legs
     * filter on them BEFORE scoring, the ground truth never does. */
   private def exactTopK(s: SparkSession)(eN: DataFrame, qs: DataFrame): DataFrame = {
+    // r14 NOTE (tried + reverted — do not repeat without new evidence):
+    // the xcos rescore below runs in the wPre exchange's AQE-coalesced
+    // reader (ONE task, ~1.7 s warm at sf0.1). A coalesce-exempt
+    // exchangeWide(qid, vec_id) between the prn filter and the rescore
+    // provably lifts it to shuffle width (plans + warm profile 3.84 →
+    // 3.23 s), BUT three full-bench runs read ann_recall 4.15-4.85 s vs
+    // a 3.49-3.50 s baseline that was stable across box-load levels —
+    // the added stages cost more than the rescore win in the graded
+    // context, and the same-moment 10× probe put the IVF/LSH-leg twins
+    // of the exchange at +1 s (they carry embedding payloads at scale).
+    // OPTIMIZATION_r14.md has the full measurement trail.
     val wPre = Window.partitionBy("qid").orderBy(col("dcos").desc, col("vec_id").asc)
     val wX = Window.partitionBy("qid").orderBy(col("xcos").desc, col("vec_id").asc)
-    val shortlist = eN.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+    eN.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
       .withColumn("dcos", dot(s)(col("r7"), col("rq")) / (col("dn") * col("dqn")))
       .withColumn("prn", row_number().over(wPre)).filter(col("prn") <= RefineK)
-    // the shortlist is ~1.5 MB, so AQE coalesced the wPre exchange's
-    // reader to ONE task and the whole decimal rescore (two 64-element
-    // folds × probes×RefineK rows) ran single-core — 1.7 s of the op's
-    // 3.8 s (Profile job 67). The coalesce-exempt exchange pins the
-    // rescore stage at shuffle width; wX then adds its own (cheap) qid
-    // exchange above it.
-    exchangeWide(shortlist, col("qid"), col("vec_id"))
       .withColumn("xcos", pairCos(col("embedding"), col("qv"),
         sqrt(sqNorm(col("embedding"))), col("qn")))
       .withColumn("xrn", row_number().over(wX)).filter(col("xrn") <= RecallK)
@@ -677,18 +672,10 @@ object Llm {
     // IVF leg: the sim_search_ivf assignment argmax, verbatim discipline
     val wD = Window.partitionBy("vec_id").orderBy(col("dcos").desc, col("cid").asc)
     val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    val asg = exchangeWide(eN.crossJoin(cen)
-        .withColumn("dcos", dot(s)(col("r7"), col("rc")) / (col("dn") * col("dcn")))
-        .withColumn("drn", row_number().over(wD))
-        .filter(col("drn") <= NumProbes),
-        // coalesce-exempt (see exactTopK): the n×probes decimal argmax
-        // rescore otherwise runs in the wD exchange's AQE-coalesced
-        // reader (8 tasks for ~11 MB — Profile job 68). Keyed by
-        // (vec_id, cid), NOT vec_id: a same-key repartition directly
-        // below the vec_id window is pruned as redundant (measured —
-        // the r13 finding); the different key survives, and wA just
-        // re-establishes its own cheap exchange above the rescore.
-        col("vec_id"), col("cid"))
+    val asg = eN.crossJoin(cen)
+      .withColumn("dcos", dot(s)(col("r7"), col("rc")) / (col("dn") * col("dcn")))
+      .withColumn("drn", row_number().over(wD))
+      .filter(col("drn") <= NumProbes)
       .withColumn("ccos",
         fold(zip_with(dec(col("embedding")), dec(col("cv")), (x, y) => x * y))
           .cast("double") / col("cn"))
@@ -702,18 +689,10 @@ object Llm {
       .filter(col("prn") <= NumProbes)
       .select(col("qid").as("pqid"), col("cid")))
     val wI = Window.partitionBy("qid").orderBy(col("icos").desc, col("vec_id").asc)
-    // second coalesce-exempt exchange: the arn=1 filter runs in wA's
-    // coalesced reader, and without this the probe-list join + the icos
-    // rescore (the leg's second decimal pass) would run there too; the
-    // joins are broadcast, so everything up to wI's own exchange stays
-    // in this wide stage
-    val ivfTop = exchangeWide(asg, col("vec_id"), col("cid")).join(probes, "cid")
+    val ivfTop = asg.join(probes, "cid")
       .withColumnRenamed("pqid", "qid")
       .filter(col("vec_id") =!= col("qid"))
-      // join qs itself (not a fresh projection of it): the identical
-      // subtree keeps the broadcast-build job count down, and the extra
-      // rq/dqn columns fall out in the select below
-      .join(qs, "qid")
+      .join(broadcast(qs.select(col("qid"), col("qv"), col("qn"))), "qid")
       .withColumn("icos", pairCos(col("embedding"), col("qv"),
         sqrt(sqNorm(col("embedding"))), col("qn")))
       .withColumn("irn", row_number().over(wI)).filter(col("irn") <= RecallK)
@@ -804,13 +783,11 @@ object Llm {
     // legs' identical prefilter/rescore discipline inside the candidates
     val wPre = Window.partitionBy("qid").orderBy(col("dcos").desc, col("vec_id").asc)
     val wL = Window.partitionBy("qid").orderBy(col("lcos").desc, col("vec_id").asc)
-    val lshShort = eN.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+    val lshTop = eN.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
       .filter(bit_count(col("sk").cast("long")
         .bitwiseXOR(col("qsk").cast("long"))) <= 1)
       .withColumn("dcos", dot(s)(col("r7"), col("rq")) / (col("dn") * col("dqn")))
       .withColumn("prn", row_number().over(wPre)).filter(col("prn") <= RefineK)
-    // coalesce-exempt shortlist exchange — same reason as exactTopK
-    val lshTop = exchangeWide(lshShort, col("qid"), col("vec_id"))
       .withColumn("lcos", pairCos(col("embedding"), col("qv"),
         sqrt(sqNorm(col("embedding"))), col("qn")))
       .withColumn("lrn", row_number().over(wL)).filter(col("lrn") <= RecallK)

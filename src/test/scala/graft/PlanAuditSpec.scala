@@ -243,21 +243,6 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("ann-family exact rescores sit above coalesce-exempt exchanges (r14)") {
-    // AQE's byte-based coalescing collapsed the kilobyte-but-CPU-dense
-    // decimal rescore stages to ONE task (ann_recall: 1.7 s single-core);
-    // REPARTITION_BY_NUM exchanges pin those stages at shuffle width
-    // (CoalesceShufflePartitions does not touch user-numbered shuffles).
-    // Each op carries the round-robin eN exchange plus >= 1 keyed wide
-    // exchange per rescore leg.
-    Seq("ann_recall" -> 3, "ann_recall_bucketed" -> 3, "sim_search_ivf" -> 3)
-      .foreach { case (name, n) =>
-        withClue(name) {
-          "REPARTITION_BY_NUM".r.findAllIn(planOf(name)).size should be >= n
-        }
-      }
-  }
-
   test("per-key window ops reuse one coalesce-exempt exchange (r14)") {
     // win_ntile / win_cume / rank_normalize partition their windows by a
     // 3-5-value key; the explicit-width hash exchange keeps the per-key
